@@ -1,0 +1,86 @@
+"""Token normalization: lowercase/casefold, NFKC, diacritic removal.
+
+Mirrors the reference normalizer filter (src/core/filters_builtin.c:40-82)
+which uses ICU's NFKC_Casefold normalizer (src/utils/utf8.c:69,268) and
+the transliteration rule ``"NFKD; [:Nonspacing Mark:] Remove;
+Latin-ASCII; NFKC"`` for diacritic substitution (src/utils/utf8.c:30-31).
+
+Implemented host-side with unicodedata (NFKC/NFKD + casefold) plus an
+explicit Latin-ASCII fold table for the non-decomposable Latin letters
+the ICU transliterator handles.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+# Latin-ASCII transliterations for letters with no NFKD decomposition,
+# matching ICU's Latin-ASCII transform for the common cases.
+_LATIN_ASCII = {
+    "ß": "ss",  # ß
+    "æ": "ae",  # æ
+    "ð": "d",   # ð
+    "ø": "o",   # ø
+    "þ": "th",  # þ
+    "đ": "d",   # đ
+    "ħ": "h",   # ħ
+    "ı": "i",   # ı
+    "ĸ": "k",   # ĸ
+    "ł": "l",   # ł
+    "ŋ": "ng",  # ŋ
+    "œ": "oe",  # œ
+    "ŧ": "t",   # ŧ
+    "ſ": "s",   # ſ
+    "ƀ": "b",
+    "ƒ": "f",
+    "ơ": "o",
+    "ư": "u",
+    # Punctuation folds (Latin-ASCII also maps these).
+    "‘": "'", "’": "'", "‚": "'", "‛": "'",
+    "“": '"', "”": '"', "„": '"',
+    "‐": "-", "‑": "-", "‒": "-", "–": "-",
+    "—": "-", "―": "-", "«": '"', "»": '"',
+    " ": " ",
+}
+
+
+def _is_default_ignorable(ch: str) -> bool:
+    # Approximation of Default_Ignorable_Code_Point: format controls and
+    # zero-width characters that NFKC_Casefold removes.
+    cp = ord(ch)
+    if cp in (0x00AD, 0x034F, 0x061C, 0x17B4, 0x17B5, 0x180B, 0x180C,
+              0x180D, 0x180E, 0x200B, 0x200C, 0x200D, 0x200E, 0x200F,
+              0x2060, 0x2061, 0x2062, 0x2063, 0x2064, 0xFEFF):
+        return True
+    if 0x202A <= cp <= 0x202E or 0x2066 <= cp <= 0x206F:
+        return True
+    if 0xFE00 <= cp <= 0xFE0F or 0xE0100 <= cp <= 0xE01EF:
+        return True
+    return False
+
+
+def nfkc_casefold(s: str) -> str:
+    """NFKC_Casefold equivalent: NFKC + casefold + drop ignorables."""
+    if s.isascii():
+        return s.lower()
+    s = unicodedata.normalize("NFKC", s)
+    s = "".join(ch for ch in s if not _is_default_ignorable(ch))
+    return unicodedata.normalize("NFKC", s.casefold())
+
+
+def strip_diacritics(s: str) -> str:
+    """NFKD; remove nonspacing marks; Latin-ASCII; NFKC."""
+    if s.isascii():
+        return s
+    decomposed = unicodedata.normalize("NFKD", s)
+    out = []
+    for ch in decomposed:
+        if unicodedata.category(ch) == "Mn":
+            continue
+        out.append(_LATIN_ASCII.get(ch, ch))
+    return unicodedata.normalize("NFKC", "".join(out))
+
+
+def normalize_token(s: str) -> str:
+    """The full normalizer filter: casefold + NFKC + diacritic fold."""
+    return strip_diacritics(nfkc_casefold(s))

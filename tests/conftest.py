@@ -1,0 +1,17 @@
+"""Test configuration.
+
+Device-path tests run on a virtual 8-device CPU mesh so multi-chip
+sharding is exercised without TPU hardware.  These env vars must be set
+before the first ``import jax`` anywhere in the test process.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
