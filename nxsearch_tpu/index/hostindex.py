@@ -1,0 +1,446 @@
+"""Host-authoritative index: terms journal + document-term journal.
+
+This is the TPU-native re-design of the reference's index engine
+(src/index/terms.c, dtmap.c, idxterm.c, idxdoc.c).  Instead of
+pointer-chased in-memory objects over mmap'd blocks, the index is a set
+of *columnar arrays*:
+
+- a term dictionary (value -> 1-based sequential ID, append order),
+- per-document posting blocks stored columnar (term_id, count,
+  owning doc slot) in arrival order -- the journal's dtmap mirrored
+  into flat numpy arrays,
+- a document table (doc_id, doc_len, liveness, journal offset),
+- per-term aggregates (document frequency, total occurrences).
+
+Durability follows the reference protocol exactly: append-only journal
+files whose header ``data_len`` is the commit pointer (storage.py), EX
+flock for writers with re-sync of other writers' tails before
+appending (terms.c:184-198, dtmap.c:274-293), terms always synced
+before dtmap (dtmap.c:18-26), and the dual tombstone for removals:
+zero the doc_id in place for fresh readers *and* append a marker for
+live readers (dtmap.c:29-38).
+
+The device-facing CSR snapshot (postings grouped by term) is produced
+by :meth:`HostIndex.build_csr` -- a vectorized transpose of the
+arrival-ordered postings.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..errors import ErrorCode, NxsError
+from ..text.tokenizer import TokenSet
+from .storage import (HEADER_SIZE, MAGIC_DTMAP, MAGIC_TERMS, LogFile)
+
+# Limits (reference: terms.c:226-235, index.h).
+MAX_TERM_LEN = 0xFFFF           # UINT16_MAX bytes
+MAX_TERM_ID = 0xFFFFFFFF        # UINT32_MAX
+
+_TERM_REC = struct.Struct("<I")          # len | bytes | pad4
+_DT_HDR = struct.Struct("<QII")          # doc_id, doc_len, n
+_DT_PAIR = struct.Struct("<II")          # term_id, count
+_TOMBSTONE = struct.Struct("<QQ")        # doc_id, 0
+
+
+def _pad4(n: int) -> int:
+    return (n + 3) & ~3
+
+
+class _Grow:
+    """Geometrically-grown 1-D numpy array with an explicit length."""
+
+    def __init__(self, dtype, cap: int = 1024):
+        self.a = np.zeros(cap, dtype=dtype)
+        self.n = 0
+
+    def reserve(self, extra: int) -> None:
+        need = self.n + extra
+        if need > len(self.a):
+            cap = max(need, len(self.a) * 2)
+            new = np.zeros(cap, dtype=self.a.dtype)
+            new[: self.n] = self.a[: self.n]
+            self.a = new
+
+    def push(self, value) -> None:
+        self.reserve(1)
+        self.a[self.n] = value
+        self.n += 1
+
+    def extend(self, values) -> None:
+        k = len(values)
+        self.reserve(k)
+        self.a[self.n: self.n + k] = values
+        self.n += k
+
+    def view(self) -> np.ndarray:
+        return self.a[: self.n]
+
+
+@dataclass
+class _PartialStop(Exception):
+    """Raised when a dtmap block references a not-yet-visible term."""
+    offset: int
+
+
+class HostIndex:
+    """One open index over its journal files (nxs_index_t analogue)."""
+
+    def __init__(self, idxdir: str, durable_sync: bool = False):
+        self.idxdir = idxdir
+        os.makedirs(idxdir, exist_ok=True)
+        self.terms_log = LogFile(os.path.join(idxdir, "terms.db"),
+                                 MAGIC_TERMS, sync=durable_sync)
+        try:
+            self.dtmap_log = LogFile(os.path.join(idxdir, "dtmap.db"),
+                                     MAGIC_DTMAP, sync=durable_sync)
+        except Exception:
+            self.terms_log.close()
+            raise
+
+        # --- term dictionary -------------------------------------------
+        self.term_values: list[str] = []        # id-1 -> value
+        self.term_map: dict[str, int] = {}      # value -> id
+        self.term_total = _Grow(np.int64)       # live total occurrences
+        self.term_df = _Grow(np.int64)          # live document frequency
+
+        # --- postings (arrival order, per-doc contiguous) ----------------
+        self.p_term = _Grow(np.int32, 4096)     # 1-based term ids
+        self.p_count = _Grow(np.int32, 4096)
+        self.p_slot = _Grow(np.int32, 4096)     # owning doc slot
+
+        # --- document table ----------------------------------------------
+        self.doc_ids = _Grow(np.int64)
+        self.doc_len = _Grow(np.int32)
+        self.doc_start = _Grow(np.int64)        # slice into postings
+        self.doc_n = _Grow(np.int32)
+        self.doc_alive = _Grow(np.bool_)
+        self.doc_off = _Grow(np.int64)          # journal payload offset
+        self.doc_map: dict[int, int] = {}       # live doc_id -> slot
+
+        self.doc_count = 0                      # live docs
+        self.token_count = 0                    # live tokens (incl. dups)
+
+        self._terms_consumed = 0
+        self._dt_consumed = 0
+        self.generation = 0                     # bumped on any change
+
+        self.sync()
+
+    # ------------------------------------------------------------------
+    # Terms journal
+    # ------------------------------------------------------------------
+
+    def _register_term(self, value: str) -> int:
+        term_id = len(self.term_values) + 1
+        self.term_values.append(value)
+        self.term_map[value] = term_id
+        self.term_total.push(0)
+        self.term_df.push(0)
+        return term_id
+
+    def _consume_terms(self, committed: int) -> None:
+        """Parse the terms tail [consumed, committed)."""
+        if committed <= self._terms_consumed:
+            return
+        raw = self.terms_log.read_payload(self._terms_consumed, committed)
+        off, end = 0, len(raw)
+        while off + 4 <= end:
+            (length,) = _TERM_REC.unpack_from(raw, off)
+            value = raw[off + 4: off + 4 + length].decode("utf-8")
+            off += 4 + _pad4(length)
+            self._register_term(value)
+        self._terms_consumed = committed
+        self.generation += 1
+
+    def terms_sync(self) -> None:
+        """Consume terms appended by other writers (idx_terms_sync)."""
+        with self.terms_log.lock_sh():
+            committed = self.terms_log.committed_len()
+            self._consume_terms(committed)
+
+    def terms_add(self, tokens: TokenSet) -> None:
+        """Append staged tokens as new terms (idx_terms_add).
+
+        Under the EX lock: re-sync other writers' terms, dedupe the
+        staged tokens against the refreshed dictionary, then append the
+        remaining new terms with sequential IDs and publish.
+        """
+        if not tokens.staging:
+            return
+        with self.terms_log.lock_ex():
+            committed = self.terms_log.committed_len()
+            self._consume_terms(committed)
+
+            buf = bytearray()
+            for token in list(tokens.staging):
+                term_id = self.term_map.get(token.value)
+                if term_id is None:
+                    encoded = token.value.encode("utf-8")
+                    if len(encoded) > MAX_TERM_LEN:
+                        raise NxsError(ErrorCode.LIMIT,
+                                       f"term too long ({len(encoded)})")
+                    if len(self.term_values) >= MAX_TERM_ID:
+                        raise NxsError(
+                            ErrorCode.LIMIT,
+                            f"reached the term limit ({MAX_TERM_ID})")
+                    term_id = self._register_term(token.value)
+                    buf += _TERM_REC.pack(len(encoded))
+                    buf += encoded
+                    buf += b"\x00" * (_pad4(len(encoded)) - len(encoded))
+                token.term_id = term_id
+                tokens.moveback(token)
+
+            if buf:
+                committed = self.terms_log.append(bytes(buf), committed)
+                self._terms_consumed = committed
+                self.generation += 1
+
+    # ------------------------------------------------------------------
+    # Document-term journal
+    # ------------------------------------------------------------------
+
+    def _apply_block(self, doc_id: int, doc_len: int,
+                     pairs: np.ndarray, offset: int) -> None:
+        """Apply a live document block to the in-memory arrays."""
+        slot = self.doc_ids.n
+        n = len(pairs)
+        term_ids = pairs[:, 0]
+        counts = pairs[:, 1]
+
+        self.p_term.extend(term_ids.astype(np.int32))
+        self.p_count.extend(counts.astype(np.int32))
+        self.p_slot.extend(np.full(n, slot, dtype=np.int32))
+
+        self.doc_ids.push(doc_id)
+        self.doc_len.push(doc_len)
+        self.doc_start.push(self.p_term.n - n)
+        self.doc_n.push(n)
+        self.doc_alive.push(True)
+        self.doc_off.push(offset)
+        self.doc_map[doc_id] = slot
+
+        idx = term_ids - 1
+        self.term_total.a[idx] += counts
+        self.term_df.a[idx] += 1
+        self.doc_count += 1
+        self.token_count += doc_len
+
+    def _apply_remove(self, doc_id: int) -> None:
+        slot = self.doc_map.get(doc_id)
+        if slot is None or not self.doc_alive.a[slot]:
+            return
+        start = int(self.doc_start.a[slot])
+        n = int(self.doc_n.a[slot])
+        idx = self.p_term.a[start: start + n] - 1
+        counts = self.p_count.a[start: start + n]
+        self.term_total.a[idx] -= counts
+        self.term_df.a[idx] -= 1
+        self.doc_alive.a[slot] = False
+        self.doc_count -= 1
+        self.token_count -= int(self.doc_len.a[slot])
+        del self.doc_map[doc_id]
+
+    def _consume_dtmap(self, committed: int) -> None:
+        """Parse the dtmap tail; may raise _PartialStop on unseen terms."""
+        if committed <= self._dt_consumed:
+            return
+        raw = self.dtmap_log.read_payload(self._dt_consumed, committed)
+        base = self._dt_consumed
+        off, end = 0, len(raw)
+        nterms = len(self.term_values)
+        changed = False
+        try:
+            while off + _DT_HDR.size <= end:
+                doc_id, doc_len, n = _DT_HDR.unpack_from(raw, off)
+                if doc_len == 0 and n == 0:
+                    # Removal tombstone for live readers (dtmap.c:29-38).
+                    self._apply_remove(doc_id)
+                    off += _TOMBSTONE.size
+                    changed = True
+                    continue
+                body = off + _DT_HDR.size
+                pairs = np.frombuffer(
+                    raw, dtype="<u4", count=2 * n, offset=body,
+                ).reshape(n, 2).astype(np.int64)
+                if doc_id != 0:
+                    if n and int(pairs[:, 0].max()) > nterms:
+                        # Terms not yet visible: leave the block for the
+                        # next sync (DTMAP_PARTIAL_SYNC semantics).
+                        raise _PartialStop(base + off)
+                    self._apply_block(doc_id, doc_len, pairs, base + off)
+                    changed = True
+                # doc_id == 0: zeroed by a remover; fresh readers skip it.
+                off += _DT_HDR.size + 2 * 4 * n
+            self._dt_consumed = base + off
+        except _PartialStop as stop:
+            self._dt_consumed = stop.offset
+        if changed:
+            self.generation += 1
+
+    def dtmap_sync(self, partial: bool = True) -> None:
+        """Consume the dtmap tail (idx_dtmap_sync).
+
+        Terms are synced first; if the dtmap tail still references terms
+        committed after our terms read, terms are re-synced once, and
+        any remaining unseen-term block is deferred to the next sync.
+        """
+        self.terms_sync()
+        with self.dtmap_log.lock_sh():
+            committed = self.dtmap_log.committed_len()
+            before = self._dt_consumed
+            self._consume_dtmap(committed)
+            if self._dt_consumed < committed and self._dt_consumed >= before:
+                # Hit a block with unseen terms: re-sync terms, retry.
+                self.terms_sync()
+                self._consume_dtmap(committed)
+                if self._dt_consumed < committed and not partial:
+                    raise NxsError(ErrorCode.FATAL,
+                                   "dtmap references unknown terms")
+
+    def sync(self) -> None:
+        """Full sync: terms then dtmap (search-path ordering)."""
+        self.dtmap_sync(partial=True)
+
+    def dtmap_add(self, doc_id: int, tokens: TokenSet) -> None:
+        """Append a document block (idx_dtmap_add).
+
+        The block is built off-line (sorted by term_id), then under the
+        EX dtmap lock: terms and dtmap are re-synced, the duplicate-doc
+        check re-run, the block appended and published.
+        """
+        assert not tokens.staging, "tokens must be fully resolved"
+        pairs = sorted((t.term_id, t.count) for t in tokens.tokens)
+        buf = bytearray(_DT_HDR.pack(doc_id, tokens.seen, len(pairs)))
+        for term_id, count in pairs:
+            buf += _DT_PAIR.pack(term_id, count)
+
+        with self.dtmap_log.lock_ex():
+            self.terms_sync()
+            committed = self.dtmap_log.committed_len()
+            self._consume_dtmap(committed)
+            if self._dt_consumed != committed:  # cannot happen under EX
+                raise NxsError(ErrorCode.FATAL,
+                               "dtmap references unknown terms")
+            if doc_id in self.doc_map:
+                raise NxsError(ErrorCode.EXISTS,
+                               f"document {doc_id} is already indexed")
+            offset = committed
+            committed = self.dtmap_log.append(bytes(buf), committed)
+            self._apply_block(
+                doc_id, tokens.seen,
+                np.asarray(pairs, dtype=np.int64).reshape(len(pairs), 2),
+                offset)
+            self._dt_consumed = committed
+            self.generation += 1
+
+    def dtmap_remove(self, doc_id: int) -> None:
+        """Tombstone removal (idx_dtmap_remove, dual protocol)."""
+        with self.dtmap_log.lock_ex():
+            self.terms_sync()
+            committed = self.dtmap_log.committed_len()
+            self._consume_dtmap(committed)
+            slot = self.doc_map.get(doc_id)
+            if slot is None or not self.doc_alive.a[slot]:
+                raise NxsError(ErrorCode.MISSING,
+                               f"document {doc_id} not found")
+            # 1) zero the original block's doc_id for fresh readers;
+            self.dtmap_log.patch(int(self.doc_off.a[slot]),
+                                 struct.pack("<Q", 0))
+            # 2) append the marker for live readers and publish.
+            committed = self.dtmap_log.append(
+                _TOMBSTONE.pack(doc_id, 0), committed)
+            self._apply_remove(doc_id)
+            self._dt_consumed = committed
+            self.generation += 1
+
+    # ------------------------------------------------------------------
+    # Lookups / aggregates
+    # ------------------------------------------------------------------
+
+    def term_lookup(self, value: str) -> Optional[int]:
+        return self.term_map.get(value)
+
+    def doc_lookup(self, doc_id: int) -> Optional[int]:
+        return self.doc_map.get(doc_id)
+
+    @property
+    def term_count(self) -> int:
+        return len(self.term_values)
+
+    def get_doc_termcount(self, doc_id: int, term_id: int) -> int:
+        """idxdoc_get_termcount: per-document term occurrence count."""
+        slot = self.doc_map.get(doc_id)
+        if slot is None:
+            return 0
+        start = int(self.doc_start.a[slot])
+        n = int(self.doc_n.a[slot])
+        terms = self.p_term.a[start: start + n]
+        i = int(np.searchsorted(terms, term_id))
+        if i < n and terms[i] == term_id:
+            return int(self.p_count.a[start + i])
+        return 0
+
+    def get_doc_len(self, doc_id: int) -> int:
+        slot = self.doc_map.get(doc_id)
+        return int(self.doc_len.a[slot]) if slot is not None else 0
+
+    def term_docs(self, term_id: int) -> np.ndarray:
+        """Sorted live doc slots containing the term (doc_bitmap analogue)."""
+        mask = self.p_term.view() == term_id
+        slots = self.p_slot.view()[mask]
+        slots = slots[self.doc_alive.view()[slots]]
+        return np.unique(slots)
+
+    # ------------------------------------------------------------------
+    # Device snapshot
+    # ------------------------------------------------------------------
+
+    def build_csr(self):
+        """Transpose arrival-ordered postings into term-grouped CSR.
+
+        Returns a dict of numpy arrays:
+          term_starts  int32[T+1]  CSR row pointers (0-based term index)
+          postings_slot int32[P]   doc slots, grouped by term
+          postings_tf  float32[P]  occurrence counts
+          doc_len      float32[S]  per-slot token counts (incl. dups)
+          doc_ids      int64[S]    slot -> external doc id
+          doc_alive    bool[S]
+          term_df      int64[T], term_total int64[T]
+          doc_count, token_count   (live scalars)
+        """
+        nterms = len(self.term_values)
+        p_term = self.p_term.view()
+        alive = self.doc_alive.view()
+        live_mask = alive[self.p_slot.view()]
+        t = (p_term[live_mask] - 1).astype(np.int64)
+        slots = self.p_slot.view()[live_mask]
+        tf = self.p_count.view()[live_mask]
+
+        order = np.argsort(t, kind="stable")
+        counts = np.bincount(t, minlength=nterms)
+        term_starts = np.zeros(nterms + 1, dtype=np.int64)
+        np.cumsum(counts, out=term_starts[1:])
+
+        return {
+            "term_starts": term_starts,
+            "postings_slot": slots[order].astype(np.int32),
+            "postings_tf": tf[order].astype(np.float32),
+            "doc_len": self.doc_len.view().astype(np.float32),
+            "doc_ids": self.doc_ids.view().astype(np.int64),
+            "doc_alive": alive.copy(),
+            "term_df": self.term_df.view().copy(),
+            "term_total": self.term_total.view().copy(),
+            "doc_count": self.doc_count,
+            "token_count": self.token_count,
+            "generation": self.generation,
+        }
+
+    def close(self) -> None:
+        self.terms_log.close()
+        self.dtmap_log.close()
