@@ -1,0 +1,176 @@
+"""Public engine API: instance + index lifecycle and operations.
+
+Mirrors the reference's public C API surface (src/core/nxs.h:26-101,
+src/core/nxs.c): ``Nxs`` is the nxs_t instance (basedir resolution,
+filter registry, open-index map); ``Index`` is nxs_index_t
+(add/remove/search over the journals + device snapshot).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional
+
+import jax
+
+from .errors import ErrorCode, NxsError
+from .index.device import DeviceIndex
+from .index.hostindex import HostIndex
+from .ops.scoring import ALGO_BM25, ALGO_TFIDF
+from .params import (DEFAULT_FILTERS, DEFAULT_LANGUAGE, DEFAULT_RANKING_ALGO,
+                     Params)
+from .resp import Response
+from .search import get_search_params, search
+from .text.filters import FilterPipeline, FilterRegistry
+from .text.tokenizer import TOKENSET_STAGE, tokenize
+from .utils.validate import str_isalnumdu
+
+_ALGO_IDS = {"BM25": ALGO_BM25, "TF-IDF": ALGO_TFIDF}
+
+
+class Index:
+    """One open index (nxs_index_t equivalent)."""
+
+    def __init__(self, nxs: "Nxs", name: str, params: Params,
+                 device: Optional[jax.Device] = None):
+        self.nxs = nxs
+        self.name = name
+        self.params = params
+        algo_name = params.get_str("algo") or DEFAULT_RANKING_ALGO
+        if algo_name not in _ALGO_IDS:
+            raise NxsError(ErrorCode.INVALID,
+                           f"invalid algorithm `{algo_name}'")
+        self.algo = _ALGO_IDS[algo_name]
+        self.pipeline = FilterPipeline(nxs.filters, params)
+        try:
+            self.host = HostIndex(os.path.join(nxs.basedir, "data", name))
+        except Exception:
+            self.pipeline.close()
+            raise
+        self.dev = DeviceIndex(self.host, device=device)
+        self._fuzzy = None  # lazily-built fuzzy matcher
+
+    # -- operations (nxs.c:490-566) ---------------------------------------
+
+    def add(self, doc_id: int, text: str,
+            params: Optional[Params] = None) -> None:
+        """Index a document (nxs_index_add)."""
+        if doc_id == 0:
+            raise NxsError(ErrorCode.INVALID,
+                           "document ID must be non-zero")
+        if self.host.doc_lookup(doc_id) is not None:
+            raise NxsError(ErrorCode.EXISTS,
+                           f"document {doc_id} is already indexed")
+        tokens = tokenize(self.pipeline, text)
+        if tokens.count == 0:
+            raise NxsError(
+                ErrorCode.MISSING,
+                "the text is empty or no meaningful tokens found")
+        tokens.resolve(self.host.term_lookup, TOKENSET_STAGE)
+        self.host.terms_add(tokens)
+        self.host.dtmap_add(doc_id, tokens)
+
+    def remove(self, doc_id: int) -> None:
+        """Remove a document (nxs_index_remove -> tombstone)."""
+        self.host.dtmap_remove(doc_id)
+
+    def search(self, query: str, params: Optional[Params] = None) -> Response:
+        """Search the index (nxs_index_search)."""
+        sp = get_search_params(self.algo, params)
+        # Consume other writers' journal tails before the query
+        # (search.c:309-310), then refresh the device snapshot.
+        self.host.sync()
+        self.dev.refresh()
+        fuzzy = self._fuzzy_lookup if sp.fuzzymatch else None
+        return search(self.dev, self.pipeline, query, sp, fuzzy_lookup=fuzzy)
+
+    def _fuzzy_lookup(self, value: str) -> Optional[int]:
+        from .fuzzy import FuzzyMatcher
+        if self._fuzzy is None:
+            self._fuzzy = FuzzyMatcher(self.host)
+        return self._fuzzy.lookup(value)
+
+    def close(self) -> None:
+        self.pipeline.close()
+        self.host.close()
+
+
+class Nxs:
+    """Engine instance (nxs_t equivalent, nxs_open/nxs_close).
+
+    ``basedir`` defaults to the NXS_BASEDIR environment variable
+    (nxs.c:95-105); a ``data/`` subdirectory holds the indexes.
+    """
+
+    def __init__(self, basedir: Optional[str] = None):
+        basedir = basedir or os.environ.get("NXS_BASEDIR")
+        if not basedir:
+            raise NxsError(ErrorCode.INVALID,
+                           "base directory not specified")
+        self.basedir = basedir
+        os.makedirs(os.path.join(basedir, "data"), exist_ok=True)
+        self.filters = FilterRegistry(basedir)
+        self._indexes: dict[str, Index] = {}
+
+    # -- index lifecycle (nxs.c:219-487) ----------------------------------
+
+    def _index_dir(self, name: str) -> str:
+        if not name or not str_isalnumdu(name):
+            raise NxsError(ErrorCode.INVALID, f"invalid index name `{name}'")
+        return os.path.join(self.basedir, "data", name)
+
+    def index_create(self, name: str,
+                     params: Optional[Params] = None) -> Index:
+        """Create a new index with params.db defaults (nxs.c:219-300)."""
+        idxdir = self._index_dir(name)
+        if os.path.exists(idxdir):
+            raise NxsError(ErrorCode.EXISTS, f"index `{name}' already exists")
+        p = params.copy() if params else Params()
+        if p.get_strlist("filters") is None:
+            p.set_strlist("filters", DEFAULT_FILTERS)
+        if p.get_str("lang") is None:
+            p.set_str("lang", DEFAULT_LANGUAGE)
+        if p.get_str("algo") is None:
+            p.set_str("algo", DEFAULT_RANKING_ALGO)
+        os.makedirs(idxdir)
+        p.serialize(os.path.join(idxdir, "params.db"))
+        return self.index_open(name)
+
+    def index_open(self, name: str) -> Index:
+        """Open an existing index (nxs.c:374-467)."""
+        idxdir = self._index_dir(name)
+        if name in self._indexes:
+            raise NxsError(ErrorCode.EXISTS, f"index `{name}' is already open")
+        params_path = os.path.join(idxdir, "params.db")
+        if not os.path.isfile(params_path):
+            raise NxsError(ErrorCode.MISSING, f"index `{name}' does not exist")
+        params = Params.fromfile(params_path)
+        idx = Index(self, name, params)
+        self._indexes[name] = idx
+        return idx
+
+    def index_get(self, name: str) -> Index:
+        """Open-or-get, the service layer's LRU-miss path."""
+        idx = self._indexes.get(name)
+        return idx if idx is not None else self.index_open(name)
+
+    def index_close(self, idx: Index) -> None:
+        self._indexes.pop(idx.name, None)
+        idx.close()
+
+    def index_destroy(self, name: str) -> None:
+        """Destroy an index and its files (nxs_index_destroy)."""
+        idxdir = self._index_dir(name)
+        idx = self._indexes.pop(name, None)
+        if idx is not None:
+            idx.close()
+        if not os.path.isdir(idxdir):
+            raise NxsError(ErrorCode.MISSING, f"index `{name}' does not exist")
+        shutil.rmtree(idxdir)
+
+    def close(self) -> None:
+        for idx in list(self._indexes.values()):
+            idx.close()
+        self._indexes.clear()
+        self.filters.close()

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from ..errors import ErrorCode, NxsError
+
 # Token kinds (grammar.h equivalents).
 TOKEN_EOF = 0
 TOKEN_AND = 1
@@ -28,12 +30,17 @@ TOKEN_FF_STRING = 7
 _WSP = " \t\v\f\r\n"
 
 
-class QuerySyntaxError(Exception):
+class QuerySyntaxError(NxsError):
+    """Query parse failure; surfaced as NXS_ERR_INVALID like the
+    reference's query error path (search.c construct_query -> nxs
+    error slot)."""
+
     def __init__(self, line: int, offset: int, near: str):
         self.line = line
         self.offset = offset
         # Message format mirrors query_set_error (query.c:56-57).
         super().__init__(
+            ErrorCode.INVALID,
             f'syntax error near {line}:{offset}: "{near[:50]} ..."')
 
 

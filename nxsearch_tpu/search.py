@@ -1,0 +1,171 @@
+"""Search orchestration: parse -> prepare -> device execute -> response.
+
+The host-side half of nxs_index_search (src/query/search.c:285-342):
+parameter handling (limit default 1000, algo override, fuzzymatch
+default on, search.c:78-112), journal sync before the query
+(search.c:309-310), query construction, and response assembly.  The
+doc×term scoring loop itself runs on device (ops/executor.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from .errors import ErrorCode, NxsError
+from .index.device import DeviceIndex
+from .ops.boolean import check_nesting, compile_program
+from .ops.executor import device_search
+from .ops.scoring import ALGO_BM25, ALGO_TFIDF, host_idf
+from .params import DEFAULT_RESULTS_LIMIT, Params
+from .query.ast import EXPR_OP_OR, EXPR_VAL_TOKEN, Expr
+from .query.parser import parse_query
+from .query.prepare import Query, prepare
+from .resp import Response
+
+_ALGO_BY_NAME = {"BM25": ALGO_BM25, "TF-IDF": ALGO_TFIDF}
+
+# Static bucket floors; shapes are rounded up to powers of two so XLA
+# executables are shared across queries of similar size.
+_MIN_BUDGET = 1024
+_MIN_TERMS = 8
+_MIN_K = 16
+_MIN_PROG = 16
+_MIN_DEPTH = 4
+
+
+@dataclass
+class SearchParams:
+    """Resolved per-query parameters (search_params_t, search.c:71-76)."""
+    limit: int
+    algo: int
+    fuzzymatch: bool
+
+
+def get_search_params(default_algo: int, params: Params | None) -> SearchParams:
+    sp = SearchParams(limit=DEFAULT_RESULTS_LIMIT, algo=default_algo,
+                      fuzzymatch=True)
+    if params is None:
+        return sp
+    # A wrong-typed limit is ignored, matching nxs_params_get_uint's
+    # failure being ignored (search.c:96); an explicit 0 or oversized
+    # value is an error (search.c:96-101).
+    limit = params.get_uint("limit")
+    if limit is not None:
+        if limit == 0 or limit > 0xFFFFFFFF:
+            raise NxsError(ErrorCode.INVALID, "invalid limit")
+        sp.limit = limit
+    algo_name = params.get_str("algo")
+    if algo_name is not None:
+        if algo_name not in _ALGO_BY_NAME:
+            raise NxsError(ErrorCode.INVALID, "invalid algorithm")
+        sp.algo = _ALGO_BY_NAME[algo_name]
+    fl = params.get_bool("fuzzymatch")
+    if fl is not None:
+        sp.fuzzymatch = fl
+    return sp
+
+
+def _bucket(n: int, minimum: int) -> int:
+    size = minimum
+    while size < n:
+        size <<= 1
+    return size
+
+
+def _is_pure_or(expr: Expr) -> bool:
+    """True if every operator in the tree is OR: the final bitmap is
+    the plain union of the leaves, so no mask evaluation is needed."""
+    stack = [expr]
+    while stack:
+        e = stack.pop()
+        if e.type == EXPR_VAL_TOKEN:
+            continue
+        if e.type != EXPR_OP_OR:
+            return False
+        stack.extend(e.elements)
+    return True
+
+
+def execute_query(dev: DeviceIndex, query: Query, sp: SearchParams) -> Response:
+    """Run the prepared query against the device snapshot."""
+    tokens = query.tokens.tokens
+    if query.root is None or not tokens:
+        # No meaningful tokens: empty result, not an error
+        # (search.c:219-226).
+        return Response()
+
+    # BM25 skips every score when adl < 1 (ranking.c:161-163), and
+    # both algorithms bail with empty results when doc_count == 0.
+    if dev.doc_count == 0 or (sp.algo == ALGO_BM25 and dev.adl < 1.0):
+        return Response()
+
+    # Per-query-term CSR metadata (host side; the term dictionary and
+    # starts live on the host, the postings live on device).  IDF is
+    # computed here in f64, matching the C double-precision arithmetic
+    # (ranking.c:91,171).
+    n_tok = len(tokens)
+    q_pad = _bucket(n_tok, _MIN_TERMS)
+    q_start = np.zeros(q_pad, dtype=np.int32)
+    q_len = np.zeros(q_pad, dtype=np.int32)
+    q_idf = np.zeros(q_pad, dtype=np.float32)
+    row_of_token = {}
+    for i, token in enumerate(tokens):
+        start, length = dev.term_range(token.term_id)
+        q_start[i] = start
+        q_len[i] = length
+        df = dev.term_live_df(token.term_id)
+        if df > 0:
+            q_idf[i] = host_idf(sp.algo, dev.doc_count, df)
+        row_of_token[id(token)] = i
+    total = int(q_len.sum())
+
+    use_mask = not _is_pure_or(query.root)
+    prog_ops = prog_args = None
+    depth = _MIN_DEPTH
+    if use_mask:
+        ops, args, max_depth = compile_program(
+            query.root,
+            lambda tok: row_of_token.get(id(tok), q_pad) if tok is not None
+            else q_pad)
+        prog_len = _bucket(len(ops), _MIN_PROG)
+        prog_ops = np.zeros(prog_len, dtype=np.int32)
+        prog_ops[: len(ops)] = ops
+        prog_args = np.zeros(prog_len, dtype=np.int32)
+        prog_args[: len(args)] = args
+        depth = _bucket(max_depth, _MIN_DEPTH)
+        prog_ops = jnp.asarray(prog_ops)
+        prog_args = jnp.asarray(prog_args)
+
+    budget = _bucket(max(total, 1), _MIN_BUDGET)
+    k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
+
+    scores, slots = device_search(
+        dev.postings_slot, dev.postings_ltf, dev.doc_len,
+        jnp.asarray(q_start), jnp.asarray(q_len), jnp.asarray(q_idf),
+        jnp.float32(dev.adl),
+        prog_ops, prog_args,
+        budget=budget, k=k, algo=sp.algo, n_slots=dev.n_slots,
+        use_mask=use_mask, depth=depth,
+    )
+    scores = np.asarray(scores)
+    slots = np.asarray(slots)
+
+    matched = scores > 0.0
+    results = [
+        (int(dev.doc_ids[slot]), float(score))
+        for score, slot in zip(scores[matched], slots[matched])
+    ][: sp.limit]
+    return Response(results)
+
+
+def search(dev: DeviceIndex, pipeline, query_str: str,
+           sp: SearchParams, fuzzy_lookup=None) -> Response:
+    """Full search path against an up-to-date device snapshot."""
+    root = parse_query(query_str)
+    check_nesting(root)
+    query = prepare(root, pipeline, dev.host.term_lookup,
+                    fuzzy_lookup=fuzzy_lookup, fuzzymatch=sp.fuzzymatch)
+    return execute_query(dev, query, sp)
