@@ -1,0 +1,112 @@
+"""Benchmark driver: BM25 top-10 search QPS on a synthetic corpus.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 10_000 QPS -- the north-star target from
+BASELINE.md (the reference publishes no numbers of its own; its only
+timing machinery is src/utils/benchmark.c's wall-clock printer).
+
+The corpus is synthetic Zipf-distributed text (deterministic seed) so
+the benchmark is self-contained; queries mix common and rare terms,
+limit 10, BM25 -- the north-star serving shape.
+
+Usage: python bench.py [--docs N] [--queries N] [--verbose]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def make_corpus(n_docs: int, vocab: int, mean_len: int, rng):
+    """Zipf-ish synthetic documents over a closed vocabulary."""
+    # Zipf ranks: p(i) ~ 1/(i+10)
+    ranks = np.arange(vocab, dtype=np.float64)
+    probs = 1.0 / (ranks + 10.0)
+    probs /= probs.sum()
+    words = np.array([f"w{i:05d}" for i in range(vocab)])
+    docs = []
+    lengths = rng.poisson(mean_len, n_docs).clip(5, None)
+    for i in range(n_docs):
+        ids = rng.choice(vocab, size=lengths[i], p=probs)
+        docs.append(" ".join(words[ids]))
+    return docs, words, probs
+
+
+def make_queries(n_queries: int, words, probs, rng):
+    queries = []
+    for _ in range(n_queries):
+        n_terms = rng.integers(2, 5)
+        ids = rng.choice(len(words), size=n_terms, p=probs)
+        queries.append(" ".join(words[ids]))
+    return queries
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=20_000)
+    ap.add_argument("--vocab", type=int, default=20_000)
+    ap.add_argument("--mean-len", type=int, default=40)
+    ap.add_argument("--queries", type=int, default=500)
+    ap.add_argument("--limit", type=int, default=10)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    def log(msg):
+        if args.verbose:
+            print(msg, file=sys.stderr)
+
+    rng = np.random.default_rng(42)
+    t0 = time.perf_counter()
+    docs, words, probs = make_corpus(args.docs, args.vocab,
+                                     args.mean_len, rng)
+    queries = make_queries(args.queries, words, probs, rng)
+    log(f"corpus generated in {time.perf_counter() - t0:.1f}s")
+
+    from nxsearch_tpu import Nxs, Params
+
+    with tempfile.TemporaryDirectory() as basedir:
+        nxs = Nxs(basedir)
+        idx = nxs.index_create("bench")
+
+        t0 = time.perf_counter()
+        for doc_id, text in enumerate(docs, start=1):
+            idx.add(doc_id, text)
+        ingest_s = time.perf_counter() - t0
+        log(f"indexed {args.docs} docs in {ingest_s:.1f}s "
+            f"({args.docs / ingest_s:.0f} docs/s)")
+
+        sp = Params().set_uint("limit", args.limit)
+        # Warmup: compile every bucket signature + snapshot upload.
+        t0 = time.perf_counter()
+        for q in queries:
+            idx.search(q, sp)
+        log(f"warmup pass in {time.perf_counter() - t0:.1f}s")
+
+        t0 = time.perf_counter()
+        for q in queries:
+            idx.search(q, sp)
+        elapsed = time.perf_counter() - t0
+        qps = args.queries / elapsed
+        log(f"{args.queries} queries in {elapsed:.2f}s -> {qps:.0f} QPS, "
+            f"p=avg {1e3 * elapsed / args.queries:.2f} ms")
+        nxs.close()
+
+    print(json.dumps({
+        "metric": "bm25_top10_search_qps",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / 10_000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

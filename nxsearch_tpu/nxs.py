@@ -33,7 +33,8 @@ class Index:
     """One open index (nxs_index_t equivalent)."""
 
     def __init__(self, nxs: "Nxs", name: str, params: Params,
-                 device: Optional[jax.Device] = None):
+                 device: Optional[jax.Device] = None,
+                 mesh=None):
         self.nxs = nxs
         self.name = name
         self.params = params
@@ -48,7 +49,11 @@ class Index:
         except Exception:
             self.pipeline.close()
             raise
-        self.dev = DeviceIndex(self.host, device=device)
+        if mesh is not None:
+            from .parallel.sharded import ShardedDeviceIndex
+            self.dev = ShardedDeviceIndex(self.host, mesh)
+        else:
+            self.dev = DeviceIndex(self.host, device=device)
         self._fuzzy = None  # lazily-built fuzzy matcher
 
     # -- operations (nxs.c:490-566) ---------------------------------------
@@ -103,12 +108,13 @@ class Nxs:
     (nxs.c:95-105); a ``data/`` subdirectory holds the indexes.
     """
 
-    def __init__(self, basedir: Optional[str] = None):
+    def __init__(self, basedir: Optional[str] = None, mesh=None):
         basedir = basedir or os.environ.get("NXS_BASEDIR")
         if not basedir:
             raise NxsError(ErrorCode.INVALID,
                            "base directory not specified")
         self.basedir = basedir
+        self.mesh = mesh  # optional: shard all indexes over this mesh
         os.makedirs(os.path.join(basedir, "data"), exist_ok=True)
         self.filters = FilterRegistry(basedir)
         self._indexes: dict[str, Index] = {}
@@ -146,7 +152,7 @@ class Nxs:
         if not os.path.isfile(params_path):
             raise NxsError(ErrorCode.MISSING, f"index `{name}' does not exist")
         params = Params.fromfile(params_path)
-        idx = Index(self, name, params)
+        idx = Index(self, name, params, mesh=self.mesh)
         self._indexes[name] = idx
         return idx
 

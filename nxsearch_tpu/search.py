@@ -89,8 +89,12 @@ def _is_pure_or(expr: Expr) -> bool:
     return True
 
 
-def execute_query(dev: DeviceIndex, query: Query, sp: SearchParams) -> Response:
-    """Run the prepared query against the device snapshot."""
+def execute_query(dev, query: Query, sp: SearchParams) -> Response:
+    """Run the prepared query against the device snapshot.
+
+    ``dev`` is a DeviceIndex (single chip) or a
+    parallel.ShardedDeviceIndex (doc-sharded over a mesh).
+    """
     tokens = query.tokens.tokens
     if query.root is None or not tokens:
         # No meaningful tokens: empty result, not an error
@@ -102,29 +106,39 @@ def execute_query(dev: DeviceIndex, query: Query, sp: SearchParams) -> Response:
     if dev.doc_count == 0 or (sp.algo == ALGO_BM25 and dev.adl < 1.0):
         return Response()
 
+    sharded = hasattr(dev, "mesh")
+
     # Per-query-term CSR metadata (host side; the term dictionary and
     # starts live on the host, the postings live on device).  IDF is
     # computed here in f64, matching the C double-precision arithmetic
     # (ranking.c:91,171).
     n_tok = len(tokens)
     q_pad = _bucket(n_tok, _MIN_TERMS)
-    q_start = np.zeros(q_pad, dtype=np.int32)
-    q_len = np.zeros(q_pad, dtype=np.int32)
+    lead = (dev.n_dev,) if sharded else ()
+    q_start = np.zeros(lead + (q_pad,), dtype=np.int32)
+    q_len = np.zeros(lead + (q_pad,), dtype=np.int32)
     q_idf = np.zeros(q_pad, dtype=np.float32)
     row_of_token = {}
     for i, token in enumerate(tokens):
-        start, length = dev.term_range(token.term_id)
-        q_start[i] = start
-        q_len[i] = length
+        if sharded:
+            start, length = dev.term_ranges(token.term_id)
+            q_start[:, i] = start
+            q_len[:, i] = length
+        else:
+            q_start[i], q_len[i] = dev.term_range(token.term_id)
         df = dev.term_live_df(token.term_id)
         if df > 0:
             q_idf[i] = host_idf(sp.algo, dev.doc_count, df)
         row_of_token[id(token)] = i
-    total = int(q_len.sum())
+    # Budget covers the largest per-device flat postings stream.
+    total = int(q_len.sum(axis=-1).max())
 
     use_mask = not _is_pure_or(query.root)
-    prog_ops = prog_args = None
     depth = _MIN_DEPTH
+    # Dummy one-op program when maskless: keeps the argument pytree
+    # shape stable for shard_map specs; DCE'd when unused.
+    prog_ops = np.zeros(1, dtype=np.int32)
+    prog_args = np.zeros(1, dtype=np.int32)
     if use_mask:
         ops, args, max_depth = compile_program(
             query.root,
@@ -136,20 +150,31 @@ def execute_query(dev: DeviceIndex, query: Query, sp: SearchParams) -> Response:
         prog_args = np.zeros(prog_len, dtype=np.int32)
         prog_args[: len(args)] = args
         depth = _bucket(max_depth, _MIN_DEPTH)
-        prog_ops = jnp.asarray(prog_ops)
-        prog_args = jnp.asarray(prog_args)
 
     budget = _bucket(max(total, 1), _MIN_BUDGET)
     k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
 
-    scores, slots = device_search(
-        dev.postings_slot, dev.postings_ltf, dev.doc_len,
-        jnp.asarray(q_start), jnp.asarray(q_len), jnp.asarray(q_idf),
-        jnp.float32(dev.adl),
-        prog_ops, prog_args,
-        budget=budget, k=k, algo=sp.algo, n_slots=dev.n_slots,
-        use_mask=use_mask, depth=depth,
-    )
+    if sharded:
+        from .parallel.sharded import sharded_search  # local: lazy import
+        scores, slots = sharded_search(
+            dev.postings_slot, dev.postings_ltf, dev.doc_len,
+            jnp.asarray(q_start), jnp.asarray(q_len), jnp.asarray(q_idf),
+            jnp.float32(dev.adl),
+            jnp.asarray(prog_ops), jnp.asarray(prog_args),
+            mesh=dev.mesh, budget=budget, k=k, algo=sp.algo,
+            slots_per_shard=dev.slots_per_shard,
+            use_mask=use_mask, depth=depth,
+        )
+    else:
+        scores, slots = device_search(
+            dev.postings_slot, dev.postings_ltf, dev.doc_len,
+            jnp.asarray(q_start), jnp.asarray(q_len), jnp.asarray(q_idf),
+            jnp.float32(dev.adl),
+            jnp.asarray(prog_ops) if use_mask else None,
+            jnp.asarray(prog_args) if use_mask else None,
+            budget=budget, k=k, algo=sp.algo, n_slots=dev.n_slots,
+            use_mask=use_mask, depth=depth,
+        )
     scores = np.asarray(scores)
     slots = np.asarray(slots)
 

@@ -1,0 +1,138 @@
+"""HTTP service integration tests.
+
+Mirrors the reference's black-box service test (tools/svc_test.sh:5-27:
+create index, add 3 docs, search "cat" expecting doc order 3 1, HTTP
+400 on an invalid index name) plus the blob-store fetch flow, filter
+posting gate, and error shapes -- against a live ThreadingHTTPServer.
+"""
+
+import json
+import os
+import threading
+import urllib.error
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import pytest
+
+from nxsearch_tpu.service.app import SearchService, make_handler
+
+
+@pytest.fixture()
+def server(tmp_path, monkeypatch):
+    monkeypatch.setenv("NXS_ENABLE_PY_POST", "1")
+    svc = SearchService(str(tmp_path))
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base
+    httpd.shutdown()
+    httpd.server_close()
+    svc.close()
+
+
+def req(method, url, data=None):
+    r = urllib.request.Request(url, data=data, method=method)
+    try:
+        with urllib.request.urlopen(r, timeout=120) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_svc_end_to_end(server):
+    """The svc_test.sh scenario verbatim."""
+    index = "__test-index-svc-1"
+    status, _ = req("POST", f"{server}/{index}")
+    assert status == 201
+
+    status, _ = req("POST", f"{server}/~")
+    assert status == 400
+
+    for doc_id, text in ((1, b"cat dog cow"), (2, b"dog cow"),
+                         (3, b"cat cat cat")):
+        status, _ = req("POST", f"{server}/{index}/add/{doc_id}", text)
+        assert status == 201
+
+    status, body = req("POST", f"{server}/{index}/search", b"cat")
+    assert status == 200
+    results = json.loads(body)
+    doc_ids = [r["doc_id"] for r in results["results"]]
+    assert doc_ids == [3, 1]
+
+    status, _ = req("DELETE", f"{server}/{index}")
+    assert status == 200
+    # Destroyed: search must now fail.
+    status, body = req("POST", f"{server}/{index}/search", b"cat")
+    assert status == 400
+    assert "error" in json.loads(body)
+
+
+def test_svc_query_string_params(server):
+    req("POST", f"{server}/qs")
+    req("POST", f"{server}/qs/add/1", b"dog cat")
+    req("POST", f"{server}/qs/add/2", b"dog dog dog cat")
+    status, body = req("POST", f"{server}/qs/search?limit=1&algo=TF-IDF",
+                       b"dog")
+    assert status == 200
+    results = json.loads(body)
+    assert results["count"] == 1
+    status, body = req("POST", f"{server}/qs/search?limit=bogus", b"dog")
+    assert status == 400
+
+
+def test_svc_store_and_fetch(server):
+    req("POST", f"{server}/blobs")
+    status, _ = req("POST", f"{server}/blobs/add/7?store", b"dogs and cats")
+    assert status == 201
+    status, body = req("POST", f"{server}/blobs/search?fetch", b"dogs")
+    assert status == 200
+    results = json.loads(body)
+    assert results["results"][0]["doc_id"] == 7
+    assert results["results"][0]["content"] == "dogs and cats"
+
+
+def test_svc_remove(server):
+    req("POST", f"{server}/rm")
+    req("POST", f"{server}/rm/add/1", b"some dogs")
+    req("POST", f"{server}/rm/add/2", b"other dogs")
+    status, _ = req("DELETE", f"{server}/rm/remove/1")
+    assert status == 200
+    _, body = req("POST", f"{server}/rm/search", b"dogs")
+    assert [r["doc_id"] for r in json.loads(body)["results"]] == [2]
+    # Removing again is a 400 (MISSING).
+    status, body = req("DELETE", f"{server}/rm/remove/1")
+    assert status == 400
+    assert json.loads(body)["error"]["code"] == 5
+
+
+def test_svc_filter_post(server):
+    # A filter that drops everything containing "x".
+    code = b"def filter(ctx, value):\n    return None if 'x' in value else value\n"
+    status, _ = req("POST", f"{server}/filters/dropx/py?store", code)
+    assert status == 201
+    # Bad filter name.
+    status, _ = req("POST", f"{server}/filters/bad-name/py", code)
+    assert status == 400
+    # Create an index using the filter.
+    params = json.dumps({
+        "filters": ["normalizer", "dropx"], "lang": "en"}).encode()
+    status, _ = req("POST", f"{server}/flt", params)
+    assert status == 201
+    req("POST", f"{server}/flt/add/1", b"fox dog")
+    _, body = req("POST", f"{server}/flt/search", b"fox dog")
+    results = json.loads(body)
+    assert results["count"] == 1  # "fox" was dropped by the filter
+
+
+def test_svc_filter_post_gated(tmp_path, monkeypatch):
+    monkeypatch.delenv("NXS_ENABLE_PY_POST", raising=False)
+    svc = SearchService(str(tmp_path))
+    try:
+        status, payload = svc.handle(
+            "POST", "/filters/nope/py", {}, b"def filter(c, v): return v")
+        assert status == 400
+        assert payload["error"]["code"] == 2  # SYSTEM
+    finally:
+        svc.close()
