@@ -55,7 +55,8 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=20_000)
     ap.add_argument("--vocab", type=int, default=20_000)
     ap.add_argument("--mean-len", type=int, default=40)
-    ap.add_argument("--queries", type=int, default=500)
+    ap.add_argument("--queries", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--limit", type=int, default=10)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -85,19 +86,31 @@ def main() -> None:
             f"({args.docs / ingest_s:.0f} docs/s)")
 
         sp = Params().set_uint("limit", args.limit)
+        batches = [queries[i: i + args.batch]
+                   for i in range(0, len(queries), args.batch)]
+
         # Warmup: compile every bucket signature + snapshot upload.
         t0 = time.perf_counter()
-        for q in queries:
-            idx.search(q, sp)
+        for batch in batches:
+            idx.search_many(batch, sp)
         log(f"warmup pass in {time.perf_counter() - t0:.1f}s")
 
         t0 = time.perf_counter()
-        for q in queries:
-            idx.search(q, sp)
+        for batch in batches:
+            idx.search_many(batch, sp)
         elapsed = time.perf_counter() - t0
         qps = args.queries / elapsed
-        log(f"{args.queries} queries in {elapsed:.2f}s -> {qps:.0f} QPS, "
-            f"p=avg {1e3 * elapsed / args.queries:.2f} ms")
+        log(f"batched ({args.batch}/call): {args.queries} queries in "
+            f"{elapsed:.2f}s -> {qps:.0f} QPS")
+
+        n_seq = min(100, len(queries))
+        t0 = time.perf_counter()
+        for q in queries[:n_seq]:
+            idx.search(q, sp)
+        seq_elapsed = time.perf_counter() - t0
+        log(f"sequential: {n_seq} queries in {seq_elapsed:.2f}s -> "
+            f"{n_seq / seq_elapsed:.0f} QPS, "
+            f"avg {1e3 * seq_elapsed / n_seq:.2f} ms/query")
         nxs.close()
 
     print(json.dumps({

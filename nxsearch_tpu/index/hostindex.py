@@ -422,7 +422,10 @@ class HostIndex:
         slots = self.p_slot.view()[live_mask]
         tf = self.p_count.view()[live_mask]
 
-        order = np.argsort(t, kind="stable")
+        # Group by term AND sort by slot within each term: slot-sorted
+        # posting lists let the device executor merge query terms'
+        # postings into slot runs (candidate scoring) cheaply.
+        order = np.lexsort((slots, t))
         counts = np.bincount(t, minlength=nterms)
         term_starts = np.zeros(nterms + 1, dtype=np.int64)
         np.cumsum(counts, out=term_starts[1:])

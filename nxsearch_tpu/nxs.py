@@ -21,7 +21,7 @@ from .ops.scoring import ALGO_BM25, ALGO_TFIDF
 from .params import (DEFAULT_FILTERS, DEFAULT_LANGUAGE, DEFAULT_RANKING_ALGO,
                      Params)
 from .resp import Response
-from .search import get_search_params, search
+from .search import get_search_params, search, search_many
 from .text.filters import FilterPipeline, FilterRegistry
 from .text.tokenizer import TOKENSET_STAGE, tokenize
 from .utils.validate import str_isalnumdu
@@ -89,6 +89,19 @@ class Index:
         self.dev.refresh()
         fuzzy = self._fuzzy_lookup if sp.fuzzymatch else None
         return search(self.dev, self.pipeline, query, sp, fuzzy_lookup=fuzzy)
+
+    def search_many(self, queries: list[str],
+                    params: Optional[Params] = None) -> list[Response]:
+        """Batched search: many queries, one device dispatch per
+        signature group.  Same results as per-query search; this is
+        the high-QPS serving path (no reference equivalent -- the C
+        engine is one-query-per-call)."""
+        sp = get_search_params(self.algo, params)
+        self.host.sync()
+        self.dev.refresh()
+        fuzzy = self._fuzzy_lookup if sp.fuzzymatch else None
+        return search_many(self.dev, self.pipeline, queries, sp,
+                           fuzzy_lookup=fuzzy)
 
     def _fuzzy_lookup(self, value: str) -> Optional[int]:
         from .fuzzy import FuzzyMatcher

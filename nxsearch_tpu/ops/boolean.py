@@ -172,12 +172,60 @@ def eval_program(term_masks: jax.Array, ops: jax.Array, args: jax.Array,
     return stack[0]
 
 
-@functools.partial(jax.jit, static_argnames=("budget", "n_terms", "n_words"))
-def masks_from_plan(postings_slot, q_start, q_len, *,
-                    budget: int, n_terms: int, n_words: int):
-    """Convenience: gather plan -> packed per-term bitmaps."""
-    from .scoring import flatten_ranges
-    src, qid, valid = flatten_ranges(q_start, q_len, budget)
-    slot = postings_slot[src]
-    return build_term_masks(slot, qid, valid, n_terms=n_terms,
-                            n_words=n_words)
+# Sentinel PUSH argument for an unresolved (empty-set) leaf in the
+# presence-bits evaluator: any value >= 32 pushes constant False.
+EMPTY_LEAF_BIT = 32
+
+
+def eval_program_bits(present_bits: jax.Array, ops: jax.Array,
+                      args: jax.Array, *, depth: int = 8) -> jax.Array:
+    """Interpret the postfix program over per-candidate presence bits.
+
+    The candidate-scoring executor aggregates, for every candidate
+    document, a uint32 whose bit q says "query term q occurs in this
+    document".  Boolean evaluation then needs no packed doc bitmaps at
+    all: each leaf is a bit test and AND/OR/ANDNOT are elementwise
+    boolean ops over the [B] candidate axis -- O(candidates) work
+    instead of O(all documents).  Limited to 32 query terms; wider
+    queries use the packed-bitmap path (eval_program).
+
+    present_bits: uint32[B]; ops/args: int32[L] NOP-padded.
+    Returns bool[B]: which candidates survive the boolean expression.
+    """
+    n = present_bits.shape[0]
+    stack0 = jnp.zeros((depth, n), jnp.bool_)
+
+    def step(carry, oparg):
+        stack, sp = carry
+        op, arg = oparg
+
+        def do_nop(stack, sp):
+            return stack, sp
+
+        def do_push(stack, sp):
+            shift = jnp.minimum(arg, 31).astype(jnp.uint32)
+            bit = (present_bits >> shift) & 1
+            row = jnp.where(arg >= EMPTY_LEAF_BIT, False,
+                            bit.astype(jnp.bool_))
+            return lax.dynamic_update_index_in_dim(stack, row, sp, 0), sp + 1
+
+        def do_binary(stack, sp, fn):
+            a = lax.dynamic_index_in_dim(stack, sp - 2, 0, keepdims=False)
+            b = lax.dynamic_index_in_dim(stack, sp - 1, 0, keepdims=False)
+            return (lax.dynamic_update_index_in_dim(stack, fn(a, b),
+                                                    sp - 2, 0), sp - 1)
+
+        return lax.switch(
+            op,
+            [
+                do_nop,
+                do_push,
+                lambda s, p: do_binary(s, p, jnp.logical_and),
+                lambda s, p: do_binary(s, p, jnp.logical_or),
+                lambda s, p: do_binary(s, p, lambda a, b: a & ~b),
+            ],
+            stack, sp,
+        ), None
+
+    (stack, _sp), _ = lax.scan(step, (stack0, jnp.int32(0)), (ops, args))
+    return stack[0]

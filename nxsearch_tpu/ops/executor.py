@@ -1,20 +1,31 @@
-"""Fused device search executable: gather -> mask -> score -> top-k.
+"""Fused device search executable: gather -> sort -> score -> top-k.
 
 One jitted function covers the whole device side of a query
 (src/query/search.c:210-283 equivalent).  Static bucket parameters
-(postings budget, query width, k, mask program length/depth) define the
-executable signature; query data (CSR ranges, df, the boolean program)
-are runtime inputs, so every query in the same buckets reuses one
-compiled kernel.
+(postings budget, query width, k, program length/depth) define the
+executable signature; query data (CSR ranges, IDF, the boolean
+program) are runtime inputs, so every query in the same buckets reuses
+one compiled kernel.
 
-Two modes:
-- ``use_mask=False``: pure-OR queries (the common case -- adjacency is
-  implicit OR).  The final bitmap is the union of the query terms'
-  bitmaps, which is exactly the set of gathered postings, so no mask is
-  materialized at all.
-- ``use_mask=True``: general AND/OR/AND-NOT trees.  Packed per-term
-  bitmaps are built from the same gathered postings and the postfix
-  program is interpreted over them (ops/boolean.py).
+The execution strategy is *candidate scoring*: work is O(candidate
+postings), never O(corpus).
+
+    1. The query terms' slot-sorted CSR ranges are flattened into one
+       fixed-budget gather (ops/scoring.flatten_ranges).
+    2. Each posting is scored elementwise (BM25/TF-IDF) and tagged
+       with its query-term presence bit.
+    3. One sort by doc slot groups postings of the same document into
+       runs; segment scatter-adds produce, per candidate document, the
+       summed score (the reference's per-doc score summing,
+       results.c:128-137) and the OR of presence bits.
+    4. Boolean AND/OR/AND-NOT evaluates directly on the presence bits
+       (ops/boolean.eval_program_bits) -- no corpus-wide bitmaps.
+    5. ``lax.top_k`` over the candidate axis replaces the reference's
+       capped min-heap (src/algo/heap.c).
+
+Queries wider than 32 unique terms fall back to the packed-bitmap path
+(``device_search_dense``), which materializes per-term doc bitmaps and
+a dense per-slot score vector.
 """
 
 from __future__ import annotations
@@ -25,21 +36,128 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .boolean import build_term_masks, eval_program
+from .boolean import build_term_masks, eval_program, eval_program_bits
 from .scoring import ALGO_BM25, bm25, flatten_ranges, tf_idf
+
+_SLOT_SENTINEL = jnp.int32(0x7FFFFFFF)
+
+
+def candidate_topk(
+    postings_slot: jax.Array,    # int32[P_pad], slot-sorted per term
+    postings_ltf: jax.Array,     # float32[P_pad]: log(tf+1), host f64
+    doc_len: jax.Array,          # float32[S_pad]
+    q_start: jax.Array,          # int32[Q]
+    q_len: jax.Array,            # int32[Q]
+    q_idf: jax.Array,            # float32[Q]: per-term IDF, host f64
+    adl: jax.Array,              # float32 scalar
+    prog_ops: jax.Array,         # int32[L] (NOP-padded)
+    prog_args: jax.Array,
+    *,
+    budget: int,
+    k: int,
+    algo: int,
+    use_mask: bool,
+    depth: int = 8,
+):
+    """Core candidate-scoring pipeline shared by the single-chip and
+    per-shard executors.  Returns (scores f32[k'], slots i32[k']) with
+    k' = min(k, budget); entries with score <= 0 are non-matches."""
+    src, qid, valid = flatten_ranges(q_start, q_len, budget)
+    real_slot = postings_slot[src]
+    ltf = postings_ltf[src]
+    idf = q_idf[qid]
+
+    if algo == ALGO_BM25:
+        score = bm25(ltf, doc_len[real_slot], idf, adl)
+    else:
+        score = tf_idf(ltf, idf)
+    contrib = jnp.where(valid, score, 0.0)
+    bits = jnp.where(valid,
+                     jnp.uint32(1) << jnp.minimum(qid, 31).astype(jnp.uint32),
+                     jnp.uint32(0))
+
+    # Sort by slot; padded entries carry a sentinel and sink to the end.
+    sort_key = jnp.where(valid, real_slot, _SLOT_SENTINEL)
+    order = jnp.argsort(sort_key)
+    slot_s = sort_key[order]
+    contrib_s = contrib[order]
+    bits_s = bits[order]
+
+    # Segment runs of equal slots: per-candidate score sum + presence.
+    first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                             slot_s[1:] != slot_s[:-1]])
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n = slot_s.shape[0]
+    agg_score = jnp.zeros((n,), jnp.float32).at[seg].add(contrib_s)
+    agg_slot = jnp.zeros((n,), jnp.int32).at[seg].max(slot_s)
+    if use_mask:
+        # Each (query term, doc) pair occurs once, so scatter-add of
+        # distinct bits == OR.
+        agg_bits = jnp.zeros((n,), jnp.uint32).at[seg].add(bits_s)
+        keep = eval_program_bits(agg_bits, prog_ops, prog_args, depth=depth)
+        agg_score = jnp.where(keep, agg_score, 0.0)
+
+    k_eff = min(k, n)
+    top_scores, idx = lax.top_k(agg_score, k_eff)
+    return top_scores, agg_slot[idx]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("budget", "k", "algo", "use_mask", "depth"),
+)
+def device_search(
+    postings_slot, postings_ltf, doc_len,
+    q_start, q_len, q_idf, adl, prog_ops, prog_args,
+    *, budget: int, k: int, algo: int, use_mask: bool, depth: int = 8,
+):
+    """Single-chip jitted entry over the candidate-scoring core."""
+    return candidate_topk(
+        postings_slot, postings_ltf, doc_len,
+        q_start, q_len, q_idf, adl, prog_ops, prog_args,
+        budget=budget, k=k, algo=algo, use_mask=use_mask, depth=depth)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("budget", "k", "algo", "use_mask", "depth"),
+)
+def device_search_batch(
+    postings_slot, postings_ltf, doc_len,
+    q_start,    # int32[N, Q]
+    q_len,      # int32[N, Q]
+    q_idf,      # float32[N, Q]
+    adl,        # float32 scalar
+    prog_ops,   # int32[N, L]
+    prog_args,  # int32[N, L]
+    *, budget: int, k: int, algo: int, use_mask: bool, depth: int = 8,
+):
+    """Batched queries over one snapshot: vmap of the candidate core.
+
+    The index arrays are shared (broadcast) across the batch; each
+    query brings its own CSR ranges, IDF and boolean program.  One
+    device dispatch scores N queries -- the amortization that the
+    per-query host round-trip cannot provide.
+    """
+    def one(qs, ql, qi, po, pa):
+        return candidate_topk(
+            postings_slot, postings_ltf, doc_len, qs, ql, qi, adl, po, pa,
+            budget=budget, k=k, algo=algo, use_mask=use_mask, depth=depth)
+
+    return jax.vmap(one)(q_start, q_len, q_idf, prog_ops, prog_args)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("budget", "k", "algo", "n_slots", "use_mask", "depth"),
 )
-def device_search(
+def device_search_dense(
     postings_slot: jax.Array,    # int32[P_pad]
-    postings_ltf: jax.Array,     # float32[P_pad]: log(tf+1), host f64
+    postings_ltf: jax.Array,     # float32[P_pad]
     doc_len: jax.Array,          # float32[S_pad]
     q_start: jax.Array,          # int32[Q]
     q_len: jax.Array,            # int32[Q]
-    q_idf: jax.Array,            # float32[Q]: per-term IDF, host f64
+    q_idf: jax.Array,            # float32[Q]
     adl: jax.Array,              # float32 scalar
     prog_ops: jax.Array | None,  # int32[L] or None when not use_mask
     prog_args: jax.Array | None,
@@ -51,8 +169,8 @@ def device_search(
     use_mask: bool,
     depth: int = 8,
 ):
-    """Returns (scores f32[k], slots i32[k]) sorted descending; entries
-    with score <= 0.0 are non-matches to be dropped by the caller."""
+    """Dense fallback: packed per-term doc bitmaps + a dense per-slot
+    score vector.  O(corpus) memory but supports >32 query terms."""
     n_terms = q_start.shape[0]
     src, qid, valid = flatten_ranges(q_start, q_len, budget)
     slot = postings_slot[src]

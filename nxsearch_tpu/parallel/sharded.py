@@ -34,8 +34,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.hostindex import HostIndex
-from ..ops.boolean import build_term_masks, eval_program
-from ..ops.scoring import ALGO_BM25, bm25, flatten_ranges, tf_idf
+from ..ops.executor import candidate_topk
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
@@ -54,8 +53,7 @@ def _bucket(n: int, minimum: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "budget", "k", "algo", "slots_per_shard",
-                     "use_mask", "depth"),
+    static_argnames=("mesh", "budget", "k", "algo", "use_mask", "depth"),
 )
 def sharded_search(
     postings_slot: jax.Array,   # int32[n_dev, Ps_pad] shard-local slots
@@ -65,50 +63,30 @@ def sharded_search(
     q_len: jax.Array,           # int32[n_dev, Q]
     q_idf: jax.Array,           # float32[Q] (replicated)
     adl: jax.Array,             # float32 scalar (replicated)
-    prog_ops: jax.Array | None,
-    prog_args: jax.Array | None,
+    prog_ops: jax.Array,
+    prog_args: jax.Array,
     *,
     mesh: Mesh,
     budget: int,                # per-shard postings budget
     k: int,
     algo: int,
-    slots_per_shard: int,
     use_mask: bool,
     depth: int = 8,
 ):
-    """Returns replicated (scores f32[k], global slots i32[k])."""
+    """Returns replicated (scores f32[k'], global slots i32[k'])."""
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
-    k_local = min(k, slots_per_shard)
+    slots_per_shard = doc_len.shape[1]
+    k_local = min(k, budget)
     k_final = min(k, n_dev * k_local)
 
     def shard_body(pslot, pltf, dlen, qs, qlen, qidf, adl_s, pops, pargs):
-        pslot, pltf, dlen = pslot[0], pltf[0], dlen[0]
-        qs, qlen = qs[0], qlen[0]
-        n_terms = qs.shape[0]
-
-        src, qid, valid = flatten_ranges(qs, qlen, budget)
-        slot = pslot[src]
-        ltf = pltf[src]
-        idf = qidf[qid]
-        if algo == ALGO_BM25:
-            score = bm25(ltf, dlen[slot], idf, adl_s)
-        else:
-            score = tf_idf(ltf, idf)
-        contrib = jnp.where(valid, score, 0.0)
-
-        if use_mask:
-            n_words = slots_per_shard // 32
-            masks = build_term_masks(slot, qid, valid,
-                                     n_terms=n_terms, n_words=n_words)
-            final = eval_program(masks, pops, pargs, depth=depth)
-            bit = (final[slot >> 5] >> (slot & 31).astype(jnp.uint32)) & 1
-            contrib = jnp.where(bit.astype(bool), contrib, 0.0)
-
-        dense = jnp.zeros((slots_per_shard,), jnp.float32).at[slot].add(
-            contrib, mode="drop")
-        local_scores, local_slots = lax.top_k(dense, k_local)
-        global_slots = (local_slots.astype(jnp.int32)
+        local_scores, local_slots = candidate_topk(
+            pslot[0], pltf[0], dlen[0], qs[0], qlen[0],
+            qidf, adl_s, pops, pargs,
+            budget=budget, k=k_local, algo=algo,
+            use_mask=use_mask, depth=depth)
+        global_slots = (local_slots
                         + lax.axis_index(axis) * slots_per_shard)
 
         # Merge candidates across the mesh: n_dev * k_local pairs over

@@ -10,16 +10,21 @@ doc×term scoring loop itself runs on device (ops/executor.py).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from .errors import ErrorCode, NxsError
 from .index.device import DeviceIndex
-from .ops.boolean import check_nesting, compile_program
-from .ops.executor import device_search
+from .ops.boolean import EMPTY_LEAF_BIT, check_nesting, compile_program
+from .ops.executor import device_search, device_search_dense
 from .ops.scoring import ALGO_BM25, ALGO_TFIDF, host_idf
 from .params import DEFAULT_RESULTS_LIMIT, Params
+
+# Beyond 32 unique query terms the presence-bits boolean evaluation
+# does not fit a uint32; such queries use the dense packed-bitmap path.
+MAX_BITS_TERMS = 32
 from .query.ast import EXPR_OP_OR, EXPR_VAL_TOKEN, Expr
 from .query.parser import parse_query
 from .query.prepare import Query, prepare
@@ -89,22 +94,40 @@ def _is_pure_or(expr: Expr) -> bool:
     return True
 
 
-def execute_query(dev, query: Query, sp: SearchParams) -> Response:
-    """Run the prepared query against the device snapshot.
+@dataclass
+class _Plan:
+    """Host-resolved device inputs for one query."""
+    q_start: np.ndarray    # [Q] or [n_dev, Q] when sharded
+    q_len: np.ndarray
+    q_idf: np.ndarray      # [Q]
+    prog_ops: np.ndarray   # [L] NOP-padded
+    prog_args: np.ndarray
+    use_mask: bool
+    use_dense: bool
+    budget: int
+    depth: int
 
-    ``dev`` is a DeviceIndex (single chip) or a
-    parallel.ShardedDeviceIndex (doc-sharded over a mesh).
-    """
+    @property
+    def batch_key(self):
+        """Static-signature key: plans with equal keys share a compiled
+        batched executable."""
+        return (self.q_start.shape[-1], len(self.prog_ops), self.use_mask,
+                self.use_dense, self.budget, self.depth)
+
+
+def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
+    """Resolve a prepared query to padded device inputs, or None when
+    the query produces a trivially empty result."""
     tokens = query.tokens.tokens
     if query.root is None or not tokens:
         # No meaningful tokens: empty result, not an error
         # (search.c:219-226).
-        return Response()
+        return None
 
     # BM25 skips every score when adl < 1 (ranking.c:161-163), and
     # both algorithms bail with empty results when doc_count == 0.
     if dev.doc_count == 0 or (sp.algo == ALGO_BM25 and dev.adl < 1.0):
-        return Response()
+        return None
 
     sharded = hasattr(dev, "mesh")
 
@@ -134,6 +157,13 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
     total = int(q_len.sum(axis=-1).max())
 
     use_mask = not _is_pure_or(query.root)
+    if sharded and use_mask and n_tok > MAX_BITS_TERMS:
+        raise NxsError(
+            ErrorCode.LIMIT,
+            f"sharded boolean queries support at most {MAX_BITS_TERMS} "
+            f"unique terms ({n_tok} given)")
+    use_dense = n_tok > MAX_BITS_TERMS and not sharded
+    empty_leaf = q_pad if use_dense else EMPTY_LEAF_BIT
     depth = _MIN_DEPTH
     # Dummy one-op program when maskless: keeps the argument pytree
     # shape stable for shard_map specs; DCE'd when unused.
@@ -142,8 +172,8 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
     if use_mask:
         ops, args, max_depth = compile_program(
             query.root,
-            lambda tok: row_of_token.get(id(tok), q_pad) if tok is not None
-            else q_pad)
+            lambda tok: row_of_token.get(id(tok), empty_leaf)
+            if tok is not None else empty_leaf)
         prog_len = _bucket(len(ops), _MIN_PROG)
         prog_ops = np.zeros(prog_len, dtype=np.int32)
         prog_ops[: len(ops)] = ops
@@ -151,7 +181,37 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
         prog_args[: len(args)] = args
         depth = _bucket(max_depth, _MIN_DEPTH)
 
-    budget = _bucket(max(total, 1), _MIN_BUDGET)
+    return _Plan(q_start=q_start, q_len=q_len, q_idf=q_idf,
+                 prog_ops=prog_ops, prog_args=prog_args,
+                 use_mask=use_mask, use_dense=use_dense,
+                 budget=_bucket(max(total, 1), _MIN_BUDGET), depth=depth)
+
+
+def _to_response(dev, scores, slots, limit: int) -> Response:
+    scores = np.asarray(scores)
+    slots = np.asarray(slots)
+    matched = scores > 0.0
+    results = [
+        (int(dev.doc_ids[slot]), float(score))
+        for score, slot in zip(scores[matched], slots[matched])
+    ][:limit]
+    return Response(results)
+
+
+def execute_query(dev, query: Query, sp: SearchParams) -> Response:
+    """Run the prepared query against the device snapshot.
+
+    ``dev`` is a DeviceIndex (single chip) or a
+    parallel.ShardedDeviceIndex (doc-sharded over a mesh).
+    """
+    plan = _build_plan(dev, query, sp)
+    if plan is None:
+        return Response()
+    sharded = hasattr(dev, "mesh")
+    q_start, q_len, q_idf = plan.q_start, plan.q_len, plan.q_idf
+    prog_ops, prog_args = plan.prog_ops, plan.prog_args
+    use_mask, use_dense = plan.use_mask, plan.use_dense
+    budget, depth = plan.budget, plan.depth
     k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
 
     if sharded:
@@ -162,11 +222,10 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
             jnp.float32(dev.adl),
             jnp.asarray(prog_ops), jnp.asarray(prog_args),
             mesh=dev.mesh, budget=budget, k=k, algo=sp.algo,
-            slots_per_shard=dev.slots_per_shard,
             use_mask=use_mask, depth=depth,
         )
-    else:
-        scores, slots = device_search(
+    elif use_dense:
+        scores, slots = device_search_dense(
             dev.postings_slot, dev.postings_ltf, dev.doc_len,
             jnp.asarray(q_start), jnp.asarray(q_len), jnp.asarray(q_idf),
             jnp.float32(dev.adl),
@@ -175,15 +234,77 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
             budget=budget, k=k, algo=sp.algo, n_slots=dev.n_slots,
             use_mask=use_mask, depth=depth,
         )
-    scores = np.asarray(scores)
-    slots = np.asarray(slots)
+    else:
+        scores, slots = device_search(
+            dev.postings_slot, dev.postings_ltf, dev.doc_len,
+            jnp.asarray(q_start), jnp.asarray(q_len), jnp.asarray(q_idf),
+            jnp.float32(dev.adl),
+            jnp.asarray(prog_ops), jnp.asarray(prog_args),
+            budget=budget, k=k, algo=sp.algo,
+            use_mask=use_mask, depth=depth,
+        )
+    return _to_response(dev, scores, slots, sp.limit)
 
-    matched = scores > 0.0
-    results = [
-        (int(dev.doc_ids[slot]), float(score))
-        for score, slot in zip(scores[matched], slots[matched])
-    ][: sp.limit]
-    return Response(results)
+
+def execute_query_batch(dev, queries: list[Query],
+                        sp: SearchParams) -> list[Response]:
+    """Execute many prepared queries with batched device dispatches.
+
+    Queries are planned host-side, grouped by static signature, and
+    each group runs as ONE vmapped device call over the shared
+    snapshot -- amortizing dispatch and filling the chip.  Results are
+    identical to per-query execution.
+    """
+    from .ops.executor import device_search_batch
+
+    plans: list[Optional[_Plan]] = [
+        _build_plan(dev, q, sp) for q in queries]
+    responses: list[Optional[Response]] = [
+        Response() if p is None else None for p in plans]
+
+    k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
+    groups: dict[tuple, list[int]] = {}
+    for i, plan in enumerate(plans):
+        if plan is not None:
+            groups.setdefault(plan.batch_key, []).append(i)
+
+    for key, members in groups.items():
+        sample = plans[members[0]]
+        if sample.use_dense or hasattr(dev, "mesh"):
+            # Rare paths stay per-query.
+            for i in members:
+                responses[i] = execute_query(dev, queries[i], sp)
+            continue
+        n = len(members)
+        n_pad = _bucket(n, 8)
+        q_pad = sample.q_start.shape[-1]
+        prog_len = len(sample.prog_ops)
+        q_start = np.zeros((n_pad, q_pad), dtype=np.int32)
+        q_len = np.zeros((n_pad, q_pad), dtype=np.int32)
+        q_idf = np.zeros((n_pad, q_pad), dtype=np.float32)
+        prog_ops = np.zeros((n_pad, prog_len), dtype=np.int32)
+        prog_args = np.zeros((n_pad, prog_len), dtype=np.int32)
+        for row, i in enumerate(members):
+            p = plans[i]
+            q_start[row] = p.q_start
+            q_len[row] = p.q_len
+            q_idf[row] = p.q_idf
+            prog_ops[row] = p.prog_ops
+            prog_args[row] = p.prog_args
+        scores, slots = device_search_batch(
+            dev.postings_slot, dev.postings_ltf, dev.doc_len,
+            jnp.asarray(q_start), jnp.asarray(q_len), jnp.asarray(q_idf),
+            jnp.float32(dev.adl),
+            jnp.asarray(prog_ops), jnp.asarray(prog_args),
+            budget=sample.budget, k=k, algo=sp.algo,
+            use_mask=sample.use_mask, depth=sample.depth,
+        )
+        scores = np.asarray(scores)
+        slots = np.asarray(slots)
+        for row, i in enumerate(members):
+            responses[i] = _to_response(dev, scores[row], slots[row],
+                                        sp.limit)
+    return responses  # type: ignore[return-value]
 
 
 def search(dev: DeviceIndex, pipeline, query_str: str,
@@ -194,3 +315,16 @@ def search(dev: DeviceIndex, pipeline, query_str: str,
     query = prepare(root, pipeline, dev.host.term_lookup,
                     fuzzy_lookup=fuzzy_lookup, fuzzymatch=sp.fuzzymatch)
     return execute_query(dev, query, sp)
+
+
+def search_many(dev, pipeline, query_strs: list[str],
+                sp: SearchParams, fuzzy_lookup=None) -> list[Response]:
+    """Batched search path: one device dispatch per signature group."""
+    prepared = []
+    for query_str in query_strs:
+        root = parse_query(query_str)
+        check_nesting(root)
+        prepared.append(prepare(root, pipeline, dev.host.term_lookup,
+                                fuzzy_lookup=fuzzy_lookup,
+                                fuzzymatch=sp.fuzzymatch))
+    return execute_query_batch(dev, prepared, sp)

@@ -136,6 +136,9 @@ class SearchService:
                 return self._destroy_index(parts[0])
         if len(parts) == 2 and parts[1] == "search" and method == "POST":
             return self._search(parts[0], query, body)
+        if len(parts) == 2 and parts[1] == "search_batch" \
+                and method == "POST":
+            return self._search_batch(parts[0], query, body)
         if len(parts) == 3 and parts[1] == "add" and method == "POST":
             return self._add(parts[0], parts[2], query, body)
         if len(parts) == 3 and parts[1] == "remove" and method == "DELETE":
@@ -222,6 +225,24 @@ class SearchService:
             ]
             return 200, {"results": results, "count": len(results)}
         return 200, resp.tojson_obj()
+
+    def _search_batch(self, name, query, body):
+        """Batched extension endpoint (no reference equivalent):
+        body = {"queries": ["...", ...]} -> {"responses": [...]}.
+        Query-string params apply to every query in the batch."""
+        idx = self.cache.get(name)
+        try:
+            payload = json.loads(body or b"")
+        except ValueError:
+            raise NxsError(ErrorCode.INVALID, "invalid JSON body")
+        queries = payload.get("queries") if isinstance(payload, dict) else None
+        if not isinstance(queries, list) or \
+                not all(isinstance(q, str) for q in queries):
+            raise NxsError(ErrorCode.INVALID,
+                           'body must be {"queries": [<string>, ...]}')
+        params = self._query_params(query)
+        responses = idx.search_many(queries, params)
+        return 200, {"responses": [r.tojson_obj() for r in responses]}
 
     def _post_filter(self, name, query, body):
         if not self.enable_py_post:
