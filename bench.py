@@ -55,8 +55,8 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=20_000)
     ap.add_argument("--vocab", type=int, default=20_000)
     ap.add_argument("--mean-len", type=int, default=40)
-    ap.add_argument("--queries", type=int, default=512)
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--queries", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--limit", type=int, default=10)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -79,8 +79,10 @@ def main() -> None:
         idx = nxs.index_create("bench")
 
         t0 = time.perf_counter()
-        for doc_id, text in enumerate(docs, start=1):
-            idx.add(doc_id, text)
+        chunk = 2048
+        for base in range(0, len(docs), chunk):
+            idx.add_many([(base + i + 1, text) for i, text in
+                          enumerate(docs[base: base + chunk])])
         ingest_s = time.perf_counter() - t0
         log(f"indexed {args.docs} docs in {ingest_s:.1f}s "
             f"({args.docs / ingest_s:.0f} docs/s)")

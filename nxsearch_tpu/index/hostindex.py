@@ -339,6 +339,74 @@ class HostIndex:
             self._dt_consumed = committed
             self.generation += 1
 
+    def add_bulk(self, items) -> None:
+        """Batched document add: one lock round-trip per journal.
+
+        ``items`` is a list of (doc_id, TokenSet) with *unresolved*
+        tokens.  Semantics match per-document add (same journal record
+        format, same dedupe/limits), but the flock acquisition, the
+        re-sync and the append syscall are amortized over the batch;
+        the batch is atomic -- a duplicate doc anywhere aborts it
+        before anything is published.
+        """
+        # Phase 1: terms (same ordering discipline as terms_add).
+        with self.terms_log.lock_ex():
+            committed = self.terms_log.committed_len()
+            self._consume_terms(committed)
+            buf = bytearray()
+            term_map = self.term_map
+            for _, ts in items:
+                for token in ts.tokens:
+                    term_id = term_map.get(token.value)
+                    if term_id is None:
+                        encoded = token.value.encode("utf-8")
+                        if len(encoded) > MAX_TERM_LEN:
+                            raise NxsError(
+                                ErrorCode.LIMIT,
+                                f"term too long ({len(encoded)})")
+                        if len(self.term_values) >= MAX_TERM_ID:
+                            raise NxsError(
+                                ErrorCode.LIMIT,
+                                f"reached the term limit ({MAX_TERM_ID})")
+                        term_id = self._register_term(token.value)
+                        buf += _TERM_REC.pack(len(encoded))
+                        buf += encoded
+                        buf += b"\x00" * (_pad4(len(encoded)) - len(encoded))
+                    token.term_id = term_id
+            if buf:
+                committed = self.terms_log.append(bytes(buf), committed)
+                self._terms_consumed = committed
+                self.generation += 1
+
+        # Phase 2: dtmap blocks, one append for the whole batch.
+        with self.dtmap_log.lock_ex():
+            self.terms_sync()
+            committed = self.dtmap_log.committed_len()
+            self._consume_dtmap(committed)
+            batch_ids = set()
+            for doc_id, _ in items:
+                if doc_id in self.doc_map or doc_id in batch_ids:
+                    raise NxsError(
+                        ErrorCode.EXISTS,
+                        f"document {doc_id} is already indexed")
+                batch_ids.add(doc_id)
+            buf = bytearray()
+            staged = []
+            for doc_id, ts in items:
+                pairs = np.array(
+                    sorted((t.term_id, t.count) for t in ts.tokens),
+                    dtype="<u4").reshape(-1, 2)
+                staged.append((doc_id, ts.seen, pairs,
+                               committed + len(buf)))
+                buf += _DT_HDR.pack(doc_id, ts.seen, len(pairs))
+                buf += pairs.tobytes()
+            committed = self.dtmap_log.append(bytes(buf), committed)
+            for doc_id, seen, pairs, offset in staged:
+                self._apply_block(doc_id, seen,
+                                  pairs.astype(np.int64), offset)
+            self._dt_consumed = committed
+            self.generation += 1
+
     def dtmap_remove(self, doc_id: int) -> None:
         """Tombstone removal (idx_dtmap_remove, dual protocol)."""
         with self.dtmap_log.lock_ex():

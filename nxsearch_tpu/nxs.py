@@ -76,6 +76,29 @@ class Index:
         self.host.terms_add(tokens)
         self.host.dtmap_add(doc_id, tokens)
 
+    def add_many(self, docs: list[tuple[int, str]],
+                 params: Optional[Params] = None) -> None:
+        """Bulk document add: one journal lock round-trip per batch.
+
+        Same per-document semantics as add() (non-zero unique IDs,
+        non-empty token sets), but the batch is atomic and the journal
+        appends are amortized -- the high-throughput ingest path (no
+        reference equivalent; the C engine locks per document)."""
+        items = []
+        for doc_id, text in docs:
+            if doc_id == 0:
+                raise NxsError(ErrorCode.INVALID,
+                               "document ID must be non-zero")
+            tokens = tokenize(self.pipeline, text)
+            if tokens.count == 0:
+                raise NxsError(
+                    ErrorCode.MISSING,
+                    f"document {doc_id}: the text is empty or no "
+                    "meaningful tokens found")
+            items.append((doc_id, tokens))
+        if items:
+            self.host.add_bulk(items)
+
     def remove(self, doc_id: int) -> None:
         """Remove a document (nxs_index_remove -> tombstone)."""
         self.host.dtmap_remove(doc_id)

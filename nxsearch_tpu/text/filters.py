@@ -88,6 +88,35 @@ class FilterPipeline:
         except Exception:
             self.close()
             raise
+        self.native = self._make_native(params)
+
+    def _make_native(self, params: Params):
+        """Native fast path when the chain is a subsequence of the
+        builtin normalizer -> stopwords -> stemmer order (ASCII text
+        only; the library rejects anything else back to Python)."""
+        order = ("normalizer", "stopwords", "stemmer")
+        if len(set(self.names)) != len(self.names):
+            return None
+        if any(n not in order for n in self.names):
+            return None
+        positions = [order.index(n) for n in self.names]
+        if positions != sorted(positions):
+            return None
+        lang = params.get_str("lang") or "en"
+        stopwords_set = None
+        for (ops, ctx), name in zip(self._entries, self.names):
+            if name == "stopwords":
+                stopwords_set = ctx
+        if "stemmer" in self.names and lang != "en":
+            # Non-English stemmers pass through in this build; the
+            # native stemmer flag must stay off to match.
+            stem = False
+        else:
+            stem = "stemmer" in self.names
+        from .native import NativeTextPipeline
+        native = NativeTextPipeline("normalizer" in self.names,
+                                    stopwords_set, stem)
+        return native if native.available else None
 
     def run(self, value: str) -> Optional[str]:
         """Run the token through the chain.
@@ -106,6 +135,9 @@ class FilterPipeline:
             if ops.destroy:
                 ops.destroy(ctx)
         self._entries.clear()
+        if getattr(self, "native", None) is not None:
+            self.native.close()
+            self.native = None
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,139 @@
+"""ctypes bridge to the native text pipeline (native/nxstext.cpp).
+
+The native library implements the ASCII subset of the default filter
+pipeline (UAX#29 word break + lowercase + stopwords + Porter2) with
+per-document aggregation; any non-ASCII text is rejected by the
+library (-1) and handled by the Python implementation, so results are
+identical on every input.  The library is built on demand with ``make``
+(g++); if unavailable, everything silently runs in Python.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_FLAG_NORMALIZER = 1
+_FLAG_STOPWORDS = 2
+_FLAG_STEMMER = 4
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libnxstext.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_lib_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lib_lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "-s"],
+                    check=True, capture_output=True, timeout=120)
+            except Exception:
+                _lib_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _lib_failed = True
+            return None
+        lib.nxs_text_ctx_new.restype = ctypes.c_void_p
+        lib.nxs_text_ctx_new.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_long]
+        lib.nxs_text_ctx_free.argtypes = [ctypes.c_void_p]
+        lib.nxs_text_process.restype = ctypes.c_long
+        lib.nxs_text_process.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long)]
+        _lib = lib
+        return _lib
+
+
+class NativeTextPipeline:
+    """Native fast path for one filter-pipeline configuration.
+
+    ``flags`` selects which of normalizer/stopwords/stemmer are active
+    (they always run in the reference's default order); ``stopwords``
+    is the active stopword set (empty disables the check).
+    """
+
+    def __init__(self, normalizer: bool, stopwords_set, stemmer: bool):
+        self._ctx = None
+        lib = _load()
+        if lib is None:
+            return
+        flags = ((_FLAG_NORMALIZER if normalizer else 0)
+                 | (_FLAG_STOPWORDS if stopwords_set else 0)
+                 | (_FLAG_STEMMER if stemmer else 0))
+        blob = "\n".join(sorted(stopwords_set)).encode("utf-8") \
+            if stopwords_set else b""
+        if stopwords_set and blob.decode("utf-8", "ignore") != blob.decode(
+                "utf-8"):  # pragma: no cover - non-utf8 impossible here
+            return
+        if any(ord(c) >= 0x80 for w in (stopwords_set or ()) for c in w):
+            # Non-ASCII stopwords cannot match ASCII-only native tokens
+            # anyway, but normalization differences are conceivable:
+            # stay on the Python path.
+            return
+        self._lib = lib
+        self._ctx = lib.nxs_text_ctx_new(flags, blob, len(blob))
+        self._buf = ctypes.create_string_buffer(1 << 20)
+        self._counts = (ctypes.c_int * (1 << 16))()
+        self._seen = ctypes.c_long(0)
+        self._nbytes = ctypes.c_long(0)
+        self._lock = threading.Lock()
+
+    @property
+    def available(self) -> bool:
+        return self._ctx is not None
+
+    def process(self, text: str) -> Optional[tuple[list[str], list[int], int]]:
+        """(unique_tokens, counts, seen) or None to use the Python path."""
+        if self._ctx is None or not text.isascii():
+            return None
+        raw = text.encode("ascii")
+        with self._lock:
+            while True:
+                n = self._lib.nxs_text_process(
+                    self._ctx, raw, len(raw),
+                    self._buf, len(self._buf),
+                    self._counts, len(self._counts),
+                    ctypes.byref(self._seen), ctypes.byref(self._nbytes))
+                if n == -2:  # grow buffers and retry
+                    self._buf = ctypes.create_string_buffer(
+                        len(self._buf) * 4)
+                    self._counts = (ctypes.c_int * (len(self._counts) * 4))()
+                    continue
+                break
+            if n < 0:  # pragma: no cover - ASCII checked above
+                return None
+            if n == 0:
+                return [], [], self._seen.value
+            values = self._buf.raw[: self._nbytes.value - 1] \
+                .decode("ascii").split("\0")
+            return values, list(self._counts[:n]), self._seen.value
+
+    def close(self) -> None:
+        if self._ctx is not None:
+            self._lib.nxs_text_ctx_free(self._ctx)
+            self._ctx = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -100,7 +100,27 @@ class TokenSet:
 
 
 def tokenize(pipeline: FilterPipeline, text: str) -> TokenSet:
-    """Segment + filter + collect (tokenizer.c:234-302)."""
+    """Segment + filter + collect (tokenizer.c:234-302).
+
+    ASCII documents under the builtin filter chain run through the
+    native pipeline (text/native.py) which returns the aggregated
+    token set directly; everything else uses the Python path.  The two
+    are behaviorally identical (tests/test_native.py fuzzes parity).
+    """
+    native = pipeline.native
+    if native is not None:
+        result = native.process(text)
+        if result is not None:
+            values, counts, seen = result
+            tset = TokenSet()
+            for value, count in zip(values, counts):
+                token = Token(value=value, count=count)
+                tset._map[value] = token
+                tset.tokens.append(token)
+                tset.data_len += len(value)
+            tset.seen = seen
+            return tset
+
     tset = TokenSet()
     for word in words(text):
         value = pipeline.run(word)
