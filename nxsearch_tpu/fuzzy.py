@@ -8,16 +8,21 @@ count (idxterm.c:236-242; only terms with a non-zero live total are
 eligible).  Distances are measured over UTF-8 *bytes*, matching
 src/algo/levdist.c operating on char.
 
-The TPU-native design replaces metric-tree pointer chasing with data
-parallelism: candidates are pruned by length (|len(t)-len(q)| <= 2 is
-a Levenshtein lower bound) and then checked with a banded
-Wagner-Fischer DP.  Ties on the total count pick the lowest (oldest)
-term ID; the reference's pick among equals is a BK-tree traversal
-artifact (idxterm.c:238 never updates its running max, so the
-traversal's first candidate wins) that is not meaningful to reproduce.
+Two execution paths, identical results:
 
-``levdist`` mirrors src/algo/levdist.c:67 (single-row DP, O(min(n,m))
-memory) with an added band cutoff for the tolerance-2 use case.
+- **Device** (vocabularies >= _DEVICE_THRESHOLD): bit-parallel Myers
+  edit distance over the whole vocabulary snapshot in one VPU sweep
+  (ops/levenshtein.py) -- the TPU-native replacement for BK-tree
+  pruning.  Terms longer than 32 bytes are excluded from the device
+  snapshot; they can only match queries >= 31 bytes, which are scanned
+  on the host.
+- **Host** (small vocabularies or >32-byte query tokens): length-pruned
+  banded Wagner-Fischer, mirroring levdist.c.
+
+Ties on the total count pick the lowest (oldest) term ID; the
+reference's pick among equals is a BK-tree traversal artifact
+(idxterm.c:238 never updates its running max, so the traversal's first
+candidate wins) that is not meaningful to reproduce.
 """
 
 from __future__ import annotations
@@ -29,6 +34,9 @@ import numpy as np
 from .index.hostindex import HostIndex
 
 TOLERANCE = 2
+
+_DEVICE_THRESHOLD = 4096   # below this, host DP beats a device dispatch
+_MAX_DEVICE_BYTES = 32
 
 
 def levdist(a: bytes, b: bytes, cutoff: Optional[int] = None) -> int:
@@ -74,6 +82,11 @@ class FuzzyMatcher:
         self._gen = -1
         self._encoded: list[bytes] = []
         self._lengths = np.zeros(0, dtype=np.int32)
+        # Device snapshot (built lazily past the threshold).
+        self._dev_gen = -1
+        self._dev_bytes = None
+        self._dev_len = None
+        self._dev_total = None
 
     def _refresh(self) -> None:
         if self._gen == self.host.generation:
@@ -88,19 +101,39 @@ class FuzzyMatcher:
             count=len(self._encoded))
         self._gen = self.host.generation
 
-    def lookup(self, value: str) -> Optional[int]:
-        """Best term within tolerance, or None (idxterm_fuzzysearch)."""
-        self._refresh()
-        if not self._encoded:
-            return None
-        q = value.encode("utf-8")
-        tol = self.tolerance
-        near = np.nonzero(np.abs(self._lengths - len(q)) <= tol)[0]
+    def _refresh_device(self) -> None:
+        """(Re)build the device vocab snapshot for this generation."""
+        import jax
+        import jax.numpy as jnp  # noqa: F401  (ensures jax importable)
 
+        if self._dev_gen == self._gen:
+            return
+        n = len(self._encoded)
+        t_pad = 1 << max(12, (n - 1).bit_length())
+        vb = np.zeros((t_pad, _MAX_DEVICE_BYTES), dtype=np.uint8)
+        vl = np.zeros(t_pad, dtype=np.int32)
+        for i, enc in enumerate(self._encoded):
+            if len(enc) <= _MAX_DEVICE_BYTES:
+                vb[i, : len(enc)] = np.frombuffer(enc, dtype=np.uint8)
+                vl[i] = len(enc)
+        totals = np.clip(self.host.term_total.view(), 0,
+                         0xFFFFFFFF).astype(np.uint32)
+        vt = np.zeros(t_pad, dtype=np.uint32)
+        vt[:n] = totals
+        self._dev_bytes = jax.device_put(vb)
+        self._dev_len = jax.device_put(vl)
+        self._dev_total = jax.device_put(vt)
+        self._dev_gen = self._gen
+
+    # -- host path ---------------------------------------------------------
+
+    def _host_best(self, q: bytes, indexes) -> tuple[Optional[int], int]:
+        """(best_term_id, best_total) over the given candidate rows."""
+        tol = self.tolerance
+        totals = self.host.term_total.view()
         best_id = None
         best_total = 0
-        totals = self.host.term_total.view()
-        for idx in near:
+        for idx in indexes:
             total = int(totals[idx])
             if total <= 0:
                 continue  # no live occurrences: never selected
@@ -111,4 +144,47 @@ class FuzzyMatcher:
             if levdist(q, self._encoded[idx], cutoff=tol) <= tol:
                 best_id = int(idx) + 1
                 best_total = total
+        return best_id, best_total
+
+    # -- public ------------------------------------------------------------
+
+    def lookup(self, value: str) -> Optional[int]:
+        """Best term within tolerance, or None (idxterm_fuzzysearch)."""
+        self._refresh()
+        if not self._encoded:
+            return None
+        q = value.encode("utf-8")
+        tol = self.tolerance
+
+        use_device = (len(self._encoded) >= _DEVICE_THRESHOLD
+                      and len(q) <= _MAX_DEVICE_BYTES)
+        if use_device:
+            import jax.numpy as jnp
+
+            from .ops.levenshtein import fuzzy_best
+            self._refresh_device()
+            qb = np.zeros(_MAX_DEVICE_BYTES, dtype=np.uint8)
+            qb[: len(q)] = np.frombuffer(q, dtype=np.uint8)
+            best_idx, _dist = fuzzy_best(
+                self._dev_bytes, self._dev_len, self._dev_total,
+                jnp.asarray(qb), jnp.int32(len(q)), jnp.int32(tol))
+            best_idx = int(best_idx)
+            best_id = best_idx + 1 if best_idx >= 0 else None
+            best_total = int(self.host.term_total.view()[best_idx]) \
+                if best_idx >= 0 else 0
+            # Terms wider than the device snapshot can only be within
+            # tolerance of queries >= 31 bytes: host-scan just those.
+            if len(q) >= _MAX_DEVICE_BYTES - tol + 1:
+                long_rows = np.nonzero(
+                    self._lengths > _MAX_DEVICE_BYTES)[0]
+                if len(long_rows):
+                    h_id, h_total = self._host_best(q, long_rows)
+                    if h_id is not None and (
+                            best_id is None or h_total > best_total or
+                            (h_total == best_total and h_id < best_id)):
+                        best_id = h_id
+            return best_id
+
+        near = np.nonzero(np.abs(self._lengths - len(q)) <= tol)[0]
+        best_id, _total = self._host_best(q, near)
         return best_id

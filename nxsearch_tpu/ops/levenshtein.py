@@ -1,0 +1,122 @@
+"""Batched Levenshtein over the vocabulary: bit-parallel Myers on VPU.
+
+The reference resolves fuzzy query tokens with a BK-tree pruned by the
+triangle inequality, computing Wagner-Fischer row DP per visited node
+(src/algo/bktree.c:219, src/algo/levdist.c:67).  Metric-tree pointer
+chasing is hostile to TPUs; the TPU-native replacement is brute force
+over *every* term, made cheap with Myers' bit-parallel algorithm
+(G. Myers, JACM 1999; Hyyrö 2001 formulation): for a query of at most
+32 bytes the whole DP column fits one uint32 lane, so each term costs
+L=32 fused elementwise u32 steps -- a [T]-wide VPU sweep with no
+data-dependent control flow.
+
+Distances are over UTF-8 bytes, like levdist.c operating on char.
+Selection follows idxterm_fuzzysearch's intent: among terms within
+tolerance with a live total > 0, the highest total wins (ties: lowest
+term ID); see fuzzy.py for the note on the reference's traversal
+artifact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+MAX_QUERY_BYTES = 32   # query pattern must fit the u32 bit-parallel DP
+MAX_TERM_BYTES = 32    # vocab snapshot width; longer terms -> host path
+
+
+@functools.partial(jax.jit, static_argnames=())
+def myers_distances(vocab_bytes: jax.Array,  # uint8[T, L] zero-padded
+                    vocab_len: jax.Array,    # int32[T]
+                    q_bytes: jax.Array,      # uint8[Lq<=32] zero-padded
+                    q_len: jax.Array,        # int32 scalar
+                    ) -> jax.Array:
+    """Exact Levenshtein distance of the query to every vocab term.
+
+    Returns int32[T]; entries for vocab_len == 0 are meaningless.
+    """
+    n_terms, width = vocab_bytes.shape
+    m = q_len.astype(jnp.uint32)
+
+    # Peq matrix: for every (term, position) the bitmask of query
+    # positions matching that character.  One fused [T, L, 32] compare
+    # + weighted sum, exact in integer arithmetic.
+    shifts = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    q_valid = jnp.arange(32) < q_len
+    # eq[t, j, i] = vocab[t, j] == q[i] (and i < q_len)
+    eq = (vocab_bytes[:, :, None] == q_bytes[None, None, :]) & \
+        q_valid[None, None, :]
+    peq = jnp.sum(eq.astype(jnp.uint32) * shifts[None, None, :],
+                  axis=2)  # uint32[T, L]
+
+    full = jnp.uint32(0xFFFFFFFF)
+    # Shift amounts must stay < 32 (XLA shift semantics); m == 32 takes
+    # the full-mask branch.
+    mask_m = jnp.where(m >= 32, full,
+                       (jnp.uint32(1) << jnp.minimum(m, 31)) - jnp.uint32(1))
+    high_bit = jnp.uint32(1) << jnp.minimum(m - jnp.uint32(1), 31)
+
+    pv0 = jnp.full((n_terms,), mask_m, jnp.uint32)
+    mv0 = jnp.zeros((n_terms,), jnp.uint32)
+    score0 = jnp.full((n_terms,), q_len, jnp.int32)
+
+    def step(carry, xs):
+        pv, mv, score = carry
+        eq_j, j = xs
+        active = j < vocab_len  # beyond the term's end: freeze state
+
+        xv = eq_j | mv
+        xh = (((eq_j & pv) + pv) ^ pv) | eq_j
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+
+        inc = ((ph & high_bit) != 0).astype(jnp.int32)
+        dec = ((mh & high_bit) != 0).astype(jnp.int32)
+        new_score = score + jnp.where(active, inc - dec, 0)
+
+        ph = (ph << 1) | jnp.uint32(1)
+        mh = mh << 1
+        new_pv = (mh | ~(xv | ph)) & mask_m
+        new_mv = (ph & xv) & mask_m
+
+        pv = jnp.where(active, new_pv, pv)
+        mv = jnp.where(active, new_mv, mv)
+        return (pv, mv, new_score), None
+
+    (pv, mv, score), _ = lax.scan(
+        step, (pv0, mv0, score0),
+        (peq.T, jnp.arange(width, dtype=jnp.int32)))
+    return score
+
+
+@jax.jit
+def fuzzy_best(vocab_bytes: jax.Array,   # uint8[T, L]
+               vocab_len: jax.Array,     # int32[T] (0 = padding row)
+               term_total: jax.Array,    # uint32[T] (clipped live totals)
+               q_bytes: jax.Array,       # uint8[32]
+               q_len: jax.Array,         # int32
+               tolerance: jax.Array,     # int32
+               ) -> tuple[jax.Array, jax.Array]:
+    """Best fuzzy match: (term_index, distance), term_index -1 if none.
+
+    Eligible: distance <= tolerance and live total > 0.  Highest total
+    wins; ties pick the lowest term index (oldest term).  Exact without
+    64-bit arithmetic (x64 is disabled by default in JAX): one max
+    reduction over totals, then a min reduction over indexes at that
+    total.
+    """
+    dist = myers_distances(vocab_bytes, vocab_len, q_bytes, q_len)
+    n_terms = vocab_bytes.shape[0]
+    idx = jnp.arange(n_terms, dtype=jnp.int32)
+    eligible = (vocab_len > 0) & (dist <= tolerance) & (term_total > 0)
+    best_total = jnp.max(jnp.where(eligible, term_total, jnp.uint32(0)))
+    at_best = eligible & (term_total == best_total)
+    best = jnp.min(jnp.where(at_best, idx, jnp.int32(n_terms)))
+    found = (best_total > 0) & (best < n_terms)
+    best = jnp.where(found, best, 0)
+    return (jnp.where(found, best, -1).astype(jnp.int32),
+            dist[best].astype(jnp.int32))
