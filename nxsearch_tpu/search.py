@@ -73,10 +73,17 @@ def get_search_params(default_algo: int, params: Params | None) -> SearchParams:
     return sp
 
 
-def _bucket(n: int, minimum: int) -> int:
+def _bucket(n: int, minimum: int, shift: int = 1) -> int:
+    """Round up to the bucket grid: minimum * (2**shift)**i.
+
+    Coarse grids (shift > 1) trade some wasted device work for far
+    fewer distinct executable signatures -- which matters both for
+    compile count and for batched execution, where every distinct
+    signature is a separate device dispatch.
+    """
     size = minimum
     while size < n:
-        size <<= 1
+        size <<= shift
     return size
 
 
@@ -184,7 +191,8 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
     return _Plan(q_start=q_start, q_len=q_len, q_idf=q_idf,
                  prog_ops=prog_ops, prog_args=prog_args,
                  use_mask=use_mask, use_dense=use_dense,
-                 budget=_bucket(max(total, 1), _MIN_BUDGET), depth=depth)
+                 budget=_bucket(max(total, 1), _MIN_BUDGET, shift=3),
+                 depth=depth)
 
 
 def _to_response(dev, scores, slots, limit: int) -> Response:
@@ -268,6 +276,9 @@ def execute_query_batch(dev, queries: list[Query],
         if plan is not None:
             groups.setdefault(plan.batch_key, []).append(i)
 
+    # Launch every group's device call first (dispatch is async), then
+    # collect -- device work and transfers for all groups overlap.
+    pending = []
     for key, members in groups.items():
         sample = plans[members[0]]
         if sample.use_dense or hasattr(dev, "mesh"):
@@ -299,6 +310,9 @@ def execute_query_batch(dev, queries: list[Query],
             budget=sample.budget, k=k, algo=sp.algo,
             use_mask=sample.use_mask, depth=sample.depth,
         )
+        pending.append((members, scores, slots))
+
+    for members, scores, slots in pending:
         scores = np.asarray(scores)
         slots = np.asarray(slots)
         for row, i in enumerate(members):
