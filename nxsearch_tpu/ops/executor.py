@@ -147,11 +147,7 @@ def device_search_batch(
     return jax.vmap(one)(q_start, q_len, q_idf, prog_ops, prog_args)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("budget", "k", "algo", "n_slots", "use_mask", "depth"),
-)
-def device_search_dense(
+def dense_topk(
     postings_slot: jax.Array,    # int32[P_pad]
     postings_ltf: jax.Array,     # float32[P_pad]
     doc_len: jax.Array,          # float32[S_pad]
@@ -169,8 +165,10 @@ def device_search_dense(
     use_mask: bool,
     depth: int = 8,
 ):
-    """Dense fallback: packed per-term doc bitmaps + a dense per-slot
-    score vector.  O(corpus) memory but supports >32 query terms."""
+    """Dense scoring core: packed per-term doc bitmaps + a dense
+    per-slot score scatter, no sort.  O(B + S) -- the right choice for
+    >32-term queries (presence bits overflow) and for postings streams
+    comparable to the corpus size, where sorting would dominate."""
     n_terms = q_start.shape[0]
     src, qid, valid = flatten_ranges(q_start, q_len, budget)
     slot = postings_slot[src]
@@ -196,3 +194,34 @@ def device_search_dense(
     k_eff = min(k, n_slots)
     top_scores, top_slots = lax.top_k(dense, k_eff)
     return top_scores, top_slots.astype(jnp.int32)
+
+
+device_search_dense = functools.partial(
+    jax.jit,
+    static_argnames=("budget", "k", "algo", "n_slots", "use_mask", "depth"),
+)(dense_topk)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("budget", "k", "algo", "n_slots", "use_mask", "depth"),
+)
+def device_search_dense_batch(
+    postings_slot, postings_ltf, doc_len,
+    q_start,    # int32[N, Q]
+    q_len,      # int32[N, Q]
+    q_idf,      # float32[N, Q]
+    adl,        # float32 scalar
+    prog_ops,   # int32[N, L]
+    prog_args,  # int32[N, L]
+    *, budget: int, k: int, algo: int, n_slots: int, use_mask: bool,
+    depth: int = 8,
+):
+    """Batched dense scoring: vmap of the dense core over queries."""
+    def one(qs, ql, qi, po, pa):
+        return dense_topk(
+            postings_slot, postings_ltf, doc_len, qs, ql, qi, adl, po, pa,
+            budget=budget, k=k, algo=algo, n_slots=n_slots,
+            use_mask=use_mask, depth=depth)
+
+    return jax.vmap(one)(q_start, q_len, q_idf, prog_ops, prog_args)

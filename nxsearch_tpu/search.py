@@ -169,7 +169,13 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
             ErrorCode.LIMIT,
             f"sharded boolean queries support at most {MAX_BITS_TERMS} "
             f"unique terms ({n_tok} given)")
-    use_dense = n_tok > MAX_BITS_TERMS and not sharded
+    budget = _bucket(max(total, 1), _MIN_BUDGET, shift=2)
+    # Dense execution (packed bitmaps + per-slot score scatter) is
+    # O(B + S) with no sort; candidate scoring is O(B log B).  Dense
+    # wins for >32-term queries (presence bits overflow u32) and for
+    # high-df queries whose postings stream rivals the corpus size.
+    use_dense = not sharded and (
+        n_tok > MAX_BITS_TERMS or budget >= dev.n_slots)
     empty_leaf = q_pad if use_dense else EMPTY_LEAF_BIT
     depth = _MIN_DEPTH
     # Dummy one-op program when maskless: keeps the argument pytree
@@ -191,8 +197,7 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
     return _Plan(q_start=q_start, q_len=q_len, q_idf=q_idf,
                  prog_ops=prog_ops, prog_args=prog_args,
                  use_mask=use_mask, use_dense=use_dense,
-                 budget=_bucket(max(total, 1), _MIN_BUDGET, shift=3),
-                 depth=depth)
+                 budget=budget, depth=depth)
 
 
 def _to_response(dev, scores, slots, limit: int) -> Response:
@@ -278,11 +283,12 @@ def execute_query_batch(dev, queries: list[Query],
 
     # Launch every group's device call first (dispatch is async), then
     # collect -- device work and transfers for all groups overlap.
+    from .ops.executor import device_search_dense_batch
     pending = []
     for key, members in groups.items():
         sample = plans[members[0]]
-        if sample.use_dense or hasattr(dev, "mesh"):
-            # Rare paths stay per-query.
+        if hasattr(dev, "mesh"):
+            # The sharded path stays per-query for now.
             for i in members:
                 responses[i] = execute_query(dev, queries[i], sp)
             continue
@@ -302,14 +308,25 @@ def execute_query_batch(dev, queries: list[Query],
             q_idf[row] = p.q_idf
             prog_ops[row] = p.prog_ops
             prog_args[row] = p.prog_args
-        scores, slots = device_search_batch(
-            dev.postings_slot, dev.postings_ltf, dev.doc_len,
-            jnp.asarray(q_start), jnp.asarray(q_len), jnp.asarray(q_idf),
-            jnp.float32(dev.adl),
-            jnp.asarray(prog_ops), jnp.asarray(prog_args),
-            budget=sample.budget, k=k, algo=sp.algo,
-            use_mask=sample.use_mask, depth=sample.depth,
-        )
+        if sample.use_dense:
+            scores, slots = device_search_dense_batch(
+                dev.postings_slot, dev.postings_ltf, dev.doc_len,
+                jnp.asarray(q_start), jnp.asarray(q_len),
+                jnp.asarray(q_idf), jnp.float32(dev.adl),
+                jnp.asarray(prog_ops), jnp.asarray(prog_args),
+                budget=sample.budget, k=k, algo=sp.algo,
+                n_slots=dev.n_slots,
+                use_mask=sample.use_mask, depth=sample.depth,
+            )
+        else:
+            scores, slots = device_search_batch(
+                dev.postings_slot, dev.postings_ltf, dev.doc_len,
+                jnp.asarray(q_start), jnp.asarray(q_len),
+                jnp.asarray(q_idf), jnp.float32(dev.adl),
+                jnp.asarray(prog_ops), jnp.asarray(prog_args),
+                budget=sample.budget, k=k, algo=sp.algo,
+                use_mask=sample.use_mask, depth=sample.depth,
+            )
         pending.append((members, scores, slots))
 
     for members, scores, slots in pending:
