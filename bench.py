@@ -26,6 +26,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache: repeated bench runs (and any
+    long-lived serving process) skip recompilation entirely."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def make_corpus(n_docs: int, vocab: int, mean_len: int, rng):
     """Zipf-ish synthetic documents over a closed vocabulary."""
     # Zipf ranks: p(i) ~ 1/(i+10)
@@ -65,6 +77,7 @@ def main() -> None:
         if args.verbose:
             print(msg, file=sys.stderr)
 
+    enable_compile_cache()
     rng = np.random.default_rng(42)
     t0 = time.perf_counter()
     docs, words, probs = make_corpus(args.docs, args.vocab,

@@ -104,7 +104,6 @@ class FuzzyMatcher:
     def _refresh_device(self) -> None:
         """(Re)build the device vocab snapshot for this generation."""
         import jax
-        import jax.numpy as jnp  # noqa: F401  (ensures jax importable)
 
         if self._dev_gen == self._gen:
             return
@@ -120,7 +119,13 @@ class FuzzyMatcher:
                          0xFFFFFFFF).astype(np.uint32)
         vt = np.zeros(t_pad, dtype=np.uint32)
         vt[:n] = totals
-        self._dev_bytes = jax.device_put(vb)
+        # The Pallas kernel wants the position-major layout (term per
+        # VPU lane); everything else uses the row-major one.
+        self._use_pallas = jax.devices()[0].platform != "cpu"
+        if self._use_pallas:
+            self._dev_bytes = jax.device_put(np.ascontiguousarray(vb.T))
+        else:
+            self._dev_bytes = jax.device_put(vb)
         self._dev_len = jax.device_put(vl)
         self._dev_total = jax.device_put(vt)
         self._dev_gen = self._gen
@@ -161,11 +166,12 @@ class FuzzyMatcher:
         if use_device:
             import jax.numpy as jnp
 
-            from .ops.levenshtein import fuzzy_best
+            from .ops.levenshtein import fuzzy_best, fuzzy_best_pallas
             self._refresh_device()
             qb = np.zeros(_MAX_DEVICE_BYTES, dtype=np.uint8)
             qb[: len(q)] = np.frombuffer(q, dtype=np.uint8)
-            best_idx, _dist = fuzzy_best(
+            fn = fuzzy_best_pallas if self._use_pallas else fuzzy_best
+            best_idx, _dist = fn(
                 self._dev_bytes, self._dev_len, self._dev_total,
                 jnp.asarray(qb), jnp.int32(len(q)), jnp.int32(tol))
             best_idx = int(best_idx)

@@ -126,6 +126,20 @@ class Index:
         return search_many(self.dev, self.pipeline, queries, sp,
                            fuzzy_lookup=fuzzy)
 
+    def stats(self) -> dict:
+        """Live index statistics (observability; counts mirror the
+        reference's idx_get_doc_count/token_count internals)."""
+        self.host.sync()
+        return {
+            "name": self.name,
+            "doc_count": self.host.doc_count,
+            "term_count": self.host.term_count,
+            "token_count": self.host.token_count,
+            "generation": self.host.generation,
+            "algo": self.params.get_str("algo"),
+            "filters": list(self.pipeline.names),
+        }
+
     def _fuzzy_lookup(self, value: str) -> Optional[int]:
         from .fuzzy import FuzzyMatcher
         if self._fuzzy is None:

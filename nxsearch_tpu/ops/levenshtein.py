@@ -93,24 +93,16 @@ def myers_distances(vocab_bytes: jax.Array,  # uint8[T, L] zero-padded
     return score
 
 
-@jax.jit
-def fuzzy_best(vocab_bytes: jax.Array,   # uint8[T, L]
-               vocab_len: jax.Array,     # int32[T] (0 = padding row)
-               term_total: jax.Array,    # uint32[T] (clipped live totals)
-               q_bytes: jax.Array,       # uint8[32]
-               q_len: jax.Array,         # int32
-               tolerance: jax.Array,     # int32
-               ) -> tuple[jax.Array, jax.Array]:
-    """Best fuzzy match: (term_index, distance), term_index -1 if none.
+def select_best(dist, vocab_len, term_total, tolerance):
+    """Pick the winning term from a distance vector.
 
     Eligible: distance <= tolerance and live total > 0.  Highest total
     wins; ties pick the lowest term index (oldest term).  Exact without
     64-bit arithmetic (x64 is disabled by default in JAX): one max
     reduction over totals, then a min reduction over indexes at that
-    total.
+    total.  Returns (term_index or -1, distance at the winner).
     """
-    dist = myers_distances(vocab_bytes, vocab_len, q_bytes, q_len)
-    n_terms = vocab_bytes.shape[0]
+    n_terms = dist.shape[0]
     idx = jnp.arange(n_terms, dtype=jnp.int32)
     eligible = (vocab_len > 0) & (dist <= tolerance) & (term_total > 0)
     best_total = jnp.max(jnp.where(eligible, term_total, jnp.uint32(0)))
@@ -120,3 +112,33 @@ def fuzzy_best(vocab_bytes: jax.Array,   # uint8[T, L]
     best = jnp.where(found, best, 0)
     return (jnp.where(found, best, -1).astype(jnp.int32),
             dist[best].astype(jnp.int32))
+
+
+@jax.jit
+def fuzzy_best(vocab_bytes: jax.Array,   # uint8[T, L]
+               vocab_len: jax.Array,     # int32[T] (0 = padding row)
+               term_total: jax.Array,    # uint32[T] (clipped live totals)
+               q_bytes: jax.Array,       # uint8[32]
+               q_len: jax.Array,         # int32
+               tolerance: jax.Array,     # int32
+               ) -> tuple[jax.Array, jax.Array]:
+    """Best fuzzy match via the jnp Myers sweep."""
+    dist = myers_distances(vocab_bytes, vocab_len, q_bytes, q_len)
+    return select_best(dist, vocab_len, term_total, tolerance)
+
+
+@jax.jit
+def fuzzy_best_pallas(vocab_t: jax.Array,     # uint8[32, T_pad]
+                      vocab_len: jax.Array,   # int32[T_pad]
+                      term_total: jax.Array,  # uint32[T_pad]
+                      q_bytes: jax.Array,     # uint8[32]
+                      q_len: jax.Array,       # int32
+                      tolerance: jax.Array,   # int32
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Best fuzzy match via the Pallas term-per-lane kernel (TPU)."""
+    from .pallas.fuzzy import myers_distances_pallas
+    dist = myers_distances_pallas(
+        vocab_t, vocab_len[None, :],
+        q_bytes.astype(jnp.int32)[None, :],
+        q_len.reshape(1, 1).astype(jnp.int32))[0]
+    return select_best(dist, vocab_len, term_total, tolerance)

@@ -1,0 +1,131 @@
+"""Pallas kernel: bit-parallel Myers edit distance, term-per-lane.
+
+The jnp implementation (ops/levenshtein.py) materializes a [T, 32]
+Peq matrix in HBM and scans it; this kernel keeps everything on-chip:
+the vocabulary is laid out position-major ([32, T], one term per VPU
+lane), each grid step streams one [32, BLK] tile into VMEM, and the 32
+Myers steps run as fused u32 lane ops with the Peq row computed in
+registers -- zero extra HBM traffic beyond reading the vocabulary
+once.
+
+Layout notes:
+- vocab tile [32, BLK] uint8: position-major so step j reads one
+  contiguous [BLK] row; 32 sublanes exactly matches the int8 tile.
+- DP state (PV, MV, score) are [BLK] vectors carried through a
+  fori_loop -- one term's whole DP column lives in one lane's u32.
+
+The kernel is numerically identical to ops/levenshtein.myers_distances
+(property-tested); `distances()` picks the kernel on TPU and interpret
+mode elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_TERMS = 4096
+QUERY_WIDTH = 32
+
+
+def _myers_kernel(q_ref, qlen_ref, vocab_ref, vlen_ref, out_ref):
+    """One vocabulary tile: distances for BLK terms.
+
+    q_ref:    SMEM int32[1, 32]  query bytes (zero-padded)
+    qlen_ref: SMEM int32[1, 1]
+    vocab_ref: VMEM uint8[32, BLK]  position-major term bytes
+    vlen_ref: VMEM int32[1, BLK]
+    out_ref:  VMEM int32[1, BLK]
+    """
+    blk = vocab_ref.shape[1]
+    m = qlen_ref[0, 0]
+    mu = m.astype(jnp.uint32)
+    full = jnp.uint32(0xFFFFFFFF)
+    mask_m = jax.lax.select(
+        m >= 32, full,
+        (jnp.uint32(1) << jnp.minimum(mu, jnp.uint32(31))) - jnp.uint32(1))
+    high_bit = jnp.uint32(1) << jnp.minimum(mu - jnp.uint32(1),
+                                            jnp.uint32(31))
+
+    vlen = vlen_ref[0, :]
+    pv0 = jnp.full((blk,), mask_m, jnp.uint32)
+    mv0 = jnp.zeros((blk,), jnp.uint32)
+    score0 = jnp.full((blk,), m, jnp.int32)
+
+    # Peq for the whole tile in one compiled loop: bit i of
+    # peq_all[j, t] is set where q[i] == term t's byte j.  The loop
+    # carries a [32, BLK] u32 accumulator; only the scalar q byte is
+    # read dynamically (SMEM), so Mosaic has no vector-alignment
+    # constraint to prove.
+    chars_all = vocab_ref[:, :].astype(jnp.int32)
+
+    def peq_body(i, acc):
+        hit = (chars_all == q_ref[0, i]) & (i < m)
+        return acc | (hit.astype(jnp.uint32) << i.astype(jnp.uint32))
+
+    peq_all = lax.fori_loop(
+        0, QUERY_WIDTH, peq_body,
+        jnp.zeros((QUERY_WIDTH, blk), jnp.uint32))
+
+    pv, mv, score = pv0, mv0, score0
+    # The Myers steps unroll over term positions: row reads with
+    # *static* indexes keep Mosaic's sublane alignment checks happy
+    # (a fori_loop induction variable cannot be proven aligned).
+    for j in range(QUERY_WIDTH):
+        peq = peq_all[j, :]
+
+        xv = peq | mv
+        xh = (((peq & pv) + pv) ^ pv) | peq
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+
+        inc = ((ph & high_bit) != 0).astype(jnp.int32)
+        dec = ((mh & high_bit) != 0).astype(jnp.int32)
+        active = j < vlen
+        score = score + jnp.where(active, inc - dec, 0)
+
+        ph = (ph << 1) | jnp.uint32(1)
+        mh = mh << 1
+        new_pv = (mh | ~(xv | ph)) & mask_m
+        new_mv = (ph & xv) & mask_m
+        pv = jnp.where(active, new_pv, pv)
+        mv = jnp.where(active, new_mv, mv)
+
+    out_ref[0, :] = score
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def myers_distances_pallas(
+    vocab_t: jax.Array,    # uint8[32, T_pad] position-major, T_pad % BLK == 0
+    vocab_len: jax.Array,  # int32[1, T_pad]
+    q_bytes: jax.Array,    # int32[1, 32]
+    q_len: jax.Array,      # int32[1, 1]
+    *,
+    interpret: bool = False,
+):
+    """int32[1, T_pad] exact Levenshtein distances."""
+    t_pad = vocab_t.shape[1]
+    grid = (t_pad // BLOCK_TERMS,)
+    return pl.pallas_call(
+        _myers_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, QUERY_WIDTH), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((QUERY_WIDTH, BLOCK_TERMS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_TERMS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_TERMS), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, t_pad), jnp.int32),
+        interpret=interpret,
+    )(q_bytes, q_len, vocab_t, vocab_len)

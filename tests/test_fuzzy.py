@@ -106,6 +106,38 @@ def test_fuzzy_end_to_end(tmp_path):
         nxs.close()
 
 
+def test_pallas_kernel_matches_jnp():
+    """The term-per-lane Pallas kernel (interpret mode on CPU) must be
+    bit-identical to the jnp Myers implementation."""
+    from nxsearch_tpu.ops.pallas.fuzzy import (BLOCK_TERMS,
+                                               myers_distances_pallas)
+    rng = random.Random(5)
+    n = BLOCK_TERMS * 2
+    words = ["".join(rng.choice(string.ascii_lowercase[:5])
+                     for _ in range(rng.randint(1, MAX_TERM_BYTES)))
+             for _ in range(n)]
+    vb = np.zeros((n, MAX_TERM_BYTES), np.uint8)
+    vl = np.zeros(n, np.int32)
+    for i, w in enumerate(words):
+        e = w.encode()
+        vb[i, : len(e)] = np.frombuffer(e, np.uint8)
+        vl[i] = len(e)
+    for q in ("abc", "abcde" * 6, "z", "aaaaa"):
+        e = q.encode()
+        qb = np.zeros(MAX_TERM_BYTES, np.uint8)
+        qb[: len(e)] = np.frombuffer(e, np.uint8)
+        ref = np.asarray(myers_distances(
+            jnp.asarray(vb), jnp.asarray(vl), jnp.asarray(qb),
+            jnp.int32(len(e))))
+        out = np.asarray(myers_distances_pallas(
+            jnp.asarray(np.ascontiguousarray(vb.T)),
+            jnp.asarray(vl[None, :]),
+            jnp.asarray(qb.astype(np.int32)[None, :]),
+            jnp.asarray([[len(e)]], np.int32),
+            interpret=True))[0]
+        assert np.array_equal(ref, out), q
+
+
 def test_device_and_host_paths_agree(tmp_path, monkeypatch):
     rng = random.Random(99)
     words = list({
