@@ -484,4 +484,31 @@ long nxs_text_process(void* vctx, const char* text, long len,
   return static_cast<long>(uniq.size());
 }
 
+long nxs_text_filter_token(void* vctx, const char* value, long len,
+                           char* out, long out_cap) {
+  // Run the filter chain on ONE token without segmentation -- the
+  // query-preparation path (tokenize_value runs each query leaf
+  // through the pipeline whole, src/core/tokenizer.c:205-227).
+  // Returns the output length, 0 for DISCARD, -1 for non-ASCII input,
+  // -2 if the buffer is too small.
+  TextCtx* ctx = static_cast<TextCtx*>(vctx);
+  const unsigned char* u = reinterpret_cast<const unsigned char*>(value);
+  for (long i = 0; i < len; i++)
+    if (u[i] >= 0x80) return -1;
+
+  std::string token(value, static_cast<size_t>(len));
+  if (ctx->flags & kFlagNormalizer) {
+    for (char& c : token)
+      if (c >= 'A' && c <= 'Z') c += 'a' - 'A';
+  }
+  if ((ctx->flags & kFlagStopwords) && !ctx->stopwords.empty() &&
+      ctx->stopwords.count(token))
+    return 0;
+  if (ctx->flags & kFlagStemmer) token = porter2_stem(std::move(token));
+  if (token.empty()) return 0;
+  if (static_cast<long>(token.size()) > out_cap) return -2;
+  std::memcpy(out, token.data(), token.size());
+  return static_cast<long>(token.size());
+}
+
 }  // extern "C"

@@ -29,7 +29,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_TERMS = 4096
+# One native tile per vector op (8 sublanes x 128 lanes): keeps
+# register pressure low through the unrolled Myers steps.
+BLOCK_TERMS = 1024
 QUERY_WIDTH = 32
 
 

@@ -124,6 +124,10 @@ class FilterPipeline:
         Returns the final token value, or None if any filter discarded
         it.  An empty result at any stage is a discard (filters.c:208).
         """
+        if self.native is not None:
+            result = self.native.filter_token(value)
+            if result is not NotImplemented:
+                return result
         for ops, ctx in self._entries:
             value = ops.filter(ctx, value)
             if not value:  # None or empty string => DISCARD

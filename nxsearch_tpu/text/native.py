@@ -59,6 +59,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_long,
             ctypes.POINTER(ctypes.c_int), ctypes.c_long,
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long)]
+        lib.nxs_text_filter_token.restype = ctypes.c_long
+        lib.nxs_text_filter_token.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long]
         _lib = lib
         return _lib
 
@@ -126,6 +130,22 @@ class NativeTextPipeline:
             values = self._buf.raw[: self._nbytes.value - 1] \
                 .decode("ascii").split("\0")
             return values, list(self._counts[:n]), self._seen.value
+
+    def filter_token(self, value: str):
+        """Run the chain on one whole token (no segmentation) -- the
+        query-preparation path.  Returns the filtered token, None for
+        a discard, or NotImplemented to use the Python pipeline."""
+        if self._ctx is None or not value.isascii():
+            return NotImplemented
+        raw = value.encode("ascii")
+        with self._lock:
+            n = self._lib.nxs_text_filter_token(
+                self._ctx, raw, len(raw), self._buf, len(self._buf))
+            if n == 0:
+                return None
+            if n < 0:  # pragma: no cover - ascii + huge-buffer guarded
+                return NotImplemented
+            return self._buf.raw[:n].decode("ascii")
 
     def close(self) -> None:
         if self._ctx is not None:

@@ -143,6 +143,31 @@ def test_non_builtin_chain_has_no_native(registry):
         pipeline.close()
 
 
+def test_filter_token_parity(registry):
+    """Single-token native filtering (the query-prep path) matches the
+    Python chain for ASCII and defers for non-ASCII."""
+    pipeline = make_pipeline(registry)
+    if pipeline.native is None:
+        pytest.skip("native library unavailable")
+    try:
+        python_run = lambda v: _python_chain(pipeline, v)
+        for value in ("Running", "the", "DOGS", "i.b.m", "doesn't",
+                      "nationalization", "x", "", "'quoted'"):
+            assert pipeline.run(value) == python_run(value), value
+        naive = pipeline.native.filter_token("naïve")
+        assert naive is NotImplemented
+    finally:
+        pipeline.close()
+
+
+def _python_chain(pipeline, value):
+    for ops, ctx in pipeline._entries:
+        value = ops.filter(ctx, value)
+        if not value:
+            return None
+    return value
+
+
 def test_native_large_doc_growth(registry):
     """Buffer growth path: > initial unique-token capacity."""
     pipeline = make_pipeline(registry)
