@@ -484,6 +484,123 @@ long nxs_text_process(void* vctx, const char* text, long len,
   return static_cast<long>(uniq.size());
 }
 
+long nxs_text_process_batch(void* vctx, const char* texts,
+                            const long* doc_off, long n_docs,
+                            char* out_table, long table_cap,
+                            long* out_table_n, long* out_table_bytes,
+                            unsigned* out_pairs, long pairs_cap,
+                            long* out_doc_ptr, unsigned* out_seen) {
+  // Whole-batch ingest tokenization: one call per add_many() batch.
+  // Documents are concatenated in `texts` with doc_off[i]..doc_off[i+1]
+  // boundaries.  Produces a batch-level string table of unique tokens
+  // (NUL-separated, first-seen order) and, per document, flattened
+  // (table_index, count) pairs delimited by out_doc_ptr, plus the
+  // surviving token count (seen).  A document containing non-ASCII
+  // bytes contributes no pairs and gets seen == 0xFFFFFFFF: the
+  // caller reprocesses just those through the Python pipeline.
+  // Returns 0, or -2 when a buffer is too small (caller grows+retries).
+  TextCtx* ctx = static_cast<TextCtx*>(vctx);
+
+  std::unordered_map<std::string, size_t> table;
+  std::vector<std::string> table_order;
+  std::vector<unsigned> pairs;     // (table_idx, count) flattened
+  // Per-doc scratch: table_idx -> local position.
+  std::unordered_map<size_t, size_t> local;
+
+  long pair_ptr = 0;
+  std::string token;
+  for (long d = 0; d < n_docs; d++) {
+    out_doc_ptr[d] = pair_ptr;
+    const char* text = texts + doc_off[d];
+    long len = doc_off[d + 1] - doc_off[d];
+    const unsigned char* u = reinterpret_cast<const unsigned char*>(text);
+
+    bool ascii = true;
+    for (long i = 0; i < len; i++)
+      if (u[i] >= 0x80) { ascii = false; break; }
+    if (!ascii) {
+      out_seen[d] = 0xFFFFFFFFu;
+      continue;
+    }
+
+    std::vector<unsigned char> cls(static_cast<size_t>(len));
+    for (long i = 0; i < len; i++)
+      cls[static_cast<size_t>(i)] = kClasses.cls[u[i]];
+
+    local.clear();
+    size_t doc_pairs_start = pairs.size();
+    unsigned seen = 0;
+    auto emit = [&](long s, long e) {
+      bool wordy = false;
+      for (long i = s; i < e; i++) {
+        unsigned char c = cls[static_cast<size_t>(i)];
+        if (c == ALETTER || c == NUMERIC) { wordy = true; break; }
+      }
+      if (!wordy) return;
+      token.assign(text + s, static_cast<size_t>(e - s));
+      if (ctx->flags & kFlagNormalizer) {
+        for (char& c : token)
+          if (c >= 'A' && c <= 'Z') c += 'a' - 'A';
+      }
+      if ((ctx->flags & kFlagStopwords) && !ctx->stopwords.empty() &&
+          ctx->stopwords.count(token))
+        return;
+      if (ctx->flags & kFlagStemmer) token = porter2_stem(std::move(token));
+      if (token.empty()) return;
+      seen++;
+      size_t tix;
+      auto it = table.find(token);
+      if (it != table.end()) {
+        tix = it->second;
+      } else {
+        tix = table_order.size();
+        table.emplace(token, tix);
+        table_order.push_back(token);
+      }
+      auto lit = local.find(tix);
+      if (lit != local.end()) {
+        pairs[lit->second * 2 + 1]++;
+      } else {
+        local.emplace(tix, pairs.size() / 2);
+        pairs.push_back(static_cast<unsigned>(tix));
+        pairs.push_back(1);
+      }
+    };
+
+    if (len > 0) {
+      long start = 0;
+      for (long i = 1; i < len; i++) {
+        if (is_break(cls.data(), len, i)) {
+          emit(start, i);
+          start = i;
+        }
+      }
+      emit(start, len);
+    }
+    (void)doc_pairs_start;
+    out_seen[d] = seen;
+    pair_ptr = static_cast<long>(pairs.size() / 2);
+  }
+  out_doc_ptr[n_docs] = pair_ptr;
+
+  long need_bytes = 0;
+  for (const std::string& t : table_order)
+    need_bytes += static_cast<long>(t.size()) + 1;
+  if (need_bytes > table_cap ||
+      static_cast<long>(pairs.size()) > pairs_cap)
+    return -2;
+  char* w = out_table;
+  for (const std::string& t : table_order) {
+    std::memcpy(w, t.data(), t.size());
+    w += t.size();
+    *w++ = '\0';
+  }
+  std::memcpy(out_pairs, pairs.data(), pairs.size() * sizeof(unsigned));
+  *out_table_n = static_cast<long>(table_order.size());
+  *out_table_bytes = need_bytes;
+  return 0;
+}
+
 long nxs_text_filter_token(void* vctx, const char* value, long len,
                            char* out, long out_cap) {
   // Run the filter chain on ONE token without segmentation -- the

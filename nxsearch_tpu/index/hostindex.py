@@ -407,6 +407,105 @@ class HostIndex:
             self._dt_consumed = committed
             self.generation += 1
 
+    def add_bulk_arrays(self, doc_ids_arr: np.ndarray,
+                        table_values: list[str],
+                        pairs: np.ndarray,      # uint32[n, 2] (tix, count)
+                        doc_ptr: np.ndarray,    # int64[n_docs + 1]
+                        seen: np.ndarray) -> None:
+        """Vectorized batched add: token data arrives as numpy arrays
+        keyed by a batch-level string table (the native tokenizer's
+        output) -- no per-token Python objects anywhere.
+
+        Semantics identical to add_bulk: atomic batch, same journal
+        record bytes, same limits and duplicate checks.
+        """
+        n_docs = len(doc_ids_arr)
+
+        # Phase 1: resolve the batch string table to term IDs under the
+        # terms lock (registering + journaling new terms).
+        tid_of_tix = np.zeros(len(table_values), dtype=np.int64)
+        with self.terms_log.lock_ex():
+            committed = self.terms_log.committed_len()
+            self._consume_terms(committed)
+            buf = bytearray()
+            term_map = self.term_map
+            for i, value in enumerate(table_values):
+                term_id = term_map.get(value)
+                if term_id is None:
+                    encoded = value.encode("utf-8")
+                    if len(encoded) > MAX_TERM_LEN:
+                        raise NxsError(ErrorCode.LIMIT,
+                                       f"term too long ({len(encoded)})")
+                    if len(self.term_values) >= MAX_TERM_ID:
+                        raise NxsError(
+                            ErrorCode.LIMIT,
+                            f"reached the term limit ({MAX_TERM_ID})")
+                    term_id = self._register_term(value)
+                    buf += _TERM_REC.pack(len(encoded))
+                    buf += encoded
+                    buf += b"\x00" * (_pad4(len(encoded)) - len(encoded))
+                tid_of_tix[i] = term_id
+            if buf:
+                committed = self.terms_log.append(bytes(buf), committed)
+                self._terms_consumed = committed
+                self.generation += 1
+
+        # Vectorized: map table indexes to term IDs, sort each doc's
+        # pairs by term ID (one global lexsort).
+        tids = tid_of_tix[pairs[:, 0].astype(np.int64)]
+        counts = pairs[:, 1].astype(np.int64)
+        doc_n = np.diff(doc_ptr)
+        doc_of_pair = np.repeat(np.arange(n_docs, dtype=np.int64), doc_n)
+        order = np.lexsort((tids, doc_of_pair))
+        tids = tids[order]
+        counts = counts[order]
+        blocks = np.column_stack([tids, counts]).astype("<u4")
+
+        # Phase 2: one dtmap append for the batch.
+        with self.dtmap_log.lock_ex():
+            self.terms_sync()
+            committed = self.dtmap_log.committed_len()
+            self._consume_dtmap(committed)
+            batch_ids = set()
+            for doc_id in doc_ids_arr:
+                doc_id = int(doc_id)
+                if doc_id in self.doc_map or doc_id in batch_ids:
+                    raise NxsError(
+                        ErrorCode.EXISTS,
+                        f"document {doc_id} is already indexed")
+                batch_ids.add(doc_id)
+
+            buf = bytearray()
+            offsets = np.zeros(n_docs, dtype=np.int64)
+            for d in range(n_docs):
+                offsets[d] = committed + len(buf)
+                s, e = int(doc_ptr[d]), int(doc_ptr[d + 1])
+                buf += _DT_HDR.pack(int(doc_ids_arr[d]), int(seen[d]),
+                                    e - s)
+                buf += blocks[s:e].tobytes()
+            committed = self.dtmap_log.append(bytes(buf), committed)
+
+            # Bulk in-memory apply (vectorized _apply_block).
+            slot0 = self.doc_ids.n
+            p0 = self.p_term.n
+            self.p_term.extend(tids.astype(np.int32))
+            self.p_count.extend(counts.astype(np.int32))
+            self.p_slot.extend((doc_of_pair + slot0).astype(np.int32))
+            self.doc_ids.extend(doc_ids_arr.astype(np.int64))
+            self.doc_len.extend(seen.astype(np.int32))
+            self.doc_start.extend(doc_ptr[:-1] + p0)
+            self.doc_n.extend(doc_n.astype(np.int32))
+            self.doc_alive.extend(np.ones(n_docs, dtype=np.bool_))
+            self.doc_off.extend(offsets)
+            for i, doc_id in enumerate(doc_ids_arr):
+                self.doc_map[int(doc_id)] = slot0 + i
+            np.add.at(self.term_total.a, tids - 1, counts)
+            np.add.at(self.term_df.a, tids - 1, 1)
+            self.doc_count += n_docs
+            self.token_count += int(seen.sum())
+            self._dt_consumed = committed
+            self.generation += 1
+
     def dtmap_remove(self, doc_id: int) -> None:
         """Tombstone removal (idx_dtmap_remove, dual protocol)."""
         with self.dtmap_log.lock_ex():

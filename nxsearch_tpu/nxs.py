@@ -83,21 +83,71 @@ class Index:
         Same per-document semantics as add() (non-zero unique IDs,
         non-empty token sets), but the batch is atomic and the journal
         appends are amortized -- the high-throughput ingest path (no
-        reference equivalent; the C engine locks per document)."""
-        items = []
-        for doc_id, text in docs:
+        reference equivalent; the C engine locks per document).
+
+        With the native pipeline, the whole batch tokenizes in one C++
+        call and flows to the journals as numpy arrays; non-ASCII
+        documents detour through the Python pipeline and are merged
+        back so the batch stays atomic.
+        """
+        import numpy as np
+
+        if not docs:
+            return
+        for doc_id, _ in docs:
             if doc_id == 0:
                 raise NxsError(ErrorCode.INVALID,
                                "document ID must be non-zero")
-            tokens = tokenize(self.pipeline, text)
-            if tokens.count == 0:
-                raise NxsError(
-                    ErrorCode.MISSING,
-                    f"document {doc_id}: the text is empty or no "
-                    "meaningful tokens found")
-            items.append((doc_id, tokens))
-        if items:
+
+        native = self.pipeline.native
+        result = native.process_batch([t for _, t in docs]) \
+            if native is not None else None
+        if result is None:
+            items = []
+            for doc_id, text in docs:
+                tokens = tokenize(self.pipeline, text)
+                if tokens.count == 0:
+                    raise NxsError(
+                        ErrorCode.MISSING,
+                        f"document {doc_id}: the text is empty or no "
+                        "meaningful tokens found")
+                items.append((doc_id, tokens))
             self.host.add_bulk(items)
+            return
+
+        values, pairs, doc_ptr, seen = result
+        bad = np.nonzero(seen == 0xFFFFFFFF)[0]
+        if len(bad):
+            # Non-ASCII documents: Python pipeline, splice into the
+            # batch table/pairs.
+            table_index = {v: i for i, v in enumerate(values)}
+            segments = [pairs[doc_ptr[d]: doc_ptr[d + 1]]
+                        for d in range(len(docs))]
+            for d in bad:
+                tokens = tokenize(self.pipeline, docs[d][1])
+                rows = np.zeros((len(tokens.tokens), 2), dtype=np.uint32)
+                for r, token in enumerate(tokens.tokens):
+                    ix = table_index.get(token.value)
+                    if ix is None:
+                        ix = len(values)
+                        values.append(token.value)
+                        table_index[token.value] = ix
+                    rows[r] = (ix, token.count)
+                segments[d] = rows
+                seen[d] = tokens.seen
+            pairs = np.concatenate(segments) if segments else pairs
+            doc_ptr = np.zeros(len(docs) + 1, dtype=np.int64)
+            np.cumsum([len(s) for s in segments], out=doc_ptr[1:])
+
+        empty = np.nonzero(seen == 0)[0]
+        if len(empty):
+            raise NxsError(
+                ErrorCode.MISSING,
+                f"document {docs[int(empty[0])][0]}: the text is empty "
+                "or no meaningful tokens found")
+        self.host.add_bulk_arrays(
+            np.asarray([d for d, _ in docs], dtype=np.int64),
+            values, pairs, doc_ptr, seen)
 
     def remove(self, doc_id: int) -> None:
         """Remove a document (nxs_index_remove -> tombstone)."""

@@ -63,6 +63,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.nxs_text_filter_token.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long,
             ctypes.c_char_p, ctypes.c_long]
+        lib.nxs_text_process_batch.restype = ctypes.c_long
+        lib.nxs_text_process_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_uint), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_uint)]
         _lib = lib
         return _lib
 
@@ -130,6 +138,63 @@ class NativeTextPipeline:
             values = self._buf.raw[: self._nbytes.value - 1] \
                 .decode("ascii").split("\0")
             return values, list(self._counts[:n]), self._seen.value
+
+    def process_batch(self, texts: list[str]):
+        """Tokenize a whole document batch in one native call.
+
+        Returns (table_values, pairs, doc_ptr, seen) where
+        ``table_values`` is the batch's unique filtered tokens in
+        first-seen order, ``pairs`` is uint32[n, 2] of
+        (table_index, count) rows, ``doc_ptr`` int64[n_docs+1] bounds
+        each document's rows, and ``seen`` uint32[n_docs] is its
+        surviving token count -- 0xFFFFFFFF marks a non-ASCII document
+        the caller must run through the Python pipeline.  Returns None
+        when the native library is unavailable.
+        """
+        import numpy as np
+
+        if self._ctx is None:
+            return None
+        offs = [0]
+        parts = []
+        for text in texts:
+            raw = text.encode("utf-8")
+            parts.append(raw)
+            offs.append(offs[-1] + len(raw))
+        blob = b"".join(parts)
+        doc_off = (ctypes.c_long * len(offs))(*offs)
+        n_docs = len(texts)
+
+        table_cap = max(1 << 20, len(blob) + 1024)
+        pairs_cap = max(1 << 16, len(blob) // 2 + 1024)
+        doc_ptr = (ctypes.c_long * (n_docs + 1))()
+        seen = (ctypes.c_uint * max(n_docs, 1))()
+        table_n = ctypes.c_long(0)
+        table_bytes = ctypes.c_long(0)
+        with self._lock:
+            while True:
+                table_buf = ctypes.create_string_buffer(table_cap)
+                pairs_buf = (ctypes.c_uint * pairs_cap)()
+                rc = self._lib.nxs_text_process_batch(
+                    self._ctx, blob, doc_off, n_docs,
+                    table_buf, table_cap,
+                    ctypes.byref(table_n), ctypes.byref(table_bytes),
+                    pairs_buf, pairs_cap, doc_ptr, seen)
+                if rc == -2:
+                    table_cap *= 4
+                    pairs_cap *= 4
+                    continue
+                break
+            n_table = table_n.value
+            values = (table_buf.raw[: table_bytes.value - 1]
+                      .decode("ascii").split("\0") if n_table else [])
+            doc_ptr_np = np.frombuffer(doc_ptr, dtype=np.int64).copy()
+            n_pairs = int(doc_ptr_np[-1])
+            pairs = np.frombuffer(pairs_buf, dtype=np.uint32,
+                                  count=2 * n_pairs).reshape(-1, 2).copy()
+            seen_np = np.frombuffer(seen, dtype=np.uint32,
+                                    count=n_docs).copy()
+        return values, pairs, doc_ptr_np, seen_np
 
     def filter_token(self, value: str):
         """Run the chain on one whole token (no segmentation) -- the
