@@ -109,6 +109,70 @@ def sharded_search(
       q_idf, adl, prog_ops, prog_args)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "budget", "k", "algo", "use_mask", "depth"),
+)
+def sharded_search_batch(
+    postings_slot: jax.Array,   # int32[n_dev, Ps_pad]
+    postings_ltf: jax.Array,    # float32[n_dev, Ps_pad]
+    doc_len: jax.Array,         # float32[n_dev, Ss]
+    q_start: jax.Array,         # int32[n_dev, N, Q] per-shard, per-query
+    q_len: jax.Array,           # int32[n_dev, N, Q]
+    q_idf: jax.Array,           # float32[N, Q] (replicated)
+    adl: jax.Array,             # float32 scalar (replicated)
+    prog_ops: jax.Array,        # int32[N, L] (replicated)
+    prog_args: jax.Array,
+    *,
+    mesh: Mesh,
+    budget: int,
+    k: int,
+    algo: int,
+    use_mask: bool,
+    depth: int = 8,
+):
+    """Batched doc-sharded search: vmap of the candidate core inside
+    the shard_map body, one ICI all_gather for the whole batch.
+    Returns replicated (scores f32[N, k'], global slots i32[N, k'])."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    slots_per_shard = doc_len.shape[1]
+    k_local = min(k, budget)
+    k_final = min(k, n_dev * k_local)
+
+    def shard_body(pslot, pltf, dlen, qs, qlen, qidf, adl_s, pops, pargs):
+        def one(q_s, q_l, q_i, p_o, p_a):
+            return candidate_topk(
+                pslot[0], pltf[0], dlen[0], q_s, q_l, q_i, adl_s,
+                p_o, p_a, budget=budget, k=k_local, algo=algo,
+                use_mask=use_mask, depth=depth)
+
+        local_scores, local_slots = jax.vmap(one)(
+            qs[0], qlen[0], qidf, pops, pargs)     # [N, k_local]
+        global_slots = (local_slots
+                        + lax.axis_index(axis) * slots_per_shard)
+        all_scores = lax.all_gather(local_scores, axis, axis=1)
+        all_slots = lax.all_gather(global_slots, axis, axis=1)
+        n = all_scores.shape[0]
+        all_scores = all_scores.reshape(n, -1)
+        all_slots = all_slots.reshape(n, -1)
+        m_scores, m_idx = lax.top_k(all_scores, k_final)
+        return m_scores, jnp.take_along_axis(all_slots, m_idx, axis=1)
+
+    sharded = P(mesh.axis_names[0], None)
+    sharded3 = P(mesh.axis_names[0], None, None)
+    repl = P()
+    return jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(sharded, sharded, sharded, sharded3, sharded3,
+                  repl, repl, repl, repl),
+        out_specs=(repl, repl),
+        check_vma=False,
+    )(postings_slot, postings_ltf, doc_len, q_start, q_len,
+      q_idf, adl, prog_ops, prog_args)
+
+
 class ShardedDeviceIndex:
     """Doc-sharded device mirror of one HostIndex generation.
 

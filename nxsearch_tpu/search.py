@@ -284,31 +284,43 @@ def execute_query_batch(dev, queries: list[Query],
     # Launch every group's device call first (dispatch is async), then
     # collect -- device work and transfers for all groups overlap.
     from .ops.executor import device_search_dense_batch
+    sharded = hasattr(dev, "mesh")
     pending = []
     for key, members in groups.items():
         sample = plans[members[0]]
-        if hasattr(dev, "mesh"):
-            # The sharded path stays per-query for now.
-            for i in members:
-                responses[i] = execute_query(dev, queries[i], sp)
-            continue
         n = len(members)
         n_pad = _bucket(n, 8)
         q_pad = sample.q_start.shape[-1]
         prog_len = len(sample.prog_ops)
-        q_start = np.zeros((n_pad, q_pad), dtype=np.int32)
-        q_len = np.zeros((n_pad, q_pad), dtype=np.int32)
+        lead = (dev.n_dev,) if sharded else ()
+        # Query axis placement: [n_dev, N, Q] sharded, [N, Q] otherwise.
+        q_start = np.zeros(lead + (n_pad, q_pad), dtype=np.int32)
+        q_len = np.zeros(lead + (n_pad, q_pad), dtype=np.int32)
         q_idf = np.zeros((n_pad, q_pad), dtype=np.float32)
         prog_ops = np.zeros((n_pad, prog_len), dtype=np.int32)
         prog_args = np.zeros((n_pad, prog_len), dtype=np.int32)
         for row, i in enumerate(members):
             p = plans[i]
-            q_start[row] = p.q_start
-            q_len[row] = p.q_len
+            if sharded:
+                q_start[:, row] = p.q_start
+                q_len[:, row] = p.q_len
+            else:
+                q_start[row] = p.q_start
+                q_len[row] = p.q_len
             q_idf[row] = p.q_idf
             prog_ops[row] = p.prog_ops
             prog_args[row] = p.prog_args
-        if sample.use_dense:
+        if sharded:
+            from .parallel.sharded import sharded_search_batch
+            scores, slots = sharded_search_batch(
+                dev.postings_slot, dev.postings_ltf, dev.doc_len,
+                jnp.asarray(q_start), jnp.asarray(q_len),
+                jnp.asarray(q_idf), jnp.float32(dev.adl),
+                jnp.asarray(prog_ops), jnp.asarray(prog_args),
+                mesh=dev.mesh, budget=sample.budget, k=k, algo=sp.algo,
+                use_mask=sample.use_mask, depth=sample.depth,
+            )
+        elif sample.use_dense:
             scores, slots = device_search_dense_batch(
                 dev.postings_slot, dev.postings_ltf, dev.doc_len,
                 jnp.asarray(q_start), jnp.asarray(q_len),

@@ -47,6 +47,23 @@ def test_batch_matches_sequential(index, algo):
         assert resp.count == single.count
 
 
+def test_sharded_batch_matches_sequential(tmp_path):
+    import jax
+
+    from nxsearch_tpu.parallel import make_mesh
+    nxs = Nxs(str(tmp_path), mesh=make_mesh(jax.devices()))
+    try:
+        idx = nxs.index_create("sb")
+        for doc_id, text in DOCS:
+            idx.add(doc_id, text)
+        batched = idx.search_many(QUERIES)
+        for query, resp in zip(QUERIES, batched):
+            single = idx.search(query)
+            assert dict(resp) == pytest.approx(dict(single), abs=1e-6), query
+    finally:
+        nxs.close()
+
+
 def test_batch_respects_limit(index):
     responses = index.search_many(["dog fox cat"],
                                   Params().set_uint("limit", 2))
