@@ -126,6 +126,12 @@ class SearchService:
                                    "msg": f"{type(e).__name__}: {e}"}}
 
     def _dispatch(self, method, parts, query, body):
+        if method == "GET" and parts[:1] == ["docs"]:
+            from .openapi import DOCS_HTML, OPENAPI
+            if len(parts) == 1:
+                return 200, DOCS_HTML
+            if parts[1:] == ["openapi.json"]:
+                return 200, OPENAPI
         if len(parts) == 3 and method == "POST" and parts[0] == "filters" \
                 and parts[2] == "py":
             return self._post_filter(parts[1], query, body)
@@ -272,10 +278,14 @@ def make_handler(svc: SearchService):
             body = self.rfile.read(length) if length else b""
             status, payload = svc.handle(method, parsed.path, query, body)
             data = b""
-            if payload is not None:
+            ctype = "application/json"
+            if isinstance(payload, str):   # pre-rendered (e.g. /docs)
+                data = payload.encode("utf-8")
+                ctype = "text/html; charset=utf-8"
+            elif payload is not None:
                 data = json.dumps(payload).encode("utf-8")
             self.send_response(status)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             if data:

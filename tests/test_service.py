@@ -126,6 +126,16 @@ def test_svc_filter_post(server):
     assert results["count"] == 1  # "fox" was dropped by the filter
 
 
+def test_svc_docs(server):
+    status, body = req("GET", f"{server}/docs")
+    assert status == 200 and b"openapi.json" in body
+    status, body = req("GET", f"{server}/docs/openapi.json")
+    assert status == 200
+    spec = json.loads(body)
+    assert spec["openapi"].startswith("3.")
+    assert "/{index}/search" in spec["paths"]
+
+
 def test_svc_filter_post_gated(tmp_path, monkeypatch):
     monkeypatch.delenv("NXS_ENABLE_PY_POST", raising=False)
     svc = SearchService(str(tmp_path))
