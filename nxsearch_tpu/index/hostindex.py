@@ -91,7 +91,10 @@ class _PartialStop(Exception):
 class HostIndex:
     """One open index over its journal files (nxs_index_t analogue)."""
 
-    def __init__(self, idxdir: str, durable_sync: bool = False):
+    SNAPSHOT_VERSION = 1
+
+    def __init__(self, idxdir: str, durable_sync: bool = False,
+                 use_snapshot: bool = True):
         self.idxdir = idxdir
         os.makedirs(idxdir, exist_ok=True)
         self.terms_log = LogFile(os.path.join(idxdir, "terms.db"),
@@ -129,7 +132,10 @@ class HostIndex:
         self._terms_consumed = 0
         self._dt_consumed = 0
         self.generation = 0                     # bumped on any change
+        self._snapshot_gen = -1                 # generation last saved
 
+        if use_snapshot:
+            self._load_snapshot()
         self.sync()
 
     # ------------------------------------------------------------------
@@ -610,6 +616,134 @@ class HostIndex:
             "token_count": self.token_count,
             "generation": self.generation,
         }
+
+    # ------------------------------------------------------------------
+    # Fast-open snapshot cache
+    # ------------------------------------------------------------------
+    # The journals remain the single source of truth (the reference's
+    # "the index IS the checkpoint" stance, SURVEY §5); the snapshot is
+    # a derived-state cache so opening a large index replays only the
+    # journal tail instead of the full history.  Written atomically;
+    # a stale or missing snapshot just means more tail to replay, and
+    # destroying the index removes it with the directory.
+
+    @property
+    def _snapshot_path(self) -> str:
+        return os.path.join(self.idxdir, "snapshot.npz")
+
+    def save_snapshot(self) -> bool:
+        """Persist the in-memory derived state (best-effort)."""
+        if self.generation == self._snapshot_gen:
+            return False
+        if any("\x00" in v for v in self.term_values):
+            return False  # NUL-separated blob cannot hold such terms
+        values_blob = "\x00".join(self.term_values).encode("utf-8")
+        tmp = self._snapshot_path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(
+                f,
+                version=np.int64(self.SNAPSHOT_VERSION),
+                terms_consumed=np.int64(self._terms_consumed),
+                dt_consumed=np.int64(self._dt_consumed),
+                doc_count=np.int64(self.doc_count),
+                token_count=np.int64(self.token_count),
+                values_blob=np.frombuffer(values_blob, dtype=np.uint8),
+                n_terms=np.int64(len(self.term_values)),
+                term_total=self.term_total.view(),
+                term_df=self.term_df.view(),
+                p_term=self.p_term.view(),
+                p_count=self.p_count.view(),
+                p_slot=self.p_slot.view(),
+                doc_ids=self.doc_ids.view(),
+                doc_len=self.doc_len.view(),
+                doc_start=self.doc_start.view(),
+                doc_n=self.doc_n.view(),
+                doc_alive=self.doc_alive.view(),
+                doc_off=self.doc_off.view(),
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._snapshot_path)
+        self._snapshot_gen = self.generation
+        return True
+
+    def _load_snapshot(self) -> bool:
+        try:
+            with np.load(self._snapshot_path) as z:
+                if int(z["version"]) != self.SNAPSHOT_VERSION:
+                    return False
+                terms_consumed = int(z["terms_consumed"])
+                dt_consumed = int(z["dt_consumed"])
+                # The snapshot must not be ahead of the journals (e.g.
+                # journals truncated/recreated out-of-band).
+                with self.terms_log.lock_sh():
+                    if self.terms_log.committed_len() < terms_consumed:
+                        return False
+                with self.dtmap_log.lock_sh():
+                    if self.dtmap_log.committed_len() < dt_consumed:
+                        return False
+
+                n_terms = int(z["n_terms"])
+                blob = z["values_blob"].tobytes().decode("utf-8")
+                self.term_values = blob.split("\x00") if n_terms else []
+                if len(self.term_values) != n_terms:  # pragma: no cover
+                    raise ValueError("snapshot term count mismatch")
+                self.term_map = {
+                    v: i + 1 for i, v in enumerate(self.term_values)}
+
+                def grow(dtype, arr):
+                    g = _Grow(dtype, max(len(arr), 1024))
+                    g.extend(arr)
+                    return g
+
+                self.term_total = grow(np.int64, z["term_total"])
+                self.term_df = grow(np.int64, z["term_df"])
+                self.p_term = grow(np.int32, z["p_term"])
+                self.p_count = grow(np.int32, z["p_count"])
+                self.p_slot = grow(np.int32, z["p_slot"])
+                self.doc_ids = grow(np.int64, z["doc_ids"])
+                self.doc_len = grow(np.int32, z["doc_len"])
+                self.doc_start = grow(np.int64, z["doc_start"])
+                self.doc_n = grow(np.int32, z["doc_n"])
+                self.doc_alive = grow(np.bool_, z["doc_alive"])
+                self.doc_off = grow(np.int64, z["doc_off"])
+                alive = self.doc_alive.view()
+                ids = self.doc_ids.view()
+                slots = np.arange(len(ids))
+                self.doc_map = dict(zip(ids[alive].tolist(),
+                                        slots[alive].tolist()))
+                self.doc_count = int(z["doc_count"])
+                self.token_count = int(z["token_count"])
+                self._terms_consumed = terms_consumed
+                self._dt_consumed = dt_consumed
+                self._snapshot_gen = self.generation
+                return True
+        except FileNotFoundError:
+            return False
+        except Exception:
+            # Corrupt/unreadable snapshot: fall back to full replay.
+            self._reset_state()
+            return False
+
+    def _reset_state(self) -> None:
+        self.term_values = []
+        self.term_map = {}
+        self.term_total = _Grow(np.int64)
+        self.term_df = _Grow(np.int64)
+        self.p_term = _Grow(np.int32, 4096)
+        self.p_count = _Grow(np.int32, 4096)
+        self.p_slot = _Grow(np.int32, 4096)
+        self.doc_ids = _Grow(np.int64)
+        self.doc_len = _Grow(np.int32)
+        self.doc_start = _Grow(np.int64)
+        self.doc_n = _Grow(np.int32)
+        self.doc_alive = _Grow(np.bool_)
+        self.doc_off = _Grow(np.int64)
+        self.doc_map = {}
+        self.doc_count = 0
+        self.token_count = 0
+        self._terms_consumed = 0
+        self._dt_consumed = 0
 
     def close(self) -> None:
         self.terms_log.close()

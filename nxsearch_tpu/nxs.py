@@ -196,7 +196,16 @@ class Index:
             self._fuzzy = FuzzyMatcher(self.host)
         return self._fuzzy.lookup(value)
 
+    def checkpoint(self) -> bool:
+        """Write the fast-open snapshot cache (derived-state only; the
+        journals remain the source of truth).  Also written on close."""
+        return self.host.save_snapshot()
+
     def close(self) -> None:
+        try:
+            self.host.save_snapshot()
+        except OSError:  # pragma: no cover - best-effort cache
+            pass
         self.pipeline.close()
         self.host.close()
 

@@ -1,0 +1,100 @@
+"""Fast-open snapshot cache: correctness + tail replay + corruption."""
+
+import numpy as np
+import pytest
+
+from nxsearch_tpu import Nxs
+from nxsearch_tpu.index.hostindex import HostIndex
+
+
+def _state(h: HostIndex):
+    """Live-semantics view: slot numbering may legitimately differ
+    between a snapshot-restored process and a fresh journal replay
+    (fresh readers skip zeroed removed-doc blocks entirely, like the
+    reference), so compare per-document content, not raw slots."""
+    docs = {}
+    for doc_id, slot in h.doc_map.items():
+        start = int(h.doc_start.a[slot])
+        n = int(h.doc_n.a[slot])
+        pairs = sorted(zip(h.p_term.a[start: start + n].tolist(),
+                           h.p_count.a[start: start + n].tolist()))
+        docs[doc_id] = (int(h.doc_len.a[slot]), pairs)
+    return {
+        "terms": list(h.term_values),
+        "docs": docs,
+        "doc_count": h.doc_count,
+        "token_count": h.token_count,
+        "totals": h.term_total.view().tolist(),
+        "df": h.term_df.view().tolist(),
+    }
+
+
+def test_snapshot_roundtrip_equals_replay(tmp_path):
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("snap")
+    idx.add_many([(i, f"document number {i} about topic{i % 7}")
+                  for i in range(1, 201)])
+    idx.remove(5)
+    idx.remove(77)
+    nxs.close()  # writes the snapshot
+
+    fast = HostIndex(str(tmp_path / "data" / "snap"))
+    slow = HostIndex(str(tmp_path / "data" / "snap"), use_snapshot=False)
+    try:
+        assert fast._snapshot_gen >= 0   # snapshot actually loaded
+        assert _state(fast) == _state(slow)
+    finally:
+        fast.close()
+        slow.close()
+
+
+def test_snapshot_plus_tail_replay(tmp_path):
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("tail")
+    idx.add(1, "first document here")
+    idx.checkpoint()
+    # Post-snapshot writes land in the journal tail only.
+    idx.add(2, "second document arrives later")
+    idx.remove(1)
+    nxs.close_no_snapshot = True  # (attribute unused; explicit intent)
+    idx.host.close()              # close WITHOUT saving a new snapshot
+    nxs._indexes.clear()
+
+    h = HostIndex(str(tmp_path / "data" / "tail"))
+    ref = HostIndex(str(tmp_path / "data" / "tail"), use_snapshot=False)
+    try:
+        assert _state(h) == _state(ref)
+        assert 2 in h.doc_map and 1 not in h.doc_map
+    finally:
+        h.close()
+        ref.close()
+
+
+def test_corrupt_snapshot_falls_back(tmp_path):
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("corrupt")
+    idx.add(1, "some proper words")
+    nxs.close()
+    (tmp_path / "data" / "corrupt" / "snapshot.npz").write_bytes(
+        b"not an npz at all")
+    h = HostIndex(str(tmp_path / "data" / "corrupt"))
+    try:
+        assert h.doc_count == 1
+        assert h.term_lookup("word") is not None
+    finally:
+        h.close()
+
+
+def test_search_after_snapshot_open(tmp_path):
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("srch")
+    idx.add(1, "the quick brown fox")
+    idx.add(2, "lazy dogs sleeping")
+    nxs.close()
+
+    nxs = Nxs(str(tmp_path))
+    try:
+        idx = nxs.index_open("srch")
+        assert {d for d, _ in idx.search("fox dog")} == {1, 2}
+    finally:
+        nxs.close()
