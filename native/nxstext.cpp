@@ -77,8 +77,10 @@ inline bool is_break(const unsigned char* cls, long n, long i) {
       right == CR || right == LF || right == NEWLINE)
     return true;                                               // WB3a/b
   if (left == WSEGSPACE && right == WSEGSPACE) return false;   // WB3d
-  unsigned char ll = (i >= 2) ? cls[i - 2] : OTHER;
-  unsigned char rr = (i + 1 < n) ? cls[i + 1] : OTHER;
+  unsigned char ll = (i >= 2) ? cls[i - 2]
+                              : static_cast<unsigned char>(OTHER);
+  unsigned char rr = (i + 1 < n) ? cls[i + 1]
+                                 : static_cast<unsigned char>(OTHER);
   if (left == ALETTER && right == ALETTER) return false;       // WB5
   if (left == ALETTER && is_mid_letter_q(right) && rr == ALETTER)
     return false;                                              // WB6

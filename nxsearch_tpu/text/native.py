@@ -22,7 +22,10 @@ _FLAG_STEMMER = 4
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libnxstext.so")
+# NXS_NATIVE_LIB overrides the library path (e.g. the sanitizer build,
+# native/libnxstext_san.so, run under LD_PRELOAD'ed libasan).
+_LIB_PATH = os.environ.get(
+    "NXS_NATIVE_LIB", os.path.join(_NATIVE_DIR, "libnxstext.so"))
 
 _lib = None
 _lib_lock = threading.Lock()
