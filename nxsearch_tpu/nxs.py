@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 from typing import Optional
 
 import jax
@@ -55,6 +56,13 @@ class Index:
         else:
             self.dev = DeviceIndex(self.host, device=device)
         self._fuzzy = None  # lazily-built fuzzy matcher
+        # Serializes journal-tail consumption and in-memory mutation
+        # across threads sharing this handle (the service shares one
+        # Index per name across request threads; without this, two
+        # concurrent sync()s could double-apply the same tail).  The
+        # reference sidesteps this by giving every nginx worker its
+        # own process-private handle.
+        self._lock = threading.RLock()
 
     # -- operations (nxs.c:490-566) ---------------------------------------
 
@@ -64,17 +72,18 @@ class Index:
         if doc_id == 0:
             raise NxsError(ErrorCode.INVALID,
                            "document ID must be non-zero")
-        if self.host.doc_lookup(doc_id) is not None:
-            raise NxsError(ErrorCode.EXISTS,
-                           f"document {doc_id} is already indexed")
-        tokens = tokenize(self.pipeline, text)
-        if tokens.count == 0:
-            raise NxsError(
-                ErrorCode.MISSING,
-                "the text is empty or no meaningful tokens found")
-        tokens.resolve(self.host.term_lookup, TOKENSET_STAGE)
-        self.host.terms_add(tokens)
-        self.host.dtmap_add(doc_id, tokens)
+        with self._lock:
+            if self.host.doc_lookup(doc_id) is not None:
+                raise NxsError(ErrorCode.EXISTS,
+                               f"document {doc_id} is already indexed")
+            tokens = tokenize(self.pipeline, text)
+            if tokens.count == 0:
+                raise NxsError(
+                    ErrorCode.MISSING,
+                    "the text is empty or no meaningful tokens found")
+            tokens.resolve(self.host.term_lookup, TOKENSET_STAGE)
+            self.host.terms_add(tokens)
+            self.host.dtmap_add(doc_id, tokens)
 
     def add_many(self, docs: list[tuple[int, str]],
                  params: Optional[Params] = None) -> None:
@@ -98,6 +107,15 @@ class Index:
             if doc_id == 0:
                 raise NxsError(ErrorCode.INVALID,
                                "document ID must be non-zero")
+
+        self._lock.acquire()
+        try:
+            return self._add_many_locked(docs)
+        finally:
+            self._lock.release()
+
+    def _add_many_locked(self, docs):
+        import numpy as np
 
         native = self.pipeline.native
         result = native.process_batch([t for _, t in docs]) \
@@ -151,17 +169,20 @@ class Index:
 
     def remove(self, doc_id: int) -> None:
         """Remove a document (nxs_index_remove -> tombstone)."""
-        self.host.dtmap_remove(doc_id)
+        with self._lock:
+            self.host.dtmap_remove(doc_id)
 
     def search(self, query: str, params: Optional[Params] = None) -> Response:
         """Search the index (nxs_index_search)."""
         sp = get_search_params(self.algo, params)
         # Consume other writers' journal tails before the query
         # (search.c:309-310), then refresh the device snapshot.
-        self.host.sync()
-        self.dev.refresh()
-        fuzzy = self._fuzzy_lookup if sp.fuzzymatch else None
-        return search(self.dev, self.pipeline, query, sp, fuzzy_lookup=fuzzy)
+        with self._lock:
+            self.host.sync()
+            self.dev.refresh()
+            fuzzy = self._fuzzy_lookup if sp.fuzzymatch else None
+            return search(self.dev, self.pipeline, query, sp,
+                          fuzzy_lookup=fuzzy)
 
     def search_many(self, queries: list[str],
                     params: Optional[Params] = None) -> list[Response]:
@@ -170,16 +191,18 @@ class Index:
         the high-QPS serving path (no reference equivalent -- the C
         engine is one-query-per-call)."""
         sp = get_search_params(self.algo, params)
-        self.host.sync()
-        self.dev.refresh()
-        fuzzy = self._fuzzy_lookup if sp.fuzzymatch else None
-        return search_many(self.dev, self.pipeline, queries, sp,
-                           fuzzy_lookup=fuzzy)
+        with self._lock:
+            self.host.sync()
+            self.dev.refresh()
+            fuzzy = self._fuzzy_lookup if sp.fuzzymatch else None
+            return search_many(self.dev, self.pipeline, queries, sp,
+                               fuzzy_lookup=fuzzy)
 
     def stats(self) -> dict:
         """Live index statistics (observability; counts mirror the
         reference's idx_get_doc_count/token_count internals)."""
-        self.host.sync()
+        with self._lock:
+            self.host.sync()
         return {
             "name": self.name,
             "doc_count": self.host.doc_count,
