@@ -74,13 +74,18 @@ class _IndexCache:
                 if time.monotonic() < expires:
                     self._map.move_to_end(name)
                     return idx
-                self._drop_locked(name)
+                # Expired: the handle self-syncs on every operation, so
+                # just renew it (the reference's TTL re-opens because
+                # its cached C handles do not).
+                self._map.pop(name, None)
             idx = self.nxs.index_get(name)
             self._map[name] = (idx, time.monotonic() + self.ttl)
             while len(self._map) > self.size:
-                old, _ = self._map.popitem(last=False)
-                self.nxs.index_close(self.nxs._indexes[old]) \
-                    if old in self.nxs._indexes else None
+                # Evict from the cache only; the engine keeps the
+                # handle open (another request thread may be mid-query
+                # on it -- the reference's LRU likewise just drops its
+                # reference and lets GC close later).
+                self._map.popitem(last=False)
             return idx
 
     def put(self, name: str, idx: Index) -> None:
