@@ -45,11 +45,14 @@ def make_corpus(n_docs: int, vocab: int, mean_len: int, rng):
     probs = 1.0 / (ranks + 10.0)
     probs /= probs.sum()
     words = np.array([f"w{i:05d}" for i in range(vocab)])
-    docs = []
     lengths = rng.poisson(mean_len, n_docs).clip(5, None)
-    for i in range(n_docs):
-        ids = rng.choice(vocab, size=lengths[i], p=probs)
-        docs.append(" ".join(words[ids]))
+    # One vectorized draw for the whole corpus (rng.choice with p=
+    # pays O(vocab) setup per call).
+    all_ids = rng.choice(vocab, size=int(lengths.sum()), p=probs)
+    bounds = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lengths, out=bounds[1:])
+    docs = [" ".join(words[all_ids[bounds[i]: bounds[i + 1]]])
+            for i in range(n_docs)]
     return docs, words, probs
 
 
