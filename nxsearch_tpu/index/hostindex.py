@@ -36,7 +36,7 @@ import numpy as np
 
 from ..errors import ErrorCode, NxsError
 from ..text.tokenizer import TokenSet
-from .storage import (HEADER_SIZE, MAGIC_DTMAP, MAGIC_TERMS, LogFile)
+from .storage import MAGIC_DTMAP, MAGIC_TERMS, LogFile
 
 # Limits (reference: terms.c:226-235, index.h).
 MAX_TERM_LEN = 0xFFFF           # UINT16_MAX bytes

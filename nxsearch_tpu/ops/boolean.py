@@ -23,8 +23,6 @@ compiled executable.  Nesting is bounded by the reference's limit of
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -2,7 +2,7 @@
 
 import pytest
 
-from nxsearch_tpu import Nxs, Params
+from nxsearch_tpu import Nxs
 from nxsearch_tpu.errors import ErrorCode, NxsError
 
 

@@ -10,7 +10,6 @@ exercising the flock + publish/sync protocol.
 
 import threading
 
-import numpy as np
 import pytest
 
 from nxsearch_tpu.errors import ErrorCode, NxsError

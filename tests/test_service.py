@@ -7,7 +7,6 @@ posting gate, and error shapes -- against a live ThreadingHTTPServer.
 """
 
 import json
-import os
 import threading
 import urllib.error
 import urllib.request

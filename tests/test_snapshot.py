@@ -1,8 +1,5 @@
 """Fast-open snapshot cache: correctness + tail replay + corruption."""
 
-import numpy as np
-import pytest
-
 from nxsearch_tpu import Nxs
 from nxsearch_tpu.index.hostindex import HostIndex
 
