@@ -281,12 +281,24 @@ def execute_query_batch(dev, queries: list[Query],
         if plan is not None:
             groups.setdefault(plan.batch_key, []).append(i)
 
+    # Cap per-dispatch working-set: the batched executors materialize
+    # O(N * budget) temporaries, so high-budget groups are chunked to
+    # keep N * budget bounded (~2^26 elements ≈ a few hundred MB of
+    # f32/i32 temps on device).
+    _ELEMS_CAP = 1 << 26
+    chunked: list[tuple[tuple, list[int]]] = []
+    for key, members in groups.items():
+        budget = plans[members[0]].budget
+        max_n = max(1, _ELEMS_CAP // max(budget, 1))
+        for at in range(0, len(members), max_n):
+            chunked.append((key, members[at: at + max_n]))
+
     # Launch every group's device call first (dispatch is async), then
     # collect -- device work and transfers for all groups overlap.
     from .ops.executor import device_search_dense_batch
     sharded = hasattr(dev, "mesh")
     pending = []
-    for key, members in groups.items():
+    for key, members in chunked:
         sample = plans[members[0]]
         n = len(members)
         n_pad = _bucket(n, 8)
