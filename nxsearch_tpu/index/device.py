@@ -1,28 +1,32 @@
-"""Device snapshot of the host index: padded CSR arrays in HBM.
+"""Device snapshot of the host index with incremental refresh.
 
 The reference's in-memory search state (per-term roaring bitmaps +
 mmap-backed counts, src/index/idxterm.c, idxdoc.c) is derived state
-rebuilt from the journals.  The TPU analogue is a *snapshot*: the
-host-authoritative :class:`HostIndex` is transposed to term-grouped CSR
-(HostIndex.build_csr) and uploaded as immutable device arrays.  Shapes
-are padded to power-of-two buckets so XLA executables are reused as the
-index grows; a refresh only happens when the host generation changed
-(the functional analogue of idx_*_sync consuming the journal tail --
-search syncs before every query, search.c:309-310).
+rebuilt from the journals.  The TPU analogue is a *base snapshot*:
+the host-authoritative :class:`HostIndex` transposed to term-grouped
+CSR (HostIndex.build_csr) and uploaded as immutable device arrays.
 
-Device arrays (everything the scoring kernel needs; strings and the
-term dictionary never leave the host):
+XLA wants immutable arrays, but the engine must keep the reference's
+read-your-writes behavior (search syncs before every query,
+search.c:309-310) without re-uploading the index on every mutation.
+The incremental scheme:
 
-    postings_slot int32[P_pad]   doc slots grouped by term
-    postings_ltf  float32[P_pad] log(tf + 1) per (term, doc) -- the
-                                 logs are taken on the host in f64
-                                 because score parity is 1e-4 and
-                                 XLA's fast f32 log is not that exact
-    doc_len       float32[S_pad] per-slot token counts
+- **Removals** flip bits in a packed alive bitmap (uint32[S_pad/32],
+  4 KB per million documents) that the executors test per candidate;
+  only that tiny array re-uploads.
+- **Additions** stay host-side as the *delta*: the arrival-ordered
+  postings appended after the base watermark.  Queries score the delta
+  on the host with the same formulas and merge it with the device
+  top-k (search.py).  Document/term aggregates (df, totals, counts)
+  always come from the live host index, so IDF/adl are exact.
+- A **full rebuild** happens when the delta outgrows its budget.
 
-Host-side metadata kept with the snapshot (term_starts, term_df,
-doc_ids, scalars) resolves query terms to CSR ranges and maps result
-slots back to external document IDs.
+Device arrays (strings and the term dictionary never leave the host):
+
+    postings_slot int32[P_pad]   doc slots grouped by term, slot-sorted
+    postings_ltf  float32[P_pad] log(tf + 1), host-f64 precomputed
+    doc_len       float32[S_pad]
+    alive_mask    uint32[S_pad/32]
 """
 
 from __future__ import annotations
@@ -43,45 +47,112 @@ def _bucket(n: int, minimum: int) -> int:
     return size
 
 
-class DeviceIndex:
-    """Padded device mirror of one HostIndex generation."""
+def _pack_alive(alive: np.ndarray, s_pad: int) -> np.ndarray:
+    """bool[n] -> little-bit-order uint32[s_pad/32] bitmap."""
+    padded = np.zeros(s_pad, dtype=np.bool_)
+    padded[: len(alive)] = alive
+    return np.packbits(padded, bitorder="little").view(np.uint32)
 
-    def __init__(self, host: HostIndex, device: Optional[jax.Device] = None):
-        self.host = host
-        self.device = device
-        self.generation = -1
-        # Host-side metadata of the current snapshot.
-        self.term_starts = np.zeros(1, dtype=np.int64)
-        self.term_df = np.zeros(0, dtype=np.int64)
-        self.doc_ids = np.zeros(0, dtype=np.int64)
-        self.doc_count = 0
-        self.token_count = 0
-        self.n_slots = 0        # padded slot count (S_pad)
-        self.n_postings = 0     # padded postings count (P_pad)
-        # Device arrays.
-        self.postings_slot = None
-        self.postings_ltf = None
-        self.doc_len = None
+
+class DeviceIndex:
+    """Base device snapshot + host delta for one HostIndex."""
 
     # S_pad is a multiple of 1024 so the packed bitmap width (S_pad/32)
     # is a multiple of 32 words -- friendly to VPU lanes.
     _MIN_SLOTS = 1024
     _MIN_POSTINGS = 4096
 
+    # Delta budgets before a full rebuild: host-side scoring of the
+    # delta is O(delta) per query, so keep it small relative to a
+    # device dispatch; removal flips are nearly free but unbounded
+    # accumulation would strand dead postings in HBM.
+    DELTA_MAX_POSTINGS = 65536
+    DELTA_MAX_REMOVALS = 65536
+
+    def __init__(self, host: HostIndex, device: Optional[jax.Device] = None):
+        self.host = host
+        self.device = device
+        self.generation = -1
+        # Base snapshot metadata (host side).
+        self.term_starts = np.zeros(1, dtype=np.int64)
+        self.base_nterms = 0
+        self.n_slots = 0            # padded slot count (S_pad)
+        self.n_postings = 0         # padded postings count (P_pad)
+        self._arrival_mark = 0      # host postings consumed into base
+        self._slots_mark = 0        # host slot count at base build
+        self._alive_cached = np.zeros(0, dtype=np.bool_)
+        self._removed_since_base = 0
+        # Device arrays.
+        self.postings_slot = None
+        self.postings_ltf = None
+        self.doc_len = None
+        self.alive_mask = None
+
+    # -- live aggregates (host-authoritative; search syncs first) ------
+
+    @property
+    def doc_count(self) -> int:
+        return self.host.doc_count
+
+    @property
+    def token_count(self) -> int:
+        return self.host.token_count
+
+    @property
+    def doc_ids(self) -> np.ndarray:
+        return self.host.doc_ids.view()
+
+    def term_live_df(self, term_id: int) -> int:
+        return int(self.host.term_df.a[term_id - 1])
+
+    @property
+    def adl(self) -> float:
+        """Average document length with the reference's integer
+        division (ranking.c:160: unsigned long / unsigned long)."""
+        if self.doc_count == 0:
+            return 0.0
+        return float(self.token_count // self.doc_count)
+
+    # -- refresh -------------------------------------------------------
+
     def refresh(self) -> bool:
-        """Re-snapshot if the host index changed.  Returns True if so."""
+        """Bring the device view up to the host generation.  Returns
+        True when the device state changed (rebuild or bitmap flip)."""
         if self.generation == self.host.generation:
             return False
+        host = self.host
+        if self.postings_slot is None:
+            return self._full_rebuild()
+
+        delta_postings = host.p_term.n - self._arrival_mark
+        host_alive = host.doc_alive.view()
+        newly_dead = self._alive_cached & ~host_alive[: self._slots_mark]
+        n_newly_dead = int(np.count_nonzero(newly_dead))
+        if (delta_postings > self.DELTA_MAX_POSTINGS
+                or self._removed_since_base + n_newly_dead
+                > self.DELTA_MAX_REMOVALS):
+            return self._full_rebuild()
+
+        if n_newly_dead:
+            self._alive_cached &= host_alive[: self._slots_mark]
+            self._removed_since_base += n_newly_dead
+            self.alive_mask = self._put(
+                _pack_alive(self._alive_cached, self.n_slots))
+        self.generation = host.generation
+        return n_newly_dead > 0
+
+    def _put(self, arr):
+        return jax.device_put(arr, self.device) if self.device \
+            else jax.device_put(arr)
+
+    def _full_rebuild(self) -> bool:
         snap = self.host.build_csr()
         self.term_starts = snap["term_starts"]
-        self.term_df = snap["term_df"]
-        self.doc_ids = snap["doc_ids"]
-        self.doc_count = snap["doc_count"]
-        self.token_count = snap["token_count"]
+        self.base_nterms = len(snap["term_starts"]) - 1
 
-        n_live_slots = len(snap["doc_ids"])
+        n_slots_host = len(snap["doc_ids"])
         n_post = len(snap["postings_slot"])
-        s_pad = _bucket(n_live_slots, self._MIN_SLOTS)
+        s_pad = _bucket(n_slots_host, self._MIN_SLOTS)
         p_pad = _bucket(n_post, self._MIN_POSTINGS)
 
         slot = np.zeros(p_pad, dtype=np.int32)
@@ -91,33 +162,48 @@ class DeviceIndex:
         # Padding doc_len with 1.0 keeps dl/adl finite for padded slots
         # (their contributions are masked out regardless).
         dlen = np.ones(s_pad, dtype=np.float32)
-        dlen[:n_live_slots] = snap["doc_len"]
+        dlen[:n_slots_host] = snap["doc_len"]
 
-        put = (lambda a: jax.device_put(a, self.device)) if self.device \
-            else jax.device_put
-        self.postings_slot = put(slot)
-        self.postings_ltf = put(ltf)
-        self.doc_len = put(dlen)
+        self.postings_slot = self._put(slot)
+        self.postings_ltf = self._put(ltf)
+        self.doc_len = self._put(dlen)
+        self._alive_cached = snap["doc_alive"].copy()
+        self.alive_mask = self._put(_pack_alive(self._alive_cached, s_pad))
         self.n_slots = s_pad
         self.n_postings = p_pad
+        self._arrival_mark = self.host.p_term.n
+        self._slots_mark = self.host.doc_ids.n
+        self._removed_since_base = 0
         self.generation = snap["generation"]
         return True
 
     # -- query-side metadata ----------------------------------------------
 
     def term_range(self, term_id: int) -> tuple[int, int]:
-        """CSR (start, length) of a 1-based term's postings."""
+        """Base-CSR (start, length) of a 1-based term's postings.
+        Terms born after the base snapshot have no base postings (their
+        occurrences live in the delta)."""
+        if term_id > self.base_nterms:
+            return 0, 0
         start = int(self.term_starts[term_id - 1])
         end = int(self.term_starts[term_id])
         return start, end - start
 
-    def term_live_df(self, term_id: int) -> int:
-        return int(self.term_df[term_id - 1])
+    # -- delta (host-side postings past the base watermark) ---------------
 
     @property
-    def adl(self) -> float:
-        """Average document length with the reference's integer
-        division (ranking.c:160: unsigned long / unsigned long)."""
-        if self.doc_count == 0:
-            return 0.0
-        return float(self.token_count // self.doc_count)
+    def has_delta(self) -> bool:
+        return self.host.p_term.n > self._arrival_mark
+
+    @property
+    def delta_slot0(self) -> int:
+        """First host doc slot not covered by the base snapshot."""
+        return self._slots_mark
+
+    def delta_postings(self):
+        """(term_ids, counts, slots) numpy views of the delta."""
+        host = self.host
+        mark = self._arrival_mark
+        return (host.p_term.a[mark: host.p_term.n],
+                host.p_count.a[mark: host.p_count.n],
+                host.p_slot.a[mark: host.p_slot.n])

@@ -46,6 +46,7 @@ def candidate_topk(
     postings_slot: jax.Array,    # int32[P_pad], slot-sorted per term
     postings_ltf: jax.Array,     # float32[P_pad]: log(tf+1), host f64
     doc_len: jax.Array,          # float32[S_pad]
+    alive_mask: jax.Array,       # uint32[S_pad/32]: packed live bitmap
     q_start: jax.Array,          # int32[Q]
     q_len: jax.Array,            # int32[Q]
     q_idf: jax.Array,            # float32[Q]: per-term IDF, host f64
@@ -71,7 +72,11 @@ def candidate_topk(
         score = bm25(ltf, doc_len[real_slot], idf, adl)
     else:
         score = tf_idf(ltf, idf)
-    contrib = jnp.where(valid, score, 0.0)
+    # Documents removed since the base snapshot are masked out via the
+    # packed alive bitmap (incremental refresh; see index/device.py).
+    alive = (alive_mask[real_slot >> 5]
+             >> (real_slot & 31).astype(jnp.uint32)) & 1
+    contrib = jnp.where(valid & alive.astype(bool), score, 0.0)
     bits = jnp.where(valid,
                      jnp.uint32(1) << jnp.minimum(qid, 31).astype(jnp.uint32),
                      jnp.uint32(0))
@@ -107,13 +112,13 @@ def candidate_topk(
     static_argnames=("budget", "k", "algo", "use_mask", "depth"),
 )
 def device_search(
-    postings_slot, postings_ltf, doc_len,
+    postings_slot, postings_ltf, doc_len, alive_mask,
     q_start, q_len, q_idf, adl, prog_ops, prog_args,
     *, budget: int, k: int, algo: int, use_mask: bool, depth: int = 8,
 ):
     """Single-chip jitted entry over the candidate-scoring core."""
     return candidate_topk(
-        postings_slot, postings_ltf, doc_len,
+        postings_slot, postings_ltf, doc_len, alive_mask,
         q_start, q_len, q_idf, adl, prog_ops, prog_args,
         budget=budget, k=k, algo=algo, use_mask=use_mask, depth=depth)
 
@@ -123,7 +128,7 @@ def device_search(
     static_argnames=("budget", "k", "algo", "use_mask", "depth"),
 )
 def device_search_batch(
-    postings_slot, postings_ltf, doc_len,
+    postings_slot, postings_ltf, doc_len, alive_mask,
     q_start,    # int32[N, Q]
     q_len,      # int32[N, Q]
     q_idf,      # float32[N, Q]
@@ -141,7 +146,8 @@ def device_search_batch(
     """
     def one(qs, ql, qi, po, pa):
         return candidate_topk(
-            postings_slot, postings_ltf, doc_len, qs, ql, qi, adl, po, pa,
+            postings_slot, postings_ltf, doc_len, alive_mask,
+            qs, ql, qi, adl, po, pa,
             budget=budget, k=k, algo=algo, use_mask=use_mask, depth=depth)
 
     return jax.vmap(one)(q_start, q_len, q_idf, prog_ops, prog_args)
@@ -151,6 +157,7 @@ def dense_topk(
     postings_slot: jax.Array,    # int32[P_pad]
     postings_ltf: jax.Array,     # float32[P_pad]
     doc_len: jax.Array,          # float32[S_pad]
+    alive_mask: jax.Array,       # uint32[S_pad/32]
     q_start: jax.Array,          # int32[Q]
     q_len: jax.Array,            # int32[Q]
     q_idf: jax.Array,            # float32[Q]
@@ -179,7 +186,9 @@ def dense_topk(
         score = bm25(ltf, doc_len[slot], idf, adl)
     else:
         score = tf_idf(ltf, idf)
-    contrib = jnp.where(valid, score, 0.0)
+    alive = (alive_mask[slot >> 5]
+             >> (slot & 31).astype(jnp.uint32)) & 1
+    contrib = jnp.where(valid & alive.astype(bool), score, 0.0)
 
     if use_mask:
         n_words = n_slots // 32
@@ -207,7 +216,7 @@ device_search_dense = functools.partial(
     static_argnames=("budget", "k", "algo", "n_slots", "use_mask", "depth"),
 )
 def device_search_dense_batch(
-    postings_slot, postings_ltf, doc_len,
+    postings_slot, postings_ltf, doc_len, alive_mask,
     q_start,    # int32[N, Q]
     q_len,      # int32[N, Q]
     q_idf,      # float32[N, Q]
@@ -220,7 +229,8 @@ def device_search_dense_batch(
     """Batched dense scoring: vmap of the dense core over queries."""
     def one(qs, ql, qi, po, pa):
         return dense_topk(
-            postings_slot, postings_ltf, doc_len, qs, ql, qi, adl, po, pa,
+            postings_slot, postings_ltf, doc_len, alive_mask,
+            qs, ql, qi, adl, po, pa,
             budget=budget, k=k, algo=algo, n_slots=n_slots,
             use_mask=use_mask, depth=depth)
 

@@ -59,6 +59,7 @@ def sharded_search(
     postings_slot: jax.Array,   # int32[n_dev, Ps_pad] shard-local slots
     postings_ltf: jax.Array,    # float32[n_dev, Ps_pad]
     doc_len: jax.Array,         # float32[n_dev, Ss]
+    alive_mask: jax.Array,      # uint32[n_dev, Ss/32]
     q_start: jax.Array,         # int32[n_dev, Q] per-shard CSR starts
     q_len: jax.Array,           # int32[n_dev, Q]
     q_idf: jax.Array,           # float32[Q] (replicated)
@@ -80,9 +81,10 @@ def sharded_search(
     k_local = min(k, budget)
     k_final = min(k, n_dev * k_local)
 
-    def shard_body(pslot, pltf, dlen, qs, qlen, qidf, adl_s, pops, pargs):
+    def shard_body(pslot, pltf, dlen, am, qs, qlen, qidf, adl_s,
+                   pops, pargs):
         local_scores, local_slots = candidate_topk(
-            pslot[0], pltf[0], dlen[0], qs[0], qlen[0],
+            pslot[0], pltf[0], dlen[0], am[0], qs[0], qlen[0],
             qidf, adl_s, pops, pargs,
             budget=budget, k=k_local, algo=algo,
             use_mask=use_mask, depth=depth)
@@ -101,11 +103,11 @@ def sharded_search(
     return jax.shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(sharded, sharded, sharded, sharded, sharded,
+        in_specs=(sharded, sharded, sharded, sharded, sharded, sharded,
                   repl, repl, repl, repl),
         out_specs=(repl, repl),
         check_vma=False,
-    )(postings_slot, postings_ltf, doc_len, q_start, q_len,
+    )(postings_slot, postings_ltf, doc_len, alive_mask, q_start, q_len,
       q_idf, adl, prog_ops, prog_args)
 
 
@@ -117,6 +119,7 @@ def sharded_search_batch(
     postings_slot: jax.Array,   # int32[n_dev, Ps_pad]
     postings_ltf: jax.Array,    # float32[n_dev, Ps_pad]
     doc_len: jax.Array,         # float32[n_dev, Ss]
+    alive_mask: jax.Array,      # uint32[n_dev, Ss/32]
     q_start: jax.Array,         # int32[n_dev, N, Q] per-shard, per-query
     q_len: jax.Array,           # int32[n_dev, N, Q]
     q_idf: jax.Array,           # float32[N, Q] (replicated)
@@ -140,10 +143,11 @@ def sharded_search_batch(
     k_local = min(k, budget)
     k_final = min(k, n_dev * k_local)
 
-    def shard_body(pslot, pltf, dlen, qs, qlen, qidf, adl_s, pops, pargs):
+    def shard_body(pslot, pltf, dlen, am, qs, qlen, qidf, adl_s,
+                   pops, pargs):
         def one(q_s, q_l, q_i, p_o, p_a):
             return candidate_topk(
-                pslot[0], pltf[0], dlen[0], q_s, q_l, q_i, adl_s,
+                pslot[0], pltf[0], dlen[0], am[0], q_s, q_l, q_i, adl_s,
                 p_o, p_a, budget=budget, k=k_local, algo=algo,
                 use_mask=use_mask, depth=depth)
 
@@ -165,11 +169,11 @@ def sharded_search_batch(
     return jax.shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(sharded, sharded, sharded, sharded3, sharded3,
+        in_specs=(sharded, sharded, sharded, sharded, sharded3, sharded3,
                   repl, repl, repl, repl),
         out_specs=(repl, repl),
         check_vma=False,
-    )(postings_slot, postings_ltf, doc_len, q_start, q_len,
+    )(postings_slot, postings_ltf, doc_len, alive_mask, q_start, q_len,
       q_idf, adl, prog_ops, prog_args)
 
 
@@ -199,6 +203,7 @@ class ShardedDeviceIndex:
         self.postings_slot = None   # [n_dev, Ps_pad] device
         self.postings_ltf = None
         self.doc_len = None         # [n_dev, Ss] device
+        self.alive_mask = None      # [n_dev, Ss/32] device
         self.shard_starts = None    # host int64[n_dev, T+1]
         self.term_df = np.zeros(0, dtype=np.int64)
 
@@ -252,6 +257,12 @@ class ShardedDeviceIndex:
         self.postings_slot = jax.device_put(pslot, shard_spec)
         self.postings_ltf = jax.device_put(pltf, shard_spec)
         self.doc_len = jax.device_put(dlen, shard_spec)
+        # Full rebuilds only contain live postings; the alive bitmap
+        # exists for executor-signature parity with the single-chip
+        # incremental path.
+        self.alive_mask = jax.device_put(
+            np.full((self.n_dev, ss // 32), 0xFFFFFFFF, dtype=np.uint32),
+            shard_spec)
         self.generation = snap["generation"]
         return True
 

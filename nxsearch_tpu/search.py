@@ -107,6 +107,7 @@ class _Plan:
     q_start: np.ndarray    # [Q] or [n_dev, Q] when sharded
     q_len: np.ndarray
     q_idf: np.ndarray      # [Q]
+    term_ids: np.ndarray   # int64[n_tok]: resolved term IDs (row order)
     prog_ops: np.ndarray   # [L] NOP-padded
     prog_args: np.ndarray
     use_mask: bool
@@ -195,19 +196,107 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
         depth = _bucket(max_depth, _MIN_DEPTH)
 
     return _Plan(q_start=q_start, q_len=q_len, q_idf=q_idf,
+                 term_ids=np.asarray([t.term_id for t in tokens],
+                                     dtype=np.int64),
                  prog_ops=prog_ops, prog_args=prog_args,
                  use_mask=use_mask, use_dense=use_dense,
                  budget=budget, depth=depth)
 
 
-def _to_response(dev, scores, slots, limit: int) -> Response:
+def _eval_program_np(present: np.ndarray, prog_ops: np.ndarray,
+                     prog_args: np.ndarray) -> np.ndarray:
+    """Host postfix-program evaluation over a presence matrix
+    (bool[R, n]); the numpy twin of ops/boolean eval for delta docs."""
+    from .ops.boolean import OP_AND, OP_ANDNOT, OP_NOP, OP_OR, OP_PUSH
+
+    n = present.shape[1]
+    stack: list[np.ndarray] = []
+    for op, arg in zip(prog_ops, prog_args):
+        if op == OP_NOP:
+            continue
+        if op == OP_PUSH:
+            row = present[arg] if arg < present.shape[0] \
+                else np.zeros(n, dtype=np.bool_)
+            stack.append(row)
+        else:
+            b = stack.pop()
+            a = stack.pop()
+            if op == OP_AND:
+                stack.append(a & b)
+            elif op == OP_OR:
+                stack.append(a | b)
+            elif op == OP_ANDNOT:
+                stack.append(a & ~b)
+    return stack[0] if stack else np.zeros(n, dtype=np.bool_)
+
+
+def _delta_results(dev, plan: _Plan, sp: SearchParams):
+    """Score the post-snapshot delta on the host (same formulas as the
+    device executors, f32 arithmetic).  Returns (slots, scores) of
+    live matching delta documents, or None when there is no delta."""
+    if not getattr(dev, "has_delta", False):
+        return None
+    from .ops.scoring import BM25_B, BM25_K1
+
+    host = dev.host
+    slot0 = dev.delta_slot0
+    n_new = host.doc_ids.n - slot0
+    if n_new <= 0:
+        return None
+    d_term, d_count, d_slot = dev.delta_postings()
+
+    n_tok = len(plan.term_ids)
+    acc = np.zeros(n_new, dtype=np.float32)
+    present = np.zeros((n_tok, n_new), dtype=np.bool_) if plan.use_mask \
+        else None
+    adl = np.float32(dev.adl)
+    for i, term_id in enumerate(plan.term_ids):
+        m = d_term == term_id
+        if not m.any():
+            continue
+        rows = (d_slot[m].astype(np.int64) - slot0)
+        ltf = np.log(d_count[m].astype(np.float64) + 1.0).astype(np.float32)
+        idf = np.float32(plan.q_idf[i])
+        if sp.algo == ALGO_BM25:
+            dl = host.doc_len.a[d_slot[m]].astype(np.float32)
+            denom = ltf + np.float32(BM25_K1) * (
+                np.float32(1.0 - BM25_B) + np.float32(BM25_B) * dl / adl)
+            contrib = ltf / denom * idf
+        else:
+            contrib = ltf * idf
+        np.add.at(acc, rows, contrib)
+        if present is not None:
+            present[i, rows] = True
+
+    if present is not None:
+        keep = _eval_program_np(present, plan.prog_ops, plan.prog_args)
+        acc = np.where(keep, acc, np.float32(0.0))
+    alive = host.doc_alive.a[slot0: slot0 + n_new]
+    acc = np.where(alive, acc, np.float32(0.0))
+    nz = np.nonzero(acc > 0.0)[0]
+    if not len(nz):
+        return None
+    return nz + slot0, acc[nz]
+
+
+def _to_response(dev, scores, slots, limit: int, delta=None) -> Response:
     scores = np.asarray(scores)
     slots = np.asarray(slots)
     matched = scores > 0.0
+    scores = scores[matched]
+    slots = slots[matched]
+    if delta is not None:
+        d_slots, d_scores = delta
+        slots = np.concatenate([slots.astype(np.int64), d_slots])
+        scores = np.concatenate([scores, d_scores])
+        order = np.argsort(-scores, kind="stable")
+        slots = slots[order]
+        scores = scores[order]
+    doc_ids = dev.doc_ids
     results = [
-        (int(dev.doc_ids[slot]), float(score))
-        for score, slot in zip(scores[matched], slots[matched])
-    ][:limit]
+        (int(doc_ids[slot]), float(score))
+        for score, slot in zip(scores[:limit], slots[:limit])
+    ]
     return Response(results)
 
 
@@ -231,6 +320,7 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
         from .parallel.sharded import sharded_search  # local: lazy import
         scores, slots = sharded_search(
             dev.postings_slot, dev.postings_ltf, dev.doc_len,
+            dev.alive_mask,
             jnp.asarray(q_start), jnp.asarray(q_len), jnp.asarray(q_idf),
             jnp.float32(dev.adl),
             jnp.asarray(prog_ops), jnp.asarray(prog_args),
@@ -240,6 +330,7 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
     elif use_dense:
         scores, slots = device_search_dense(
             dev.postings_slot, dev.postings_ltf, dev.doc_len,
+            dev.alive_mask,
             jnp.asarray(q_start), jnp.asarray(q_len), jnp.asarray(q_idf),
             jnp.float32(dev.adl),
             jnp.asarray(prog_ops) if use_mask else None,
@@ -250,13 +341,15 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
     else:
         scores, slots = device_search(
             dev.postings_slot, dev.postings_ltf, dev.doc_len,
+            dev.alive_mask,
             jnp.asarray(q_start), jnp.asarray(q_len), jnp.asarray(q_idf),
             jnp.float32(dev.adl),
             jnp.asarray(prog_ops), jnp.asarray(prog_args),
             budget=budget, k=k, algo=sp.algo,
             use_mask=use_mask, depth=depth,
         )
-    return _to_response(dev, scores, slots, sp.limit)
+    return _to_response(dev, scores, slots, sp.limit,
+                        delta=_delta_results(dev, plan, sp))
 
 
 def execute_query_batch(dev, queries: list[Query],
@@ -326,6 +419,7 @@ def execute_query_batch(dev, queries: list[Query],
             from .parallel.sharded import sharded_search_batch
             scores, slots = sharded_search_batch(
                 dev.postings_slot, dev.postings_ltf, dev.doc_len,
+                dev.alive_mask,
                 jnp.asarray(q_start), jnp.asarray(q_len),
                 jnp.asarray(q_idf), jnp.float32(dev.adl),
                 jnp.asarray(prog_ops), jnp.asarray(prog_args),
@@ -335,6 +429,7 @@ def execute_query_batch(dev, queries: list[Query],
         elif sample.use_dense:
             scores, slots = device_search_dense_batch(
                 dev.postings_slot, dev.postings_ltf, dev.doc_len,
+                dev.alive_mask,
                 jnp.asarray(q_start), jnp.asarray(q_len),
                 jnp.asarray(q_idf), jnp.float32(dev.adl),
                 jnp.asarray(prog_ops), jnp.asarray(prog_args),
@@ -345,6 +440,7 @@ def execute_query_batch(dev, queries: list[Query],
         else:
             scores, slots = device_search_batch(
                 dev.postings_slot, dev.postings_ltf, dev.doc_len,
+                dev.alive_mask,
                 jnp.asarray(q_start), jnp.asarray(q_len),
                 jnp.asarray(q_idf), jnp.float32(dev.adl),
                 jnp.asarray(prog_ops), jnp.asarray(prog_args),
@@ -357,8 +453,9 @@ def execute_query_batch(dev, queries: list[Query],
         scores = np.asarray(scores)
         slots = np.asarray(slots)
         for row, i in enumerate(members):
-            responses[i] = _to_response(dev, scores[row], slots[row],
-                                        sp.limit)
+            responses[i] = _to_response(
+                dev, scores[row], slots[row], sp.limit,
+                delta=_delta_results(dev, plans[i], sp))
     return responses  # type: ignore[return-value]
 
 
