@@ -102,19 +102,37 @@ class FuzzyMatcher:
         self._gen = self.host.generation
 
     def _refresh_device(self) -> None:
-        """(Re)build the device vocab snapshot for this generation."""
+        """Refresh the device vocab snapshot for this generation.
+
+        The term dictionary is append-only, so the byte matrix only
+        grows: new rows are encoded incrementally into a host-side
+        cache and the device arrays re-upload only when terms were
+        added (totals re-upload every generation -- they change with
+        every mutation but are a single vectorized clip+copy)."""
         import jax
 
         if self._dev_gen == self._gen:
             return
         n = len(self._encoded)
         t_pad = 1 << max(12, (n - 1).bit_length())
-        vb = np.zeros((t_pad, _MAX_DEVICE_BYTES), dtype=np.uint8)
-        vl = np.zeros(t_pad, dtype=np.int32)
-        for i, enc in enumerate(self._encoded):
+        vb = getattr(self, "_vb_cache", None)
+        filled = getattr(self, "_vb_filled", 0)
+        if vb is None or len(vb) < t_pad:
+            grown = np.zeros((t_pad, _MAX_DEVICE_BYTES), dtype=np.uint8)
+            grown_l = np.zeros(t_pad, dtype=np.int32)
+            if vb is not None:
+                grown[: len(vb)] = vb
+                grown_l[: len(vb)] = self._vl_cache
+            self._vb_cache, self._vl_cache = grown, grown_l
+            vb = grown
+        for i in range(filled, n):
+            enc = self._encoded[i]
             if len(enc) <= _MAX_DEVICE_BYTES:
                 vb[i, : len(enc)] = np.frombuffer(enc, dtype=np.uint8)
-                vl[i] = len(enc)
+                self._vl_cache[i] = len(enc)
+        new_terms = n > filled
+        self._vb_filled = n
+
         totals = np.clip(self.host.term_total.view(), 0,
                          0xFFFFFFFF).astype(np.uint32)
         vt = np.zeros(t_pad, dtype=np.uint32)
@@ -122,11 +140,13 @@ class FuzzyMatcher:
         # The Pallas kernel wants the position-major layout (term per
         # VPU lane); everything else uses the row-major one.
         self._use_pallas = jax.devices()[0].platform != "cpu"
-        if self._use_pallas:
-            self._dev_bytes = jax.device_put(np.ascontiguousarray(vb.T))
-        else:
-            self._dev_bytes = jax.device_put(vb)
-        self._dev_len = jax.device_put(vl)
+        if new_terms or self._dev_bytes is None:
+            if self._use_pallas:
+                self._dev_bytes = jax.device_put(
+                    np.ascontiguousarray(vb.T))
+            else:
+                self._dev_bytes = jax.device_put(vb)
+            self._dev_len = jax.device_put(self._vl_cache)
         self._dev_total = jax.device_put(vt)
         self._dev_gen = self._gen
 
