@@ -18,7 +18,8 @@ import numpy as np
 from .errors import ErrorCode, NxsError
 from .index.device import DeviceIndex
 from .ops.boolean import EMPTY_LEAF_BIT, check_nesting, compile_program
-from .ops.executor import device_search, device_search_dense
+from .ops.executor import (device_search, device_search_dense,
+                           device_search_pruned)
 from .ops.scoring import ALGO_BM25, ALGO_TFIDF, host_idf
 from .params import DEFAULT_RESULTS_LIMIT, Params
 
@@ -279,6 +280,24 @@ def _delta_results(dev, plan: _Plan, sp: SearchParams):
     return nz + slot0, acc[nz]
 
 
+# Pruned execution applies when k is small (the max-score candidate
+# set stays tiny) and presence bits fit u32 for boolean queries; its
+# certificate guarantees exactness or we fall back to the full path.
+_PRUNED_MAX_K = 128
+
+
+def _use_pruned(plan: _Plan, k: int, sharded: bool) -> bool:
+    return (not sharded and k <= _PRUNED_MAX_K
+            and (not plan.use_mask or plan.q_start.shape[-1] <= 32))
+
+
+def _pruned_k2(k: int) -> int:
+    size = 256
+    while size < 4 * k:
+        size <<= 1
+    return min(size, 2048)
+
+
 def _to_response(dev, scores, slots, limit: int, delta=None) -> Response:
     scores = np.asarray(scores)
     slots = np.asarray(slots)
@@ -315,6 +334,21 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
     use_mask, use_dense = plan.use_mask, plan.use_dense
     budget, depth = plan.budget, plan.depth
     k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
+
+    if _use_pruned(plan, k, sharded):
+        scores, slots, certified = device_search_pruned(
+            dev.postings_slot, dev.postings_ltf, dev.doc_len,
+            dev.alive_mask,
+            jnp.asarray(q_start), jnp.asarray(q_len), jnp.asarray(q_idf),
+            jnp.float32(dev.adl),
+            jnp.asarray(prog_ops), jnp.asarray(prog_args),
+            budget=budget, k=k, algo=sp.algo,
+            use_mask=use_mask, depth=depth, k2=_pruned_k2(k),
+        )
+        if bool(certified):
+            return _to_response(dev, scores, slots, sp.limit,
+                                delta=_delta_results(dev, plan, sp))
+        # Uncertified: fall through to an exact executor.
 
     if sharded:
         from .parallel.sharded import sharded_search  # local: lazy import
@@ -388,7 +422,8 @@ def execute_query_batch(dev, queries: list[Query],
 
     # Launch every group's device call first (dispatch is async), then
     # collect -- device work and transfers for all groups overlap.
-    from .ops.executor import device_search_dense_batch
+    from .ops.executor import (device_search_dense_batch,
+                               device_search_pruned_batch)
     sharded = hasattr(dev, "mesh")
     pending = []
     for key, members in chunked:
@@ -415,6 +450,19 @@ def execute_query_batch(dev, queries: list[Query],
             q_idf[row] = p.q_idf
             prog_ops[row] = p.prog_ops
             prog_args[row] = p.prog_args
+        if not sharded and _use_pruned(sample, k, sharded):
+            scores, slots, certified = device_search_pruned_batch(
+                dev.postings_slot, dev.postings_ltf, dev.doc_len,
+                dev.alive_mask,
+                jnp.asarray(q_start), jnp.asarray(q_len),
+                jnp.asarray(q_idf), jnp.float32(dev.adl),
+                jnp.asarray(prog_ops), jnp.asarray(prog_args),
+                budget=sample.budget, k=k, algo=sp.algo,
+                use_mask=sample.use_mask, depth=sample.depth,
+                k2=_pruned_k2(k),
+            )
+            pending.append((members, scores, slots, certified))
+            continue
         if sharded:
             from .parallel.sharded import sharded_search_batch
             scores, slots = sharded_search_batch(
@@ -447,12 +495,17 @@ def execute_query_batch(dev, queries: list[Query],
                 budget=sample.budget, k=k, algo=sp.algo,
                 use_mask=sample.use_mask, depth=sample.depth,
             )
-        pending.append((members, scores, slots))
+        pending.append((members, scores, slots, None))
 
-    for members, scores, slots in pending:
+    for members, scores, slots, certified in pending:
         scores = np.asarray(scores)
         slots = np.asarray(slots)
+        cert = np.asarray(certified) if certified is not None else None
         for row, i in enumerate(members):
+            if cert is not None and not bool(cert[row]):
+                # Pruning certificate failed: exact per-query re-run.
+                responses[i] = execute_query(dev, queries[i], sp)
+                continue
             responses[i] = _to_response(
                 dev, scores[row], slots[row], sp.limit,
                 delta=_delta_results(dev, plans[i], sp))

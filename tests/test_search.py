@@ -229,6 +229,25 @@ def test_index_reopen_persists(tmp_path):
         nxs.close()
 
 
+def test_wide_query_dense_path(nxs):
+    """>32 unique terms routes to the dense packed-bitmap executor;
+    results must match semantics (presence bits cannot hold 40 terms)."""
+    idx = nxs.index_create("wide")
+    idx.add(1, " ".join(f"word{i}" for i in range(40)))
+    idx.add(2, "word0 word1 unrelated")
+    idx.add(3, "nothing in common")
+    wide_or = " ".join(f"word{i}" for i in range(40))
+    r = idx.search(wide_or)
+    assert {d for d, _ in r} == {1, 2}
+    # Wide boolean: all 40 terms AND-ed only matches doc 1.
+    wide_and = " AND ".join(f"word{i}" for i in range(40))
+    r = idx.search(wide_and)
+    assert {d for d, _ in r} == {1}
+    # Wide AND NOT.
+    r = idx.search(f"({wide_or}) AND NOT unrelated")
+    assert {d for d, _ in r} == {1}
+
+
 def test_multi_writer_visibility(tmp_path):
     """Two engine instances over the same basedir (the reference's
     multi-process sharing) see each other's writes via the journal
