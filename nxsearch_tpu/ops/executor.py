@@ -214,13 +214,19 @@ def pruned_topk(
     scores, idx = lax.top_k(tot, k_eff)
     slots = cand[idx]
 
-    # Certificate.
-    c_star = top_c[k2 - 1]
-    q_live = jnp.sum((q_len > 0).astype(jnp.float32))
+    # Certificate (WAND-style): any document with no posting in the
+    # top-k2 set has total <= sum over terms of that term's best
+    # *residual* contribution (its max outside the top set).  Much
+    # tighter than Q * c*: terms whose postings were fully absorbed
+    # into the candidate set contribute nothing to the bound.
+    in_top = jnp.zeros((contrib.shape[0],), jnp.bool_).at[top_i].set(True)
+    residual = jnp.where(in_top, 0.0, contrib)
+    bound = jnp.float32(0.0)
+    for q in range(n_terms):
+        bound = bound + jnp.max(jnp.where(qid == q, residual, 0.0))
     theta = scores[k_eff - 1]
     total_postings = jnp.minimum(jnp.sum(q_len), budget)
-    certified = (total_postings <= k2) | (c_star <= 0.0) | \
-        (q_live * c_star <= theta)
+    certified = (total_postings <= k2) | (bound <= theta)
     return scores, slots, certified
 
 

@@ -285,6 +285,9 @@ def _delta_results(dev, plan: _Plan, sp: SearchParams):
 # certificate guarantees exactness or we fall back to the full path.
 _PRUNED_MAX_K = 128
 
+# Pruning telemetry (per-process): certified vs fallback dispatches.
+PRUNE_STATS = {"certified": 0, "fallback": 0}
+
 
 def _use_pruned(plan: _Plan, k: int, sharded: bool) -> bool:
     return (not sharded and k <= _PRUNED_MAX_K
@@ -346,9 +349,11 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
             use_mask=use_mask, depth=depth, k2=_pruned_k2(k),
         )
         if bool(certified):
+            PRUNE_STATS["certified"] += 1
             return _to_response(dev, scores, slots, sp.limit,
                                 delta=_delta_results(dev, plan, sp))
         # Uncertified: fall through to an exact executor.
+        PRUNE_STATS["fallback"] += 1
 
     if sharded:
         from .parallel.sharded import sharded_search  # local: lazy import
@@ -504,8 +509,11 @@ def execute_query_batch(dev, queries: list[Query],
         for row, i in enumerate(members):
             if cert is not None and not bool(cert[row]):
                 # Pruning certificate failed: exact per-query re-run.
+                PRUNE_STATS["fallback"] += 1
                 responses[i] = execute_query(dev, queries[i], sp)
                 continue
+            if cert is not None:
+                PRUNE_STATS["certified"] += 1
             responses[i] = _to_response(
                 dev, scores[row], slots[row], sp.limit,
                 delta=_delta_results(dev, plans[i], sp))
