@@ -107,155 +107,77 @@ def candidate_topk(
     return top_scores, agg_slot[idx]
 
 
-def pruned_topk(
-    postings_slot: jax.Array,    # int32[P_pad]
-    postings_ltf: jax.Array,     # float32[P_pad]
-    doc_len: jax.Array,          # float32[S_pad]
-    alive_mask: jax.Array,       # uint32[S_pad/32]
-    q_start: jax.Array,          # int32[Q]
-    q_len: jax.Array,            # int32[Q]
-    q_idf: jax.Array,            # float32[Q]
-    adl: jax.Array,
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "algo", "n_slots", "use_mask", "depth",
+                     "interpret"),
+)
+def device_search_blockdense(
+    postings_slot: jax.Array,   # int32[P_pad], slot-sorted per term
+    postings_ltf: jax.Array,    # float32[P_pad]
+    doc_len: jax.Array,         # float32[S_pad]
+    alive_mask: jax.Array,      # uint32[S_pad/32]
+    q_start: jax.Array,         # int32[Q]
+    q_len: jax.Array,           # int32[Q]
+    q_idf: jax.Array,           # float32[Q]
+    adl: jax.Array,             # float32 scalar
     prog_ops: jax.Array,
     prog_args: jax.Array,
     *,
-    budget: int,
     k: int,
     algo: int,
+    n_slots: int,
     use_mask: bool,
     depth: int = 8,
-    k2: int = 512,
-    chunk: int = 1 << 15,
+    interpret: bool = False,
 ):
-    """Max-score-style pruned top-k: no sort, no scatter.
+    """Exact search via the Pallas block-accumulation kernel.
 
-    XLA's TPU sort and scatter cost ~100 ns/element, which makes the
-    exact candidate/dense executors stream-bound at millions of
-    postings.  For small k the classic pruning insight applies: a
-    document in the true top-k must contribute at least one high-
-    scoring posting.  So:
-
-      1. score every posting elementwise (VPU; the cheap part),
-      2. take the top-k2 *postings* (lax.top_k, k2 small),
-      3. exactly re-score their documents with chunked one-hot matmuls
-         over the full stream (MXU work, f32-exact 0/1 matrix), and
-      4. certify: any unseen document's total is < Q_live * c*, where
-         c* is the k2-th posting contribution; if that does not clear
-         the k-th candidate total, the caller falls back to an exact
-         executor.  Queries whose whole stream fits k2 are always
-         certified.
-
-    Returns (scores f32[k'], slots i32[k'], certified bool scalar).
+    Sort- and scatter-free: per slot block, each term's postings form
+    a contiguous subrange (binary search over the slot-sorted CSR) and
+    accumulate through one-hot MXU matmuls (ops/pallas/segsum.py).
+    ~0.2 ms per query at 1M documents / millions of postings on v5e --
+    the default exact executor on accelerator platforms.  Queries
+    wider than 8 terms run the kernel per 8-term group and sum the
+    dense results (presence bits shift into their global positions).
     """
+    from .pallas.segsum import (BLOCK_SLOTS, MAX_KERNEL_TERMS,
+                                blockdense_scores, csr_block_bounds)
+    from .scoring import BM25_B, BM25_K1
+
     n_terms = q_start.shape[0]
-    src, qid, valid = flatten_ranges(q_start, q_len, budget)
-    slot = postings_slot[src]
-    ltf = postings_ltf[src]
-    idf = q_idf[qid]
-    if algo == ALGO_BM25:
-        score = bm25(ltf, doc_len[slot], idf, adl)
-    else:
-        score = tf_idf(ltf, idf)
-    alive = (alive_mask[slot >> 5]
-             >> (slot & 31).astype(jnp.uint32)) & 1
-    ok = valid & alive.astype(bool)
-    contrib = jnp.where(ok, score, 0.0)
+    n_blocks = n_slots // BLOCK_SLOTS
+    c1 = jnp.float32(BM25_K1 * (1.0 - BM25_B))
+    c2 = jnp.float32(BM25_K1 * BM25_B) / jnp.maximum(adl, 1e-9)
 
-    k2 = min(k2, budget)
-    chunk = min(chunk, budget)
-    top_c, top_i = lax.top_k(contrib, k2)
-    cand = jnp.sort(slot[top_i])
-    first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
-                             cand[1:] != cand[:-1]])
-
-    # Exact totals + per-token presence for the candidates via chunked
-    # one-hot matmuls: eq is an exact 0/1 f32 matrix, so accumulation
-    # differs from the segment path only in f32 summation order.
-    n_chunks = budget // chunk
-
-    def body(carry, xs):
+    total = jnp.zeros((n_slots,), jnp.float32)
+    bits_total = jnp.zeros((n_slots,), jnp.uint32)
+    for g0 in range(0, n_terms, MAX_KERNEL_TERMS):
+        qs = q_start[g0: g0 + MAX_KERNEL_TERMS]
+        ql = q_len[g0: g0 + MAX_KERNEL_TERMS]
+        qi = q_idf[g0: g0 + MAX_KERNEL_TERMS]
+        gq = qs.shape[0]
+        coef = jnp.stack(
+            [qi, jnp.full((gq,), c1.astype(jnp.float32)),
+             jnp.broadcast_to(c2, (gq,)).astype(jnp.float32),
+             jnp.zeros((gq,), jnp.float32)], axis=1)
+        bounds = csr_block_bounds(postings_slot, qs, ql,
+                                  n_blocks=n_blocks)
+        sc, bits = blockdense_scores(
+            postings_slot, postings_ltf, doc_len, alive_mask,
+            bounds, coef, n_slots=n_slots, algo=algo,
+            use_mask=use_mask, interpret=interpret)
+        total = total + sc
         if use_mask:
-            tot, pres = carry
-            sl, co, qd = xs
-        else:
-            tot = carry
-            sl, co = xs
-        eq = (cand[:, None] == sl[None, :]).astype(jnp.float32)
-        tot = tot + jnp.dot(eq, co, preferred_element_type=jnp.float32)
-        if use_mask:
-            oh = jax.nn.one_hot(jnp.minimum(qd, 31), 32,
-                                dtype=jnp.float32)
-            pres = pres + jnp.dot(
-                eq * (co > 0.0).astype(jnp.float32), oh,
-                preferred_element_type=jnp.float32)
-            return (tot, pres), None
-        return tot, None
+            bits_total = bits_total | (bits << jnp.uint32(min(g0, 31)))
 
     if use_mask:
-        carry0 = (jnp.zeros((k2,), jnp.float32),
-                  jnp.zeros((k2, 32), jnp.float32))
-        xs = (slot.reshape(n_chunks, chunk),
-              contrib.reshape(n_chunks, chunk),
-              qid.reshape(n_chunks, chunk))
-        (tot, pres), _ = lax.scan(body, carry0, xs)
-        bits = jnp.sum(
-            (pres > 0.5).astype(jnp.uint32)
-            * (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :],
-            axis=1, dtype=jnp.uint32)
-        keep = eval_program_bits(bits, prog_ops, prog_args, depth=depth)
-        tot = jnp.where(keep, tot, 0.0)
-    else:
-        xs = (slot.reshape(n_chunks, chunk),
-              contrib.reshape(n_chunks, chunk))
-        tot, _ = lax.scan(body, jnp.zeros((k2,), jnp.float32), xs)
-
-    tot = jnp.where(first, tot, 0.0)   # drop duplicate candidate rows
-    k_eff = min(k, k2)
-    scores, idx = lax.top_k(tot, k_eff)
-    slots = cand[idx]
-
-    # Certificate (WAND-style): any document with no posting in the
-    # top-k2 set has total <= sum over terms of that term's best
-    # *residual* contribution (its max outside the top set).  Much
-    # tighter than Q * c*: terms whose postings were fully absorbed
-    # into the candidate set contribute nothing to the bound.
-    in_top = jnp.zeros((contrib.shape[0],), jnp.bool_).at[top_i].set(True)
-    residual = jnp.where(in_top, 0.0, contrib)
-    bound = jnp.float32(0.0)
-    for q in range(n_terms):
-        bound = bound + jnp.max(jnp.where(qid == q, residual, 0.0))
-    theta = scores[k_eff - 1]
-    total_postings = jnp.minimum(jnp.sum(q_len), budget)
-    certified = (total_postings <= k2) | (bound <= theta)
-    return scores, slots, certified
-
-
-device_search_pruned = functools.partial(
-    jax.jit,
-    static_argnames=("budget", "k", "algo", "use_mask", "depth", "k2",
-                     "chunk"),
-)(pruned_topk)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("budget", "k", "algo", "use_mask", "depth", "k2",
-                     "chunk"),
-)
-def device_search_pruned_batch(
-    postings_slot, postings_ltf, doc_len, alive_mask,
-    q_start, q_len, q_idf, adl, prog_ops, prog_args,
-    *, budget: int, k: int, algo: int, use_mask: bool, depth: int = 8,
-    k2: int = 512, chunk: int = 1 << 15,
-):
-    def one(qs, ql, qi, po, pa):
-        return pruned_topk(
-            postings_slot, postings_ltf, doc_len, alive_mask,
-            qs, ql, qi, adl, po, pa,
-            budget=budget, k=k, algo=algo, use_mask=use_mask,
-            depth=depth, k2=k2, chunk=chunk)
-
-    return jax.vmap(one)(q_start, q_len, q_idf, prog_ops, prog_args)
+        keep = eval_program_bits(bits_total, prog_ops, prog_args,
+                                 depth=depth)
+        total = jnp.where(keep, total, 0.0)
+    k_eff = min(k, n_slots)
+    scores, slots = lax.top_k(total, k_eff)
+    return scores, slots.astype(jnp.int32)
 
 
 @functools.partial(

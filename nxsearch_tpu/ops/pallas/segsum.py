@@ -1,0 +1,233 @@
+"""Pallas kernel: exact per-document score accumulation, sort-free.
+
+The exact executors need, per query, the per-document sum of posting
+contributions.  XLA's TPU sort and scatter both cost ~100 ns/element,
+so at millions of postings they dominate everything.  This kernel
+removes both by exploiting two structural facts:
+
+1. Each term's postings are **slot-sorted** (index/hostindex.build_csr),
+   so the postings of term q that fall into a slot block
+   [g*R, (g+1)*R) form one contiguous subrange of q's posting list --
+   located with a binary search (``csr_block_bounds``) instead of any
+   data movement.
+2. Within a block, "scatter" into R=1024 slots is a one-hot matmul on
+   the MXU: contributions [M] x one-hot [M, R] -> dense [R].  The same
+   one-hot matrix also gathers per-posting doc lengths
+   (oh @ doc_len_block) and per-term presence vectors for boolean
+   queries -- three uses of one compare matrix, all MXU/VPU work with
+   no data-dependent layout.
+
+Grid = one program per slot block.  Per (term, block) subranges DMA
+from HBM postings at dynamic offsets; empty subranges skip via
+``pl.when``.  Output is the dense per-slot score vector (and packed
+per-slot query-term presence bits when boolean masking is on); the
+caller runs the postfix program + lax.top_k over it -- both cheap.
+
+BM25 per-posting contribution is rearranged MXU-friendly:
+    ltf / (ltf + C1 + C2 * dl) * idf,   C1 = k(1-b), C2 = k*b/adl.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_SLOTS = 1024     # R: slots per grid block
+# Mosaic requires HBM DMA slices aligned to the 1-D tiling (1024), so
+# postings load in 1024-aligned chunks; a (term, block) subrange has
+# length <= R = 1024 and therefore spans at most two aligned chunks.
+SUB_POSTINGS = 1024
+MAX_KERNEL_TERMS = 8   # queries wider than this use the XLA fallbacks
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "block"))
+def csr_block_bounds(postings_slot: jax.Array,   # int32[P]
+                     q_start: jax.Array,         # int32[Q]
+                     q_len: jax.Array,           # int32[Q]
+                     *, n_blocks: int, block: int = BLOCK_SLOTS):
+    """bounds int32[Q, n_blocks+1]: for each term, the index of its
+    first posting with slot >= g*block -- a vectorized lower-bound
+    binary search within each term's slot-sorted CSR range."""
+    edges = (jnp.arange(n_blocks + 1, dtype=jnp.int32)
+             * jnp.int32(block))                       # [G+1]
+    q = q_start.shape[0]
+    lo = jnp.broadcast_to(q_start[:, None], (q, n_blocks + 1)) \
+        .astype(jnp.int32)
+    hi = (lo + q_len[:, None]).astype(jnp.int32)
+    p_max = postings_slot.shape[0]
+
+    def body(_, carry):
+        lo, hi = carry
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        v = postings_slot[jnp.clip(mid, 0, p_max - 1)]
+        go_right = active & (v < edges[None, :])
+        new_lo = jnp.where(go_right, mid + 1, lo)
+        new_hi = jnp.where(active & ~go_right, mid, hi)
+        return new_lo, new_hi
+
+    lo, hi = lax.fori_loop(0, 32, body, (lo, hi))
+    return lo
+
+
+def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
+    r = BLOCK_SLOTS
+    m = SUB_POSTINGS
+
+    def kernel(bounds_ref,    # SMEM int32[Q, G+1]
+               coef_ref,      # SMEM f32[Q, 4]: idf, C1, C2, unused
+               pslot_hbm,     # ANY int32[P]
+               pltf_hbm,      # ANY f32[P]
+               dlen_ref,      # VMEM f32[1, R] (block g)
+               alive_ref,     # VMEM f32[1, R] (block g; 0/1 factors)
+               out_ref,       # VMEM f32[1, R]
+               bits_ref,      # VMEM u32[1, R]
+               slot_scr, ltf_scr, pres_ref, acc_ref, sem):
+        g = pl.program_id(0)
+        base = g * r
+        iota_rh = lax.broadcasted_iota(jnp.int32, (m // 2, r), 1)
+        iota_mh = lax.broadcasted_iota(jnp.int32, (m // 2, r), 0)
+        p_max = pslot_hbm.shape[0]
+
+        acc_ref[0, :] = jnp.zeros((r,), jnp.float32)
+        bits_ref[0, :] = jnp.zeros((r,), jnp.uint32)
+
+        for q in range(n_terms):          # static unroll over query rows
+            if use_mask:
+                pres_ref[0, :] = jnp.zeros((r,), jnp.float32)
+            for s in range(n_sub):        # aligned chunks covering range
+                @pl.when(((bounds_ref[q, g] // m) + s) * m
+                         < bounds_ref[q, g + 1])
+                def _(q=q, s=s):
+                    b0 = bounds_ref[q, g]
+                    b1 = bounds_ref[q, g + 1]
+                    aligned = ((b0 // m) + s) * m
+                    safe = pl.multiple_of(
+                        jnp.minimum(aligned, p_max - m), m)
+                    cp1 = pltpu.make_async_copy(
+                        pslot_hbm.at[pl.ds(safe, m)], slot_scr, sem)
+                    cp1.start()
+                    cp1.wait()
+                    cp2 = pltpu.make_async_copy(
+                        pltf_hbm.at[pl.ds(safe, m)], ltf_scr, sem)
+                    cp2.start()
+                    cp2.wait()
+                    # Posting j in the scratch is global index safe+j;
+                    # compute in half-chunks to bound the one-hot
+                    # working set (HIGHEST-precision matmuls triple
+                    # the VMEM scratch).
+                    idf = coef_ref[q, 0]
+                    for h in range(2):
+                        mh = m // 2
+                        j0 = h * mh
+                        valid2 = ((safe + j0 + iota_mh >= b0)
+                                  & (safe + j0 + iota_mh < b1))  # [mh,r]
+                        off = slot_scr[j0: j0 + mh] - base       # [mh]
+                        oh = ((off[:, None] == iota_rh)
+                              & valid2).astype(jnp.float32)      # [mh,r]
+                        ltf = ltf_scr[j0: j0 + mh]
+                        if algo == 0:   # BM25
+                            c1 = coef_ref[q, 1]
+                            c2 = coef_ref[q, 2]
+                            # precision=HIGHEST: the MXU's native bf16
+                            # pass loses ~0.4% -- too coarse for exact
+                            # score parity (tests hold 1e-4 vs C).
+                            dl = jax.lax.dot_general(
+                                oh, dlen_ref[0, :][:, None],
+                                (((1,), (0,)), ((), ())),
+                                precision=lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)[:, 0]
+                            contrib = ltf / (ltf + c1 + c2 * dl) * idf
+                        else:           # TF-IDF
+                            contrib = ltf * idf
+                        acc_ref[0, :] = acc_ref[0, :] + \
+                            jax.lax.dot_general(
+                                contrib[None, :], oh,
+                                (((1,), (0,)), ((), ())),
+                                precision=lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)[0]
+                        if use_mask:
+                            ones = jnp.ones((1, mh), jnp.float32)
+                            pres_ref[0, :] = pres_ref[0, :] + \
+                                jax.lax.dot_general(
+                                    ones, oh,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)[0]
+
+            if use_mask:
+                bits_ref[0, :] = bits_ref[0, :] | jnp.where(
+                    pres_ref[0, :] > 0.0,
+                    jnp.uint32(1) << jnp.uint32(min(q, 31)),
+                    jnp.uint32(0))
+
+        out_ref[0, :] = acc_ref[0, :] * alive_ref[0, :]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_slots", "algo", "use_mask", "interpret"),
+)
+def blockdense_scores(
+    postings_slot: jax.Array,   # int32[P] slot-sorted per term
+    postings_ltf: jax.Array,    # float32[P]
+    doc_len: jax.Array,         # float32[S_pad]
+    alive_mask: jax.Array,      # uint32[S_pad/32]
+    bounds: jax.Array,          # int32[Q, G+1] from csr_block_bounds
+    coef: jax.Array,            # float32[Q, 4]: idf, C1, C2, 0
+    *,
+    n_slots: int,
+    algo: int,
+    use_mask: bool,
+    interpret: bool = False,
+):
+    """Dense per-slot scores (and presence bits) via the block kernel."""
+    n_terms = bounds.shape[0]
+    grid = (n_slots // BLOCK_SLOTS,)
+    n_sub = 2   # a <=R-long subrange spans at most 2 aligned chunks
+
+    # Expand the packed bitmap to per-slot 0/1 f32 factors in XLA
+    # (block shapes of R/32 u32 words violate Mosaic tile constraints).
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    alive_f = (((alive_mask[:, None] >> shifts[None, :]) & 1)
+               .astype(jnp.float32).reshape(-1))
+
+    kernel = _make_kernel(n_terms, algo, use_mask, n_sub)
+    scores, bits = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # bounds
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # coef
+            pl.BlockSpec(memory_space=pltpu.ANY),       # postings_slot
+            pl.BlockSpec(memory_space=pltpu.ANY),       # postings_ltf
+            pl.BlockSpec((1, BLOCK_SLOTS), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),      # doc_len
+            pl.BlockSpec((1, BLOCK_SLOTS), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),      # alive factors
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_SLOTS), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_SLOTS), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, n_slots), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_slots), jnp.uint32)],
+        scratch_shapes=[
+            pltpu.VMEM((SUB_POSTINGS,), jnp.int32),
+            pltpu.VMEM((SUB_POSTINGS,), jnp.float32),
+            pltpu.VMEM((1, BLOCK_SLOTS), jnp.float32),
+            pltpu.VMEM((1, BLOCK_SLOTS), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(bounds, coef, postings_slot, postings_ltf,
+      doc_len[None, :], alive_f[None, :])
+    return scores[0], bits[0]

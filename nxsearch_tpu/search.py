@@ -18,8 +18,8 @@ import numpy as np
 from .errors import ErrorCode, NxsError
 from .index.device import DeviceIndex
 from .ops.boolean import EMPTY_LEAF_BIT, check_nesting, compile_program
-from .ops.executor import (device_search, device_search_dense,
-                           device_search_pruned)
+from .ops.executor import (device_search, device_search_blockdense,
+                           device_search_dense)
 from .ops.scoring import ALGO_BM25, ALGO_TFIDF, host_idf
 from .params import DEFAULT_RESULTS_LIMIT, Params
 
@@ -280,25 +280,18 @@ def _delta_results(dev, plan: _Plan, sp: SearchParams):
     return nz + slot0, acc[nz]
 
 
-# Pruned execution applies when k is small (the max-score candidate
-# set stays tiny) and presence bits fit u32 for boolean queries; its
-# certificate guarantees exactness or we fall back to the full path.
-_PRUNED_MAX_K = 128
-
-# Pruning telemetry (per-process): certified vs fallback dispatches.
-PRUNE_STATS = {"certified": 0, "fallback": 0}
+def _on_accelerator() -> bool:
+    import jax
+    return jax.devices()[0].platform != "cpu"
 
 
-def _use_pruned(plan: _Plan, k: int, sharded: bool) -> bool:
-    return (not sharded and k <= _PRUNED_MAX_K
+def _use_blockdense(plan: _Plan, sharded: bool) -> bool:
+    # The Pallas block-accumulation executor is the exact path on
+    # accelerators (sort/scatter-free); boolean queries need
+    # presence bits to fit u32.  CPU runs keep the XLA executors
+    # (interpret-mode Pallas is for tests only).
+    return (not sharded and _on_accelerator()
             and (not plan.use_mask or plan.q_start.shape[-1] <= 32))
-
-
-def _pruned_k2(k: int) -> int:
-    size = 256
-    while size < 4 * k:
-        size <<= 1
-    return min(size, 2048)
 
 
 def _to_response(dev, scores, slots, limit: int, delta=None) -> Response:
@@ -338,22 +331,18 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
     budget, depth = plan.budget, plan.depth
     k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
 
-    if _use_pruned(plan, k, sharded):
-        scores, slots, certified = device_search_pruned(
+    if _use_blockdense(plan, sharded):
+        scores, slots = device_search_blockdense(
             dev.postings_slot, dev.postings_ltf, dev.doc_len,
             dev.alive_mask,
             jnp.asarray(q_start), jnp.asarray(q_len), jnp.asarray(q_idf),
             jnp.float32(dev.adl),
             jnp.asarray(prog_ops), jnp.asarray(prog_args),
-            budget=budget, k=k, algo=sp.algo,
-            use_mask=use_mask, depth=depth, k2=_pruned_k2(k),
+            k=k, algo=sp.algo, n_slots=dev.n_slots,
+            use_mask=use_mask, depth=depth,
         )
-        if bool(certified):
-            PRUNE_STATS["certified"] += 1
-            return _to_response(dev, scores, slots, sp.limit,
-                                delta=_delta_results(dev, plan, sp))
-        # Uncertified: fall through to an exact executor.
-        PRUNE_STATS["fallback"] += 1
+        return _to_response(dev, scores, slots, sp.limit,
+                            delta=_delta_results(dev, plan, sp))
 
     if sharded:
         from .parallel.sharded import sharded_search  # local: lazy import
@@ -427,12 +416,28 @@ def execute_query_batch(dev, queries: list[Query],
 
     # Launch every group's device call first (dispatch is async), then
     # collect -- device work and transfers for all groups overlap.
-    from .ops.executor import (device_search_dense_batch,
-                               device_search_pruned_batch)
+    from .ops.executor import device_search_dense_batch
     sharded = hasattr(dev, "mesh")
     pending = []
     for key, members in chunked:
         sample = plans[members[0]]
+        if _use_blockdense(sample, sharded):
+            # The block kernel pipelines extremely well: per-query
+            # async dispatches amortize to ~0.02 ms/query, so no
+            # batched variant is needed.
+            for i in members:
+                p = plans[i]
+                sc1, sl1 = device_search_blockdense(
+                    dev.postings_slot, dev.postings_ltf, dev.doc_len,
+                    dev.alive_mask,
+                    jnp.asarray(p.q_start), jnp.asarray(p.q_len),
+                    jnp.asarray(p.q_idf), jnp.float32(dev.adl),
+                    jnp.asarray(p.prog_ops), jnp.asarray(p.prog_args),
+                    k=k, algo=sp.algo, n_slots=dev.n_slots,
+                    use_mask=p.use_mask, depth=p.depth,
+                )
+                pending.append(([i], sc1[None], sl1[None], None))
+            continue
         n = len(members)
         n_pad = _bucket(n, 8)
         q_pad = sample.q_start.shape[-1]
@@ -455,19 +460,6 @@ def execute_query_batch(dev, queries: list[Query],
             q_idf[row] = p.q_idf
             prog_ops[row] = p.prog_ops
             prog_args[row] = p.prog_args
-        if not sharded and _use_pruned(sample, k, sharded):
-            scores, slots, certified = device_search_pruned_batch(
-                dev.postings_slot, dev.postings_ltf, dev.doc_len,
-                dev.alive_mask,
-                jnp.asarray(q_start), jnp.asarray(q_len),
-                jnp.asarray(q_idf), jnp.float32(dev.adl),
-                jnp.asarray(prog_ops), jnp.asarray(prog_args),
-                budget=sample.budget, k=k, algo=sp.algo,
-                use_mask=sample.use_mask, depth=sample.depth,
-                k2=_pruned_k2(k),
-            )
-            pending.append((members, scores, slots, certified))
-            continue
         if sharded:
             from .parallel.sharded import sharded_search_batch
             scores, slots = sharded_search_batch(
@@ -502,18 +494,10 @@ def execute_query_batch(dev, queries: list[Query],
             )
         pending.append((members, scores, slots, None))
 
-    for members, scores, slots, certified in pending:
+    for members, scores, slots, _ in pending:
         scores = np.asarray(scores)
         slots = np.asarray(slots)
-        cert = np.asarray(certified) if certified is not None else None
         for row, i in enumerate(members):
-            if cert is not None and not bool(cert[row]):
-                # Pruning certificate failed: exact per-query re-run.
-                PRUNE_STATS["fallback"] += 1
-                responses[i] = execute_query(dev, queries[i], sp)
-                continue
-            if cert is not None:
-                PRUNE_STATS["certified"] += 1
             responses[i] = _to_response(
                 dev, scores[row], slots[row], sp.limit,
                 delta=_delta_results(dev, plans[i], sp))
