@@ -129,8 +129,6 @@ def main() -> None:
         log(f"sequential: {n_seq} queries in {seq_elapsed:.2f}s -> "
             f"{n_seq / seq_elapsed:.0f} QPS, "
             f"avg {1e3 * seq_elapsed / n_seq:.2f} ms/query")
-        from nxsearch_tpu.search import PRUNE_STATS
-        log(f"pruning: {PRUNE_STATS}")
         nxs.close()
 
     print(json.dumps({

@@ -79,33 +79,33 @@ def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
     r = BLOCK_SLOTS
     m = SUB_POSTINGS
 
-    def kernel(bounds_ref,    # SMEM int32[Q, G+1]
-               coef_ref,      # SMEM f32[Q, 4]: idf, C1, C2, unused
+    def kernel(bounds_ref,    # SMEM int32[1, Q, G+1] (query n)
+               coef_ref,      # SMEM f32[1, Q, 4]: idf, C1, C2, unused
                pslot_hbm,     # ANY int32[P]
                pltf_hbm,      # ANY f32[P]
                dlen_ref,      # VMEM f32[1, R] (block g)
                alive_ref,     # VMEM f32[1, R] (block g; 0/1 factors)
-               out_ref,       # VMEM f32[1, R]
-               bits_ref,      # VMEM u32[1, R]
+               out_ref,       # VMEM f32[1, 1, R]
+               bits_ref,      # VMEM u32[1, 1, R]
                slot_scr, ltf_scr, pres_ref, acc_ref, sem):
-        g = pl.program_id(0)
+        g = pl.program_id(1)
         base = g * r
         iota_rh = lax.broadcasted_iota(jnp.int32, (m // 2, r), 1)
         iota_mh = lax.broadcasted_iota(jnp.int32, (m // 2, r), 0)
         p_max = pslot_hbm.shape[0]
 
         acc_ref[0, :] = jnp.zeros((r,), jnp.float32)
-        bits_ref[0, :] = jnp.zeros((r,), jnp.uint32)
+        bits_ref[0, 0, :] = jnp.zeros((r,), jnp.uint32)
 
         for q in range(n_terms):          # static unroll over query rows
             if use_mask:
                 pres_ref[0, :] = jnp.zeros((r,), jnp.float32)
             for s in range(n_sub):        # aligned chunks covering range
-                @pl.when(((bounds_ref[q, g] // m) + s) * m
-                         < bounds_ref[q, g + 1])
+                @pl.when(((bounds_ref[0, q, g] // m) + s) * m
+                         < bounds_ref[0, q, g + 1])
                 def _(q=q, s=s):
-                    b0 = bounds_ref[q, g]
-                    b1 = bounds_ref[q, g + 1]
+                    b0 = bounds_ref[0, q, g]
+                    b1 = bounds_ref[0, q, g + 1]
                     aligned = ((b0 // m) + s) * m
                     safe = pl.multiple_of(
                         jnp.minimum(aligned, p_max - m), m)
@@ -121,7 +121,7 @@ def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
                     # compute in half-chunks to bound the one-hot
                     # working set (HIGHEST-precision matmuls triple
                     # the VMEM scratch).
-                    idf = coef_ref[q, 0]
+                    idf = coef_ref[0, q, 0]
                     for h in range(2):
                         mh = m // 2
                         j0 = h * mh
@@ -132,8 +132,8 @@ def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
                               & valid2).astype(jnp.float32)      # [mh,r]
                         ltf = ltf_scr[j0: j0 + mh]
                         if algo == 0:   # BM25
-                            c1 = coef_ref[q, 1]
-                            c2 = coef_ref[q, 2]
+                            c1 = coef_ref[0, q, 1]
+                            c2 = coef_ref[0, q, 2]
                             # precision=HIGHEST: the MXU's native bf16
                             # pass loses ~0.4% -- too coarse for exact
                             # score parity (tests hold 1e-4 vs C).
@@ -160,12 +160,12 @@ def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
                                     preferred_element_type=jnp.float32)[0]
 
             if use_mask:
-                bits_ref[0, :] = bits_ref[0, :] | jnp.where(
+                bits_ref[0, 0, :] = bits_ref[0, 0, :] | jnp.where(
                     pres_ref[0, :] > 0.0,
                     jnp.uint32(1) << jnp.uint32(min(q, 31)),
                     jnp.uint32(0))
 
-        out_ref[0, :] = acc_ref[0, :] * alive_ref[0, :]
+        out_ref[0, 0, :] = acc_ref[0, :] * alive_ref[0, :]
 
     return kernel
 
@@ -179,17 +179,20 @@ def blockdense_scores(
     postings_ltf: jax.Array,    # float32[P]
     doc_len: jax.Array,         # float32[S_pad]
     alive_mask: jax.Array,      # uint32[S_pad/32]
-    bounds: jax.Array,          # int32[Q, G+1] from csr_block_bounds
-    coef: jax.Array,            # float32[Q, 4]: idf, C1, C2, 0
+    bounds: jax.Array,          # int32[N, Q, G+1] from csr_block_bounds
+    coef: jax.Array,            # float32[N, Q, 4]: idf, C1, C2, 0
     *,
     n_slots: int,
     algo: int,
     use_mask: bool,
     interpret: bool = False,
 ):
-    """Dense per-slot scores (and presence bits) via the block kernel."""
-    n_terms = bounds.shape[0]
-    grid = (n_slots // BLOCK_SLOTS,)
+    """Dense per-slot scores (and presence bits) via the block kernel.
+
+    Batched over queries: grid (N, G), one dispatch for the whole
+    batch.  Returns (scores f32[N, S], bits u32[N, S])."""
+    n_batch, n_terms = bounds.shape[0], bounds.shape[1]
+    grid = (n_batch, n_slots // BLOCK_SLOTS)
     n_sub = 2   # a <=R-long subrange spans at most 2 aligned chunks
 
     # Expand the packed bitmap to per-slot 0/1 f32 factors in XLA
@@ -203,23 +206,27 @@ def blockdense_scores(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # bounds
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # coef
-            pl.BlockSpec(memory_space=pltpu.ANY),       # postings_slot
-            pl.BlockSpec(memory_space=pltpu.ANY),       # postings_ltf
-            pl.BlockSpec((1, BLOCK_SLOTS), lambda g: (0, g),
-                         memory_space=pltpu.VMEM),      # doc_len
-            pl.BlockSpec((1, BLOCK_SLOTS), lambda g: (0, g),
-                         memory_space=pltpu.VMEM),      # alive factors
+            pl.BlockSpec((1,) + bounds.shape[1:], lambda n, g: (n, 0, 0),
+                         memory_space=pltpu.SMEM),    # bounds
+            pl.BlockSpec((1,) + coef.shape[1:], lambda n, g: (n, 0, 0),
+                         memory_space=pltpu.SMEM),    # coef
+            pl.BlockSpec(memory_space=pltpu.ANY),     # postings_slot
+            pl.BlockSpec(memory_space=pltpu.ANY),     # postings_ltf
+            pl.BlockSpec((1, BLOCK_SLOTS), lambda n, g: (0, g),
+                         memory_space=pltpu.VMEM),    # doc_len
+            pl.BlockSpec((1, BLOCK_SLOTS), lambda n, g: (0, g),
+                         memory_space=pltpu.VMEM),    # alive factors
         ],
         out_specs=[
-            pl.BlockSpec((1, BLOCK_SLOTS), lambda g: (0, g),
+            pl.BlockSpec((1, 1, BLOCK_SLOTS), lambda n, g: (n, 0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_SLOTS), lambda g: (0, g),
+            pl.BlockSpec((1, 1, BLOCK_SLOTS), lambda n, g: (n, 0, g),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((1, n_slots), jnp.float32),
-                   jax.ShapeDtypeStruct((1, n_slots), jnp.uint32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_batch, 1, n_slots), jnp.float32),
+            jax.ShapeDtypeStruct((n_batch, 1, n_slots), jnp.uint32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((SUB_POSTINGS,), jnp.int32),
             pltpu.VMEM((SUB_POSTINGS,), jnp.float32),
@@ -230,4 +237,4 @@ def blockdense_scores(
         interpret=interpret,
     )(bounds, coef, postings_slot, postings_ltf,
       doc_len[None, :], alive_f[None, :])
-    return scores[0], bits[0]
+    return scores[:, 0, :], bits[:, 0, :]

@@ -397,46 +397,66 @@ def execute_query_batch(dev, queries: list[Query],
         Response() if p is None else None for p in plans]
 
     k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
+    sharded_flag = hasattr(dev, "mesh")
     groups: dict[tuple, list[int]] = {}
     for i, plan in enumerate(plans):
-        if plan is not None:
-            groups.setdefault(plan.batch_key, []).append(i)
+        if plan is None:
+            continue
+        if _use_blockdense(plan, sharded_flag):
+            # The block kernel's signature has no postings budget:
+            # every budget tier shares one executable per shape.
+            key = ("bd", plan.q_start.shape[-1], len(plan.prog_ops),
+                   plan.use_mask, plan.depth)
+        else:
+            key = plan.batch_key
+        groups.setdefault(key, []).append(i)
 
     # Cap per-dispatch working-set: the batched executors materialize
-    # O(N * budget) temporaries, so high-budget groups are chunked to
-    # keep N * budget bounded (~2^26 elements ≈ a few hundred MB of
-    # f32/i32 temps on device).
+    # O(N * budget) temporaries (or N * n_slots dense arrays for the
+    # block kernel), so groups are chunked to bound device memory.
     _ELEMS_CAP = 1 << 26
     chunked: list[tuple[tuple, list[int]]] = []
     for key, members in groups.items():
-        budget = plans[members[0]].budget
-        max_n = max(1, _ELEMS_CAP // max(budget, 1))
+        size = dev.n_slots if key[0] == "bd" else plans[members[0]].budget
+        max_n = max(1, _ELEMS_CAP // max(size, 1))
         for at in range(0, len(members), max_n):
             chunked.append((key, members[at: at + max_n]))
 
     # Launch every group's device call first (dispatch is async), then
     # collect -- device work and transfers for all groups overlap.
     from .ops.executor import device_search_dense_batch
-    sharded = hasattr(dev, "mesh")
+    sharded = sharded_flag
     pending = []
     for key, members in chunked:
         sample = plans[members[0]]
         if _use_blockdense(sample, sharded):
-            # The block kernel pipelines extremely well: per-query
-            # async dispatches amortize to ~0.02 ms/query, so no
-            # batched variant is needed.
-            for i in members:
+            from .ops.executor import device_search_blockdense_batch
+            n = len(members)
+            n_pad = _bucket(n, 8)
+            q_pad = sample.q_start.shape[-1]
+            prog_len = len(sample.prog_ops)
+            q_start = np.zeros((n_pad, q_pad), dtype=np.int32)
+            q_len = np.zeros((n_pad, q_pad), dtype=np.int32)
+            q_idf = np.zeros((n_pad, q_pad), dtype=np.float32)
+            prog_ops = np.zeros((n_pad, prog_len), dtype=np.int32)
+            prog_args = np.zeros((n_pad, prog_len), dtype=np.int32)
+            for row, i in enumerate(members):
                 p = plans[i]
-                sc1, sl1 = device_search_blockdense(
-                    dev.postings_slot, dev.postings_ltf, dev.doc_len,
-                    dev.alive_mask,
-                    jnp.asarray(p.q_start), jnp.asarray(p.q_len),
-                    jnp.asarray(p.q_idf), jnp.float32(dev.adl),
-                    jnp.asarray(p.prog_ops), jnp.asarray(p.prog_args),
-                    k=k, algo=sp.algo, n_slots=dev.n_slots,
-                    use_mask=p.use_mask, depth=p.depth,
-                )
-                pending.append(([i], sc1[None], sl1[None], None))
+                q_start[row] = p.q_start
+                q_len[row] = p.q_len
+                q_idf[row] = p.q_idf
+                prog_ops[row] = p.prog_ops
+                prog_args[row] = p.prog_args
+            scores, slots = device_search_blockdense_batch(
+                dev.postings_slot, dev.postings_ltf, dev.doc_len,
+                dev.alive_mask,
+                jnp.asarray(q_start), jnp.asarray(q_len),
+                jnp.asarray(q_idf), jnp.float32(dev.adl),
+                jnp.asarray(prog_ops), jnp.asarray(prog_args),
+                k=k, algo=sp.algo, n_slots=dev.n_slots,
+                use_mask=sample.use_mask, depth=sample.depth,
+            )
+            pending.append((members, scores, slots, None))
             continue
         n = len(members)
         n_pad = _bucket(n, 8)
