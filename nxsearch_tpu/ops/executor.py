@@ -168,27 +168,37 @@ def _blockdense_core(
         total = jnp.where(keep, total, 0.0)
     k_eff = min(k, n_slots)
     scores, slots = lax.top_k(total, k_eff)
-    return scores, slots.astype(jnp.int32)
+    # Pack scores + bitcast slots into ONE output array: on remote-TPU
+    # setups every device->host transfer is a full round trip, so the
+    # result must come back in a single fetch.
+    return jnp.stack(
+        [scores, lax.bitcast_convert_type(slots, jnp.float32)], axis=1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "algo", "n_slots", "use_mask", "depth",
-                     "interpret"),
-)
+def unpack_blockdense(packed: "jax.Array | object"):
+    """Host-side split of the packed [N, 2, k] result into
+    (scores f32[N, k], slots i32[N, k]) numpy arrays."""
+    import numpy as np
+
+    arr = np.asarray(packed)
+    return arr[:, 0, :], arr[:, 1, :].view(np.int32)
+
+
 def device_search_blockdense(
     postings_slot, postings_ltf, doc_len, alive_mask,
     q_start, q_len, q_idf, adl, prog_ops, prog_args,
     *, k: int, algo: int, n_slots: int, use_mask: bool,
     depth: int = 8, interpret: bool = False,
 ):
-    """Single-query entry over the batched blockdense core."""
-    scores, slots = _blockdense_core(
+    """Single-query entry over the batched blockdense core.
+    Returns (scores f32[k], slots i32[k]) as numpy arrays."""
+    packed = device_search_blockdense_batch(
         postings_slot, postings_ltf, doc_len, alive_mask,
         q_start[None], q_len[None], q_idf[None], adl,
         prog_ops[None], prog_args[None],
         k=k, algo=algo, n_slots=n_slots, use_mask=use_mask,
         depth=depth, interpret=interpret)
+    scores, slots = unpack_blockdense(packed)
     return scores[0], slots[0]
 
 

@@ -415,10 +415,13 @@ def execute_query_batch(dev, queries: list[Query],
     # O(N * budget) temporaries (or N * n_slots dense arrays for the
     # block kernel), so groups are chunked to bound device memory.
     _ELEMS_CAP = 1 << 26
+    _BD_ELEMS_CAP = 1 << 28   # dense f32+u32 workspace ~2 GB
     chunked: list[tuple[tuple, list[int]]] = []
     for key, members in groups.items():
-        size = dev.n_slots if key[0] == "bd" else plans[members[0]].budget
-        max_n = max(1, _ELEMS_CAP // max(size, 1))
+        if key[0] == "bd":
+            max_n = max(1, _BD_ELEMS_CAP // max(dev.n_slots, 1))
+        else:
+            max_n = max(1, _ELEMS_CAP // max(plans[members[0]].budget, 1))
         for at in range(0, len(members), max_n):
             chunked.append((key, members[at: at + max_n]))
 
@@ -447,7 +450,7 @@ def execute_query_batch(dev, queries: list[Query],
                 q_idf[row] = p.q_idf
                 prog_ops[row] = p.prog_ops
                 prog_args[row] = p.prog_args
-            scores, slots = device_search_blockdense_batch(
+            packed = device_search_blockdense_batch(
                 dev.postings_slot, dev.postings_ltf, dev.doc_len,
                 dev.alive_mask,
                 jnp.asarray(q_start), jnp.asarray(q_len),
@@ -456,7 +459,7 @@ def execute_query_batch(dev, queries: list[Query],
                 k=k, algo=sp.algo, n_slots=dev.n_slots,
                 use_mask=sample.use_mask, depth=sample.depth,
             )
-            pending.append((members, scores, slots, None))
+            pending.append((members, packed, None, "packed"))
             continue
         n = len(members)
         n_pad = _bucket(n, 8)
@@ -514,9 +517,13 @@ def execute_query_batch(dev, queries: list[Query],
             )
         pending.append((members, scores, slots, None))
 
-    for members, scores, slots, _ in pending:
-        scores = np.asarray(scores)
-        slots = np.asarray(slots)
+    from .ops.executor import unpack_blockdense
+    for members, scores, slots, tag in pending:
+        if tag == "packed":
+            scores, slots = unpack_blockdense(scores)
+        else:
+            scores = np.asarray(scores)
+            slots = np.asarray(slots)
         for row, i in enumerate(members):
             responses[i] = _to_response(
                 dev, scores[row], slots[row], sp.limit,
