@@ -173,11 +173,78 @@ class FuzzyMatcher:
 
     # -- public ------------------------------------------------------------
 
+    def prefetch(self, values) -> None:
+        """Resolve many tokens with one batched device dispatch.
+
+        Results land in a per-generation memo consulted by lookup();
+        on remote-TPU setups this turns per-token fuzzy round trips
+        into one per batch.  Tokens outside the device snapshot's
+        limits resolve through the host path as usual.
+        """
+        self._refresh()
+        memo = self._memo()
+        pending = []
+        for value in values:
+            if value in memo:
+                continue
+            q = value.encode("utf-8")
+            if (len(self._encoded) >= _DEVICE_THRESHOLD
+                    and 0 < len(q) <= _MAX_DEVICE_BYTES
+                    and len(q) < _MAX_DEVICE_BYTES - self.tolerance + 1):
+                pending.append((value, q))
+            else:
+                memo[value] = self.lookup(value)
+        if not pending:
+            return
+        import jax.numpy as jnp
+
+        from .ops.levenshtein import fuzzy_best_batch
+        self._refresh_device()
+        # Chunked: the vmapped Peq matrix is M x T x 32 u32.
+        chunk = 8
+        for at in range(0, len(pending), chunk):
+            part = pending[at: at + chunk]
+            qb = np.zeros((len(part), _MAX_DEVICE_BYTES), dtype=np.uint8)
+            ql = np.zeros(len(part), dtype=np.int32)
+            for i, (_, q) in enumerate(part):
+                qb[i, : len(q)] = np.frombuffer(q, dtype=np.uint8)
+                ql[i] = len(q)
+            idxs, _dists = fuzzy_best_batch(
+                self._dev_row_bytes(), self._dev_len, self._dev_total,
+                jnp.asarray(qb), jnp.asarray(ql),
+                jnp.int32(self.tolerance))
+            idxs = np.asarray(idxs)
+            for i, (value, _) in enumerate(part):
+                best = int(idxs[i])
+                memo[value] = best + 1 if best >= 0 else None
+
+    def _memo(self) -> dict:
+        memo = getattr(self, "_memo_cache", None)
+        if memo is None or self._memo_gen != self._gen:
+            memo = {}
+            self._memo_cache = memo
+            self._memo_gen = self._gen
+        return memo
+
+    def _dev_row_bytes(self):
+        """Row-major [T, L] byte matrix on device (the batched jnp
+        path needs it even when the Pallas layout is active)."""
+        import jax
+
+        if getattr(self, "_dev_rows_gen", -2) != self._gen:
+            self._dev_rows = jax.device_put(
+                self._vb_cache[: len(self._dev_len)])
+            self._dev_rows_gen = self._gen
+        return self._dev_rows
+
     def lookup(self, value: str) -> Optional[int]:
         """Best term within tolerance, or None (idxterm_fuzzysearch)."""
         self._refresh()
         if not self._encoded:
             return None
+        memo = self._memo()
+        if value in memo:
+            return memo[value]
         q = value.encode("utf-8")
         tol = self.tolerance
 
@@ -209,8 +276,10 @@ class FuzzyMatcher:
                             best_id is None or h_total > best_total or
                             (h_total == best_total and h_id < best_id)):
                         best_id = h_id
+            memo[value] = best_id
             return best_id
 
         near = np.nonzero(np.abs(self._lengths - len(q)) <= tol)[0]
         best_id, _total = self._host_best(q, near)
+        memo[value] = best_id
         return best_id

@@ -195,8 +195,10 @@ class Index:
             self.host.sync()
             self.dev.refresh()
             fuzzy = self._fuzzy_lookup if sp.fuzzymatch else None
+            prefetch = self._fuzzy_prefetch if sp.fuzzymatch else None
             return search_many(self.dev, self.pipeline, queries, sp,
-                               fuzzy_lookup=fuzzy)
+                               fuzzy_lookup=fuzzy,
+                               fuzzy_prefetch=prefetch)
 
     def stats(self) -> dict:
         """Live index statistics (observability; counts mirror the
@@ -214,10 +216,16 @@ class Index:
         }
 
     def _fuzzy_lookup(self, value: str) -> Optional[int]:
+        return self._fuzzy_matcher().lookup(value)
+
+    def _fuzzy_prefetch(self, values) -> None:
+        self._fuzzy_matcher().prefetch(values)
+
+    def _fuzzy_matcher(self):
         from .fuzzy import FuzzyMatcher
         if self._fuzzy is None:
             self._fuzzy = FuzzyMatcher(self.host)
-        return self._fuzzy.lookup(value)
+        return self._fuzzy
 
     def checkpoint(self) -> bool:
         """Write the fast-open snapshot cache (derived-state only; the

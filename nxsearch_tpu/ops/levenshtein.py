@@ -128,6 +128,24 @@ def fuzzy_best(vocab_bytes: jax.Array,   # uint8[T, L]
 
 
 @jax.jit
+def fuzzy_best_batch(vocab_bytes: jax.Array,   # uint8[T, L]
+                     vocab_len: jax.Array,     # int32[T]
+                     term_total: jax.Array,    # uint32[T]
+                     q_bytes: jax.Array,       # uint8[M, 32]
+                     q_len: jax.Array,         # int32[M]
+                     tolerance: jax.Array,     # int32
+                     ) -> tuple[jax.Array, jax.Array]:
+    """Batched fuzzy match: one device dispatch resolves M query
+    tokens (vmap of the jnp Myers sweep + selection).  Essential on
+    remote-TPU setups where every dispatch costs a round trip."""
+    def one(qb, ql):
+        return fuzzy_best(vocab_bytes, vocab_len, term_total, qb, ql,
+                          tolerance)
+
+    return jax.vmap(one)(q_bytes, q_len)
+
+
+@jax.jit
 def fuzzy_best_pallas(vocab_t: jax.Array,     # uint8[32, T_pad]
                       vocab_len: jax.Array,   # int32[T_pad]
                       term_total: jax.Array,  # uint32[T_pad]

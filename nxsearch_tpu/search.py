@@ -542,13 +542,29 @@ def search(dev: DeviceIndex, pipeline, query_str: str,
 
 
 def search_many(dev, pipeline, query_strs: list[str],
-                sp: SearchParams, fuzzy_lookup=None) -> list[Response]:
+                sp: SearchParams, fuzzy_lookup=None,
+                fuzzy_prefetch=None) -> list[Response]:
     """Batched search path: one device dispatch per signature group."""
-    prepared = []
+    roots = []
     for query_str in query_strs:
         root = parse_query(query_str)
         check_nesting(root)
-        prepared.append(prepare(root, pipeline, dev.host.term_lookup,
-                                fuzzy_lookup=fuzzy_lookup,
-                                fuzzymatch=sp.fuzzymatch))
+        roots.append(root)
+
+    if fuzzy_prefetch is not None and sp.fuzzymatch:
+        # Resolve every unmatched leaf token with one batched fuzzy
+        # dispatch instead of a device round trip per token.
+        missing = set()
+        for root in roots:
+            for leaf in root.walk_leaves():
+                filtered = pipeline.run(leaf.value)
+                if filtered and dev.host.term_lookup(filtered) is None:
+                    missing.add(filtered)
+        if missing:
+            fuzzy_prefetch(sorted(missing))
+
+    prepared = [prepare(root, pipeline, dev.host.term_lookup,
+                        fuzzy_lookup=fuzzy_lookup,
+                        fuzzymatch=sp.fuzzymatch)
+                for root in roots]
     return execute_query_batch(dev, prepared, sp)
