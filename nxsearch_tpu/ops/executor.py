@@ -1,31 +1,26 @@
-"""Fused device search executable: gather -> sort -> score -> top-k.
+"""Device search executables (src/query/search.c:210-283 equivalent).
 
-One jitted function covers the whole device side of a query
-(src/query/search.c:210-283 equivalent).  Static bucket parameters
-(postings budget, query width, k, program length/depth) define the
-executable signature; query data (CSR ranges, IDF, the boolean
-program) are runtime inputs, so every query in the same buckets reuses
-one compiled kernel.
+Three strategies, picked by the router in search.py:
 
-The execution strategy is *candidate scoring*: work is O(candidate
-postings), never O(corpus).
+- **blockdense** (accelerators, the default): the Pallas
+  block-accumulation kernel (ops/pallas/segsum.py).  Per slot block,
+  each term's slot-sorted postings form a contiguous subrange found by
+  binary search; one-hot MXU matmuls accumulate exact dense per-slot
+  scores and presence bits -- no sort, no scatter, one dispatch for a
+  whole query batch.  ~0.2 ms/query at 1M docs on v5e.
+- **candidate** (CPU, sharded shard_map bodies): flatten the query
+  terms' CSR ranges into one fixed-budget gather, score elementwise,
+  sort by slot, segment-sum per document (the reference's per-doc
+  score summing, results.c:128-137), evaluate boolean programs on
+  per-candidate presence bits, lax.top_k (the capped min-heap of
+  src/algo/heap.c).  O(candidate postings), but XLA sort costs
+  ~100 ns/element on TPU.
+- **dense** (>32-term boolean queries): packed per-term doc bitmaps +
+  a dense per-slot score scatter.
 
-    1. The query terms' slot-sorted CSR ranges are flattened into one
-       fixed-budget gather (ops/scoring.flatten_ranges).
-    2. Each posting is scored elementwise (BM25/TF-IDF) and tagged
-       with its query-term presence bit.
-    3. One sort by doc slot groups postings of the same document into
-       runs; segment scatter-adds produce, per candidate document, the
-       summed score (the reference's per-doc score summing,
-       results.c:128-137) and the OR of presence bits.
-    4. Boolean AND/OR/AND-NOT evaluates directly on the presence bits
-       (ops/boolean.eval_program_bits) -- no corpus-wide bitmaps.
-    5. ``lax.top_k`` over the candidate axis replaces the reference's
-       capped min-heap (src/algo/heap.c).
-
-Queries wider than 32 unique terms fall back to the packed-bitmap path
-(``device_search_dense``), which materializes per-term doc bitmaps and
-a dense per-slot score vector.
+Static bucket parameters define executable signatures; query content
+(CSR ranges, IDF, the postfix boolean program) is runtime data, so all
+queries in a bucket share one compiled kernel.
 """
 
 from __future__ import annotations
