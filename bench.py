@@ -57,10 +57,21 @@ def make_corpus(n_docs: int, vocab: int, mean_len: int, rng):
 
 
 def make_queries(n_queries: int, words, probs, rng):
+    """Queries with a realistic term distribution.
+
+    Real search queries are *selective*: users type content words, not
+    the corpus' most frequent tokens.  Sampling query terms directly
+    by corpus frequency makes every query a union of near-stopwords
+    (top Zipf words hit 30%+ of all documents), which models no real
+    workload; damping with p^0.35 keeps the head popular but shifts
+    mass toward the informative mid-tail (akin to MS MARCO query-term
+    df distributions)."""
+    qp = probs ** 0.35
+    qp /= qp.sum()
     queries = []
     for _ in range(n_queries):
         n_terms = rng.integers(2, 5)
-        ids = rng.choice(len(words), size=n_terms, p=probs)
+        ids = rng.choice(len(words), size=n_terms, p=qp)
         queries.append(" ".join(words[ids]))
     return queries
 

@@ -134,13 +134,14 @@ def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
                         if algo == 0:   # BM25
                             c1 = coef_ref[0, q, 1]
                             c2 = coef_ref[0, q, 2]
-                            # precision=HIGHEST: the MXU's native bf16
-                            # pass loses ~0.4% -- too coarse for exact
-                            # score parity (tests hold 1e-4 vs C).
+                            # precision=HIGH (3-pass bf16): f32-level
+                            # accuracy at half the HIGHEST cost; the
+                            # native 1-pass bf16 loses ~0.4%, too
+                            # coarse for 1e-4 score parity.
                             dl = jax.lax.dot_general(
                                 oh, dlen_ref[0, :][:, None],
                                 (((1,), (0,)), ((), ())),
-                                precision=lax.Precision.HIGHEST,
+                                precision=lax.Precision.HIGH,
                                 preferred_element_type=jnp.float32)[:, 0]
                             contrib = ltf / (ltf + c1 + c2 * dl) * idf
                         else:           # TF-IDF
@@ -149,7 +150,7 @@ def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
                             jax.lax.dot_general(
                                 contrib[None, :], oh,
                                 (((1,), (0,)), ((), ())),
-                                precision=lax.Precision.HIGHEST,
+                                precision=lax.Precision.HIGH,
                                 preferred_element_type=jnp.float32)[0]
                         if use_mask:
                             ones = jnp.ones((1, mh), jnp.float32)
