@@ -134,14 +134,13 @@ def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
                         if algo == 0:   # BM25
                             c1 = coef_ref[0, q, 1]
                             c2 = coef_ref[0, q, 2]
-                            # precision=HIGH (3-pass bf16): f32-level
-                            # accuracy at half the HIGHEST cost; the
-                            # native 1-pass bf16 loses ~0.4%, too
-                            # coarse for 1e-4 score parity.
+                            # HIGHEST: the native 1-pass bf16 loses
+                            # ~0.4%, too coarse for 1e-4 score parity
+                            # (Mosaic rejects the 3-pass HIGH mode).
                             dl = jax.lax.dot_general(
                                 oh, dlen_ref[0, :][:, None],
                                 (((1,), (0,)), ((), ())),
-                                precision=lax.Precision.HIGH,
+                                precision=lax.Precision.HIGHEST,
                                 preferred_element_type=jnp.float32)[:, 0]
                             contrib = ltf / (ltf + c1 + c2 * dl) * idf
                         else:           # TF-IDF
@@ -150,7 +149,7 @@ def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
                             jax.lax.dot_general(
                                 contrib[None, :], oh,
                                 (((1,), (0,)), ((), ())),
-                                precision=lax.Precision.HIGH,
+                                precision=lax.Precision.HIGHEST,
                                 preferred_element_type=jnp.float32)[0]
                         if use_mask:
                             ones = jnp.ones((1, mh), jnp.float32)
@@ -211,8 +210,8 @@ def blockdense_scores(
                          memory_space=pltpu.SMEM),    # bounds
             pl.BlockSpec((1,) + coef.shape[1:], lambda n, g: (n, 0, 0),
                          memory_space=pltpu.SMEM),    # coef
-            pl.BlockSpec(memory_space=pltpu.ANY),     # postings_slot
-            pl.BlockSpec(memory_space=pltpu.ANY),     # postings_ltf
+            pl.BlockSpec(memory_space=pl.ANY),     # postings_slot
+            pl.BlockSpec(memory_space=pl.ANY),     # postings_ltf
             pl.BlockSpec((1, BLOCK_SLOTS), lambda n, g: (0, g),
                          memory_space=pltpu.VMEM),    # doc_len
             pl.BlockSpec((1, BLOCK_SLOTS), lambda n, g: (0, g),
