@@ -117,11 +117,11 @@ def _blockdense_core(
 
     Sort- and scatter-free: per slot block, each term's postings form
     a contiguous subrange (binary search over the slot-sorted CSR) and
-    accumulate through one-hot MXU matmuls (ops/pallas/segsum.py).
-    One device dispatch scores the whole query batch (grid = N x
-    blocks); ~0.2 ms per query at 1M documents on v5e.  Queries wider
-    than 8 terms run the kernel per 8-term group and sum the dense
-    results (presence bits shift into their global positions).
+    accumulate through broadcast-compare + sublane sums on the VPU
+    (ops/pallas/segsum.py).  One device dispatch scores the whole
+    query batch (grid = N x blocks).  Queries wider than 8 terms run
+    the kernel per 8-term group and sum the dense results (presence
+    bits shift into their global positions).
     """
     from .pallas.segsum import (BLOCK_SLOTS, MAX_KERNEL_TERMS,
                                 blockdense_scores, csr_block_bounds)
@@ -163,11 +163,15 @@ def _blockdense_core(
         total = jnp.where(keep, total, 0.0)
     k_eff = min(k, n_slots)
     scores, slots = lax.top_k(total, k_eff)
-    # Pack scores + bitcast slots into ONE output array: on remote-TPU
-    # setups every device->host transfer is a full round trip, so the
-    # result must come back in a single fetch.
-    return jnp.stack(
-        [scores, lax.bitcast_convert_type(slots, jnp.float32)], axis=1)
+    # Pack scores + slots into ONE output array: on remote-TPU setups
+    # every device->host transfer is a full round trip, so the result
+    # must come back in a single fetch.  Slots convert by VALUE, not
+    # bitcast: bitcast i32->f32 turns small indices into denormals,
+    # which TPU arithmetic flushes to zero (observed at batch N=1).
+    # f32 holds integers exactly below 2**24; n_slots is asserted
+    # under that.
+    assert n_slots < (1 << 24), "slot indexes must stay exact in f32"
+    return jnp.stack([scores, slots.astype(jnp.float32)], axis=1)
 
 
 def unpack_blockdense(packed: "jax.Array | object"):
@@ -176,7 +180,7 @@ def unpack_blockdense(packed: "jax.Array | object"):
     import numpy as np
 
     arr = np.asarray(packed)
-    return arr[:, 0, :], arr[:, 1, :].view(np.int32)
+    return arr[:, 0, :], arr[:, 1, :].astype(np.int32)
 
 
 def device_search_blockdense(

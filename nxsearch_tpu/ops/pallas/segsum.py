@@ -10,12 +10,16 @@ removes both by exploiting two structural facts:
    [g*R, (g+1)*R) form one contiguous subrange of q's posting list --
    located with a binary search (``csr_block_bounds``) instead of any
    data movement.
-2. Within a block, "scatter" into R=1024 slots is a one-hot matmul on
-   the MXU: contributions [M] x one-hot [M, R] -> dense [R].  The same
-   one-hot matrix also gathers per-posting doc lengths
-   (oh @ doc_len_block) and per-term presence vectors for boolean
-   queries -- three uses of one compare matrix, all MXU/VPU work with
-   no data-dependent layout.
+2. Within a block, "scatter" into R=1024 slots is a broadcast compare
+   one-hot [M, R] followed by a sublane sum -- pure VPU elementwise
+   work with no data-dependent layout.  (One-hot MXU matmuls were
+   tried first: with R slots they are matrix-vector products that
+   waste 127/128 of the systolic array and ran ~8x slower.)  The same
+   compare matrix masks the BM25 term and the per-term presence
+   vectors for boolean queries, and the doc-length gather disappears:
+   the denominator uses doc_len broadcast along the slot lanes, so
+   each posting meets its document's length at the (posting, slot)
+   cell the compare selects.
 
 Grid = one program per slot block.  Per (term, block) subranges DMA
 from HBM postings at dynamic offsets; empty subranges skip via
@@ -23,8 +27,8 @@ from HBM postings at dynamic offsets; empty subranges skip via
 per-slot query-term presence bits when boolean masking is on); the
 caller runs the postfix program + lax.top_k over it -- both cheap.
 
-BM25 per-posting contribution is rearranged MXU-friendly:
-    ltf / (ltf + C1 + C2 * dl) * idf,   C1 = k(1-b), C2 = k*b/adl.
+BM25 per-posting contribution is rearranged broadcast-friendly:
+    ltf * idf / (ltf + C1 + C2 * dl),   C1 = k(1-b), C2 = k*b/adl.
 """
 
 from __future__ import annotations
@@ -118,9 +122,16 @@ def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
                     cp2.start()
                     cp2.wait()
                     # Posting j in the scratch is global index safe+j;
-                    # compute in half-chunks to bound the one-hot
-                    # working set (HIGHEST-precision matmuls triple
-                    # the VMEM scratch).
+                    # compute in half-chunks to bound the [mh, R]
+                    # elementwise working set in VMEM.  All-VPU: the
+                    # scatter is a broadcast compare + sublane-sum --
+                    # one-hot MATMULS here are matrix-vector products
+                    # (N=1 / K=1) that waste 127/128 of the MXU and
+                    # measured ~8x slower.  The doc-length "gather"
+                    # vanishes entirely: BM25's denominator uses
+                    # dlen broadcast along the slot lanes, so each
+                    # posting meets its own document's length at the
+                    # (posting, slot) cell the compare selects.
                     idf = coef_ref[0, q, 0]
                     for h in range(2):
                         mh = m // 2
@@ -134,30 +145,16 @@ def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
                         if algo == 0:   # BM25
                             c1 = coef_ref[0, q, 1]
                             c2 = coef_ref[0, q, 2]
-                            # HIGHEST: the native 1-pass bf16 loses
-                            # ~0.4%, too coarse for 1e-4 score parity
-                            # (Mosaic rejects the 3-pass HIGH mode).
-                            dl = jax.lax.dot_general(
-                                oh, dlen_ref[0, :][:, None],
-                                (((1,), (0,)), ((), ())),
-                                precision=lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32)[:, 0]
-                            contrib = ltf / (ltf + c1 + c2 * dl) * idf
+                            denom = (ltf[:, None] + c1
+                                     + c2 * dlen_ref[0, :][None, :])
+                            contrib = oh * (ltf * idf)[:, None] / denom
                         else:           # TF-IDF
-                            contrib = ltf * idf
+                            contrib = oh * (ltf * idf)[:, None]
                         acc_ref[0, :] = acc_ref[0, :] + \
-                            jax.lax.dot_general(
-                                contrib[None, :], oh,
-                                (((1,), (0,)), ((), ())),
-                                precision=lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32)[0]
+                            jnp.sum(contrib, axis=0)
                         if use_mask:
-                            ones = jnp.ones((1, mh), jnp.float32)
                             pres_ref[0, :] = pres_ref[0, :] + \
-                                jax.lax.dot_general(
-                                    ones, oh,
-                                    (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)[0]
+                                jnp.sum(oh, axis=0)
 
             if use_mask:
                 bits_ref[0, 0, :] = bits_ref[0, 0, :] | jnp.where(
