@@ -82,7 +82,7 @@ def main() -> None:
     ap.add_argument("--vocab", type=int, default=20_000)
     ap.add_argument("--mean-len", type=int, default=40)
     ap.add_argument("--queries", type=int, default=2048)
-    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--limit", type=int, default=10)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
