@@ -285,12 +285,15 @@ def _on_accelerator() -> bool:
     return jax.devices()[0].platform != "cpu"
 
 
-def _use_blockdense(plan: _Plan, sharded: bool) -> bool:
+def _use_blockdense(plan: _Plan, sharded: bool, n_slots: int) -> bool:
     # The Pallas block-accumulation executor is the exact path on
     # accelerators (sort/scatter-free); boolean queries need
     # presence bits to fit u32.  CPU runs keep the XLA executors
-    # (interpret-mode Pallas is for tests only).
+    # (interpret-mode Pallas is for tests only).  Its packed result
+    # carries slot indexes in f32, exact only below 2**24 slots --
+    # larger indexes take the candidate/dense executors.
     return (not sharded and _on_accelerator()
+            and n_slots < (1 << 24)
             and (not plan.use_mask or plan.q_start.shape[-1] <= 32))
 
 
@@ -331,7 +334,7 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
     budget, depth = plan.budget, plan.depth
     k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
 
-    if _use_blockdense(plan, sharded):
+    if _use_blockdense(plan, sharded, dev.n_slots):
         scores, slots = device_search_blockdense(
             dev.postings_slot, dev.postings_ltf, dev.doc_len,
             dev.alive_mask,
@@ -402,7 +405,7 @@ def execute_query_batch(dev, queries: list[Query],
     for i, plan in enumerate(plans):
         if plan is None:
             continue
-        if _use_blockdense(plan, sharded_flag):
+        if _use_blockdense(plan, sharded_flag, dev.n_slots):
             # The block kernel's signature has no postings budget:
             # every budget tier shares one executable per shape.
             key = ("bd", plan.q_start.shape[-1], len(plan.prog_ops),
@@ -432,7 +435,7 @@ def execute_query_batch(dev, queries: list[Query],
     pending = []
     for key, members in chunked:
         sample = plans[members[0]]
-        if _use_blockdense(sample, sharded):
+        if _use_blockdense(sample, sharded, dev.n_slots):
             from .ops.executor import device_search_blockdense_batch
             n = len(members)
             n_pad = _bucket(n, 8)

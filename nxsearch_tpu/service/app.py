@@ -37,6 +37,7 @@ import re
 import threading
 import time
 from collections import OrderedDict
+from contextlib import contextmanager
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
@@ -56,7 +57,16 @@ _INDEX_CACHE_SIZE = 32
 
 
 class _IndexCache:
-    """32-entry LRU of open indexes with TTL (resty.lrucache analogue)."""
+    """32-entry LRU of open indexes with TTL (resty.lrucache analogue).
+
+    Unlike the reference (whose N worker processes each hold a private
+    handle and let GC reclaim evicted ones), one service process shares
+    engine handles across request threads, so eviction must actually
+    close the engine handle -- otherwise journal fds, device snapshots
+    and fuzzy-vocab arrays accumulate without bound.  Handles are
+    refcounted via ``lease()``: an evicted handle still leased by an
+    in-flight request is closed when its last lease is released.
+    """
 
     def __init__(self, nxs: Nxs, size: int = _INDEX_CACHE_SIZE,
                  ttl: float = _INDEX_TTL):
@@ -64,33 +74,66 @@ class _IndexCache:
         self.size = size
         self.ttl = ttl
         self._map: OrderedDict[str, tuple[Index, float]] = OrderedDict()
+        self._refs: dict[int, int] = {}     # id(idx) -> live leases
+        self._doomed: dict[int, Index] = {}  # evicted but still leased
         self._lock = threading.Lock()
+
+    def _get_locked(self, name: str) -> Index:
+        hit = self._map.get(name)
+        if hit is not None:
+            idx, expires = hit
+            if time.monotonic() < expires:
+                self._map.move_to_end(name)
+                return idx
+            # Expired: the handle self-syncs on every operation, so
+            # just renew it (the reference's TTL re-opens because
+            # its cached C handles do not).
+            self._map.pop(name, None)
+        idx = self.nxs.index_get(name)
+        # Resurrected before its last lease drained: un-doom it.
+        self._doomed.pop(id(idx), None)
+        self._map[name] = (idx, time.monotonic() + self.ttl)
+        while len(self._map) > self.size:
+            _, (old, _) = self._map.popitem(last=False)
+            self._retire_locked(old)
+        return idx
+
+    def _retire_locked(self, idx: Index) -> None:
+        if self._refs.get(id(idx), 0) > 0:
+            self._doomed[id(idx)] = idx
+        else:
+            self.nxs.index_close(idx)
 
     def get(self, name: str) -> Index:
         with self._lock:
-            hit = self._map.get(name)
-            if hit is not None:
-                idx, expires = hit
-                if time.monotonic() < expires:
-                    self._map.move_to_end(name)
-                    return idx
-                # Expired: the handle self-syncs on every operation, so
-                # just renew it (the reference's TTL re-opens because
-                # its cached C handles do not).
-                self._map.pop(name, None)
-            idx = self.nxs.index_get(name)
-            self._map[name] = (idx, time.monotonic() + self.ttl)
-            while len(self._map) > self.size:
-                # Evict from the cache only; the engine keeps the
-                # handle open (another request thread may be mid-query
-                # on it -- the reference's LRU likewise just drops its
-                # reference and lets GC close later).
-                self._map.popitem(last=False)
-            return idx
+            return self._get_locked(name)
+
+    @contextmanager
+    def lease(self, name: str):
+        """Borrow a handle for one request; keeps it open across
+        eviction until released."""
+        with self._lock:
+            idx = self._get_locked(name)
+            self._refs[id(idx)] = self._refs.get(id(idx), 0) + 1
+        try:
+            yield idx
+        finally:
+            with self._lock:
+                n = self._refs.get(id(idx), 1) - 1
+                if n:
+                    self._refs[id(idx)] = n
+                else:
+                    self._refs.pop(id(idx), None)
+                    doomed = self._doomed.pop(id(idx), None)
+                    if doomed is not None:
+                        self.nxs.index_close(doomed)
 
     def put(self, name: str, idx: Index) -> None:
         with self._lock:
             self._map[name] = (idx, time.monotonic() + self.ttl)
+            while len(self._map) > self.size:
+                _, (old, _) = self._map.popitem(last=False)
+                self._retire_locked(old)
 
     def _drop_locked(self, name: str) -> None:
         self._map.pop(name, None)
@@ -154,6 +197,8 @@ class SearchService:
             return self._add(parts[0], parts[2], query, body)
         if len(parts) == 3 and parts[1] == "remove" and method == "DELETE":
             return self._remove(parts[0], parts[2])
+        if len(parts) == 2 and parts[1] == "stats" and method == "GET":
+            return self._stats(parts[0])
         return 404, {"error": {"code": int(ErrorCode.MISSING),
                                "msg": "no such endpoint"}}
 
@@ -195,6 +240,12 @@ class SearchService:
         return 201, None
 
     def _destroy_index(self, name):
+        # Validate BEFORE any deletion: the reference validates via
+        # str_isalnumdu first (nxs.c:310); without this, a name like
+        # ".." would rmtree paths outside the managed data/ tree.
+        from ..utils.validate import str_isalnumdu
+        if not name or not str_isalnumdu(name):
+            raise NxsError(ErrorCode.INVALID, "invalid index name")
         self.cache.drop(name)
         self.blobs.destroy_index(name)
         with self._mutate_lock:
@@ -202,46 +253,45 @@ class SearchService:
         return 200, None
 
     def _add(self, name, raw_id, query, body):
-        idx = self.cache.get(name)
         doc_id = self._doc_id(raw_id)
         if body is None or not body:
             raise NxsError(ErrorCode.INVALID,
                            "no data or the data is too large")
-        if "store" in query:
-            self.blobs.store(name, doc_id, body)
-        params = self._query_params(query)
-        with self._mutate_lock:
-            idx.add(doc_id, body.decode("utf-8"), params)
+        with self.cache.lease(name) as idx:
+            if "store" in query:
+                self.blobs.store(name, doc_id, body)
+            params = self._query_params(query)
+            with self._mutate_lock:
+                idx.add(doc_id, body.decode("utf-8"), params)
         return 201, None
 
     def _remove(self, name, raw_id):
-        idx = self.cache.get(name)
-        with self._mutate_lock:
-            idx.remove(self._doc_id(raw_id))
+        with self.cache.lease(name) as idx:
+            with self._mutate_lock:
+                idx.remove(self._doc_id(raw_id))
         return 200, None
 
     def _search(self, name, query, body):
-        idx = self.cache.get(name)
         if body is None or not body:
             raise NxsError(ErrorCode.INVALID,
                            "no data or the data is too large")
         params = self._query_params(query)
-        resp = idx.search(body.decode("utf-8"), params)
-        if "fetch" in query:
-            # Join the stored raw content (nxsearch_svc.lua:106-122).
-            results = [
-                {"doc_id": doc_id, "score": score,
-                 "content": self.blobs.fetch(name, doc_id)}
-                for doc_id, score in resp
-            ]
-            return 200, {"results": results, "count": len(results)}
+        with self.cache.lease(name) as idx:
+            resp = idx.search(body.decode("utf-8"), params)
+            if "fetch" in query:
+                # Join the stored raw content (nxsearch_svc.lua:106-122).
+                results = [
+                    {"doc_id": doc_id, "score": score,
+                     "content": self.blobs.fetch(name, doc_id)}
+                    for doc_id, score in resp
+                ]
+                return 200, {"results": results, "count": len(results)}
         return 200, resp.tojson_obj()
 
     def _search_batch(self, name, query, body):
         """Batched extension endpoint (no reference equivalent):
         body = {"queries": ["...", ...]} -> {"responses": [...]}.
         Query-string params apply to every query in the batch."""
-        idx = self.cache.get(name)
         try:
             payload = json.loads(body or b"")
         except ValueError:
@@ -252,8 +302,15 @@ class SearchService:
             raise NxsError(ErrorCode.INVALID,
                            'body must be {"queries": [<string>, ...]}')
         params = self._query_params(query)
-        responses = idx.search_many(queries, params)
+        with self.cache.lease(name) as idx:
+            responses = idx.search_many(queries, params)
         return 200, {"responses": [r.tojson_obj() for r in responses]}
+
+    def _stats(self, name):
+        """GET /{index}/stats -- live index statistics (observability
+        extension; counts mirror idx_get_doc_count/token_count)."""
+        with self.cache.lease(name) as idx:
+            return 200, idx.stats()
 
     def _post_filter(self, name, query, body):
         if not self.enable_py_post:

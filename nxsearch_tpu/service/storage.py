@@ -13,6 +13,8 @@ import os
 import shutil
 from typing import Optional
 
+from ..utils.validate import str_isalnumdu
+
 
 class BlobStore:
     """Per-basedir raw document storage."""
@@ -21,6 +23,11 @@ class BlobStore:
         self.basedir = basedir
 
     def _docs_dir(self, index_name: str) -> str:
+        # Defense in depth: never build paths from unvalidated names
+        # (the service validates too); "." or ".." would escape the
+        # managed data/<index>/ tree.
+        if not index_name or not str_isalnumdu(index_name):
+            raise ValueError(f"invalid index name: {index_name!r}")
         return os.path.join(self.basedir, "data", index_name, "docs")
 
     def _doc_path(self, index_name: str, doc_id: int) -> str:

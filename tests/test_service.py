@@ -145,3 +145,41 @@ def test_svc_filter_post_gated(tmp_path, monkeypatch):
         assert payload["error"]["code"] == 2  # SYSTEM
     finally:
         svc.close()
+
+
+def test_svc_destroy_validates_name_first(server, tmp_path):
+    """DELETE with a traversal-shaped name must not delete anything:
+    the name is validated BEFORE blob/cache teardown (reference
+    validates via str_isalnumdu first, nxs.c:310)."""
+    import os
+
+    status, _ = req("POST", f"{server}/docs")
+    assert status == 201
+    status, _ = req("POST", f"{server}/docs/add/1", b"keep me around")
+    assert status == 201
+
+    # DELETE /. would previously rmtree basedir/data/docs (the whole
+    # index named "docs"); DELETE /.. escapes the data/ tree entirely.
+    for evil in (".", "..", "%2e%2e"):
+        status, body = req("DELETE", f"{server}/{evil}")
+        assert status == 400, (evil, body)
+
+    docs_dir = os.path.join(str(tmp_path), "data", "docs")
+    assert os.path.isdir(docs_dir), "index dir must survive evil DELETEs"
+    status, body = req("POST", f"{server}/docs/search", b"keep")
+    assert status == 200
+    assert json.loads(body)["count"] == 1
+
+
+def test_svc_stats(server):
+    status, _ = req("POST", f"{server}/statidx")
+    assert status == 201
+    for doc_id, text in ((1, b"cat dog"), (2, b"dog cow bird")):
+        req("POST", f"{server}/statidx/add/{doc_id}", text)
+    status, body = req("GET", f"{server}/statidx/stats")
+    assert status == 200
+    stats = json.loads(body)
+    assert stats["doc_count"] == 2
+    assert stats["term_count"] == 4
+    assert stats["token_count"] == 5
+    assert stats["algo"] == "BM25"
