@@ -54,6 +54,57 @@ def _pack_alive(alive: np.ndarray, s_pad: int) -> np.ndarray:
     return np.packbits(padded, bitorder="little").view(np.uint32)
 
 
+def block_bounds_metadata(term_starts: np.ndarray,
+                          postings_slot: np.ndarray,
+                          ltf: np.ndarray,
+                          doc_len: np.ndarray,
+                          s_pad: int,
+                          p_pad: int,
+                          adl_cap: float) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max pruning metadata for the pruned executor.
+
+    Returns (bmax_ltf f32[p_pad], bmax_bm25 f32[p_pad]): per-(term,
+    slot-block) group maxima broadcast to every posting of the group.
+
+    - ``bmax_ltf`` = max log-tf: times live IDF it upper-bounds the
+      TF-IDF contribution of any posting in the group.
+    - ``bmax_bm25`` = max over the group's postings of the *actual*
+      BM25 tf term  g(ltf_p, dl_p) = ltf/(ltf + k(1-b) + (kb/adl)dl)
+      evaluated at ``adl_cap``.  g is increasing in adl, so the bound
+      stays a true upper bound for any live adl <= adl_cap (the
+      router re-checks this; a snapshot rebuild refreshes the cap).
+      This per-posting form is far tighter than g(max ltf, min dl):
+      the shortest doc in a block rarely contains the term.
+
+    Both are monotone-safe under IDF/alive drift: IDF multiplies at
+    query time, and removals only shrink the true maxima.
+    """
+    from ..ops.pallas.segsum import BLOCK_SLOTS
+    from ..ops.scoring import BM25_B, BM25_K1
+
+    n_post = len(postings_slot)
+    n_blocks = s_pad // BLOCK_SLOTS
+    bmax_ltf = np.zeros(p_pad, dtype=np.float32)
+    bmax_bm25 = np.zeros(p_pad, dtype=np.float32)
+    if n_post:
+        counts = np.diff(term_starts)
+        t_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        blk = postings_slot.astype(np.int64) // BLOCK_SLOTS
+        gkey = t_of * n_blocks + blk
+        starts = np.flatnonzero(np.r_[True, gkey[1:] != gkey[:-1]])
+        sizes = np.diff(np.append(starts, n_post))
+        lt = ltf[:n_post].astype(np.float64)
+        bmax_ltf[:n_post] = np.repeat(
+            np.maximum.reduceat(lt, starts), sizes)
+        dl = doc_len[postings_slot].astype(np.float64)
+        c1 = BM25_K1 * (1.0 - BM25_B)
+        c2 = BM25_K1 * BM25_B / max(adl_cap, 1e-9)
+        g = lt / (lt + c1 + c2 * dl)
+        bmax_bm25[:n_post] = np.repeat(
+            np.maximum.reduceat(g, starts), sizes)
+    return bmax_ltf, bmax_bm25
+
+
 class DeviceIndex:
     """Base device snapshot + host delta for one HostIndex."""
 
@@ -87,6 +138,13 @@ class DeviceIndex:
         self.postings_ltf = None
         self.doc_len = None
         self.alive_mask = None
+        # Block-max pruning metadata (ops/executor._blockdense_pruned_core):
+        # per-(term, slot-block) contribution maxima (see
+        # block_bounds_metadata).  The BM25 bound is valid while the
+        # live adl stays <= adl_cap; a rebuild refreshes the cap.
+        self.bmax_ltf = None
+        self.bmax_bm25 = None
+        self.adl_cap = 0.0
 
     # -- live aggregates (host-authoritative; search syncs first) ------
 
@@ -164,9 +222,21 @@ class DeviceIndex:
         dlen = np.ones(s_pad, dtype=np.float32)
         dlen[:n_slots_host] = snap["doc_len"]
 
+        # 25% adl headroom: the BM25 bound is recomputed on every
+        # rebuild, and the delta budget caps how far adl can move
+        # between rebuilds -- far below this margin.
+        adl_build = (snap["token_count"] // snap["doc_count"]) \
+            if snap["doc_count"] else 1.0
+        self.adl_cap = float(max(adl_build, 1.0)) * 1.25
+        bmax_ltf, bmax_bm25 = block_bounds_metadata(
+            snap["term_starts"], snap["postings_slot"], ltf,
+            snap["doc_len"], s_pad, p_pad, self.adl_cap)
+
         self.postings_slot = self._put(slot)
         self.postings_ltf = self._put(ltf)
         self.doc_len = self._put(dlen)
+        self.bmax_ltf = self._put(bmax_ltf)
+        self.bmax_bm25 = self._put(bmax_bm25)
         self._alive_cached = snap["doc_alive"].copy()
         self.alive_mask = self._put(_pack_alive(self._alive_cached, s_pad))
         self.n_slots = s_pad

@@ -1,9 +1,9 @@
-"""Pallas kernel: exact per-document score accumulation, sort-free.
+"""Pallas kernels: exact per-document score accumulation, sort-free.
 
 The exact executors need, per query, the per-document sum of posting
 contributions.  XLA's TPU sort and scatter both cost ~100 ns/element,
-so at millions of postings they dominate everything.  This kernel
-removes both by exploiting two structural facts:
+so at millions of postings they dominate everything.  These kernels
+remove both by exploiting two structural facts:
 
 1. Each term's postings are **slot-sorted** (index/hostindex.build_csr),
    so the postings of term q that fall into a slot block
@@ -21,11 +21,21 @@ removes both by exploiting two structural facts:
    each posting meets its document's length at the (posting, slot)
    cell the compare selects.
 
-Grid = one program per slot block.  Per (term, block) subranges DMA
-from HBM postings at dynamic offsets; empty subranges skip via
-``pl.when``.  Output is the dense per-slot score vector (and packed
-per-slot query-term presence bits when boolean masking is on); the
-caller runs the postfix program + lax.top_k over it -- both cheap.
+Two kernels share that accumulation core:
+
+- ``blockdense_scores``: the full sweep, grid (N, G) -- every slot
+  block of the corpus is scored.  Exact, used for small corpora and
+  as the fallback when pruning cannot prove exactness.
+- ``blockdense_scores_pruned``: grid (N, B) over B *selected* blocks
+  per query (block-max pruning, the TPU analogue of Block-Max
+  WAND/MaxScore -- the reference's corresponding efficiency is
+  scoring only bitmap-matching docs, search.c:236-271).  Block ids
+  arrive as data, so doc-length/alive tiles DMA from HBM at dynamic
+  offsets instead of through BlockSpec index maps.
+
+Compute is tiled [TILE_POSTINGS, R] with a ``pl.when`` skip per tile,
+so a (term, block) subrange with L postings costs
+~ceil(L/TILE)*TILE*R lane-ops instead of a fixed 2*SUB*R.
 
 BM25 per-posting contribution is rearranged broadcast-friendly:
     ltf * idf / (ltf + C1 + C2 * dl),   C1 = k(1-b), C2 = k*b/adl.
@@ -46,7 +56,11 @@ BLOCK_SLOTS = 1024     # R: slots per grid block
 # postings load in 1024-aligned chunks; a (term, block) subrange has
 # length <= R = 1024 and therefore spans at most two aligned chunks.
 SUB_POSTINGS = 1024
-MAX_KERNEL_TERMS = 8   # queries wider than this use the XLA fallbacks
+# Compute-tile granularity within a chunk: tiles that do not overlap
+# the (term, block) subrange are skipped entirely, so sparse
+# subranges cost ~1 tile instead of a full chunk of lane-ops.
+TILE_POSTINGS = 256
+MAX_KERNEL_TERMS = 8   # queries wider than this run the kernel in groups
 
 
 @functools.partial(jax.jit, static_argnames=("n_blocks", "block"))
@@ -79,11 +93,78 @@ def csr_block_bounds(postings_slot: jax.Array,   # int32[P]
     return lo
 
 
-def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
+def _accumulate_term(q, b0, b1, coef_ref, pslot_hbm, pltf_hbm,
+                     dlen_row_ref, slot_scr, ltf_scr, acc_ref, pres_ref,
+                     sem, base, *, algo: int, use_mask: bool, n_sub: int):
+    """Accumulate one query term's postings-in-block into acc_ref
+    (and pres_ref when masking).  Shared by both kernels.
+
+    b0/b1: the term's subrange [b0, b1) in the postings arrays;
+    base: the block's first slot; dlen_row_ref: f32[1, R] doc lengths
+    for this block (VMEM).
+    """
     r = BLOCK_SLOTS
     m = SUB_POSTINGS
+    mt = TILE_POSTINGS
+    p_max = pslot_hbm.shape[0]
+    iota_r = lax.broadcasted_iota(jnp.int32, (mt, r), 1)
+    iota_m = lax.broadcasted_iota(jnp.int32, (mt, r), 0)
 
-    def kernel(bounds_ref,    # SMEM int32[1, Q, G+1] (query n)
+    for s in range(n_sub):        # aligned chunks covering the range
+        @pl.when(((b0 // m) + s) * m < b1)
+        def _(s=s):
+            aligned = ((b0 // m) + s) * m
+            safe = pl.multiple_of(jnp.minimum(aligned, p_max - m), m)
+            cp1 = pltpu.make_async_copy(
+                pslot_hbm.at[pl.ds(safe, m)], slot_scr, sem)
+            cp1.start()
+            cp1.wait()
+            cp2 = pltpu.make_async_copy(
+                pltf_hbm.at[pl.ds(safe, m)], ltf_scr, sem)
+            cp2.start()
+            cp2.wait()
+            # Posting j in the scratch is global index safe+j; compute
+            # in [mt, R] tiles, each skipped when it cannot overlap
+            # [b0, b1).  All-VPU: the scatter is a broadcast compare +
+            # sublane-sum -- one-hot MATMULS here are matrix-vector
+            # products (N=1 / K=1) that waste 127/128 of the MXU and
+            # measured ~8x slower.  The doc-length "gather" vanishes:
+            # BM25's denominator uses dlen broadcast along the slot
+            # lanes, so each posting meets its own document's length
+            # at the (posting, slot) cell the compare selects.
+            idf = coef_ref[0, q, 0]
+            for t in range(m // mt):
+                j0 = t * mt
+
+                @pl.when((safe + j0 + mt > b0) & (safe + j0 < b1))
+                def _(t=t, j0=j0, safe=safe):
+                    valid2 = ((safe + j0 + iota_m >= b0)
+                              & (safe + j0 + iota_m < b1))       # [mt,r]
+                    off = slot_scr[j0: j0 + mt] - base           # [mt]
+                    oh = ((off[:, None] == iota_r)
+                          & valid2).astype(jnp.float32)          # [mt,r]
+                    ltf = ltf_scr[j0: j0 + mt]
+                    if algo == 0:   # BM25
+                        c1 = coef_ref[0, q, 1]
+                        c2 = coef_ref[0, q, 2]
+                        denom = (ltf[:, None] + c1
+                                 + c2 * dlen_row_ref[0, :][None, :])
+                        contrib = oh * (ltf * idf)[:, None] / denom
+                    else:           # TF-IDF
+                        contrib = oh * (ltf * idf)[:, None]
+                    acc_ref[0, :] = acc_ref[0, :] + \
+                        jnp.sum(contrib, axis=0)
+                    if use_mask:
+                        pres_ref[0, :] = pres_ref[0, :] + \
+                            jnp.sum(oh, axis=0)
+
+
+def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
+    """Full-sweep kernel: grid (N, G), block data via BlockSpecs."""
+    r = BLOCK_SLOTS
+
+    def kernel(lo_ref,        # SMEM int32[1, Q, 1] (query n, block g)
+               hi_ref,        # SMEM int32[1, Q, 1]
                coef_ref,      # SMEM f32[1, Q, 4]: idf, C1, C2, unused
                pslot_hbm,     # ANY int32[P]
                pltf_hbm,      # ANY f32[P]
@@ -94,9 +175,6 @@ def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
                slot_scr, ltf_scr, pres_ref, acc_ref, sem):
         g = pl.program_id(1)
         base = g * r
-        iota_rh = lax.broadcasted_iota(jnp.int32, (m // 2, r), 1)
-        iota_mh = lax.broadcasted_iota(jnp.int32, (m // 2, r), 0)
-        p_max = pslot_hbm.shape[0]
 
         acc_ref[0, :] = jnp.zeros((r,), jnp.float32)
         bits_ref[0, 0, :] = jnp.zeros((r,), jnp.uint32)
@@ -104,58 +182,11 @@ def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
         for q in range(n_terms):          # static unroll over query rows
             if use_mask:
                 pres_ref[0, :] = jnp.zeros((r,), jnp.float32)
-            for s in range(n_sub):        # aligned chunks covering range
-                @pl.when(((bounds_ref[0, q, g] // m) + s) * m
-                         < bounds_ref[0, q, g + 1])
-                def _(q=q, s=s):
-                    b0 = bounds_ref[0, q, g]
-                    b1 = bounds_ref[0, q, g + 1]
-                    aligned = ((b0 // m) + s) * m
-                    safe = pl.multiple_of(
-                        jnp.minimum(aligned, p_max - m), m)
-                    cp1 = pltpu.make_async_copy(
-                        pslot_hbm.at[pl.ds(safe, m)], slot_scr, sem)
-                    cp1.start()
-                    cp1.wait()
-                    cp2 = pltpu.make_async_copy(
-                        pltf_hbm.at[pl.ds(safe, m)], ltf_scr, sem)
-                    cp2.start()
-                    cp2.wait()
-                    # Posting j in the scratch is global index safe+j;
-                    # compute in half-chunks to bound the [mh, R]
-                    # elementwise working set in VMEM.  All-VPU: the
-                    # scatter is a broadcast compare + sublane-sum --
-                    # one-hot MATMULS here are matrix-vector products
-                    # (N=1 / K=1) that waste 127/128 of the MXU and
-                    # measured ~8x slower.  The doc-length "gather"
-                    # vanishes entirely: BM25's denominator uses
-                    # dlen broadcast along the slot lanes, so each
-                    # posting meets its own document's length at the
-                    # (posting, slot) cell the compare selects.
-                    idf = coef_ref[0, q, 0]
-                    for h in range(2):
-                        mh = m // 2
-                        j0 = h * mh
-                        valid2 = ((safe + j0 + iota_mh >= b0)
-                                  & (safe + j0 + iota_mh < b1))  # [mh,r]
-                        off = slot_scr[j0: j0 + mh] - base       # [mh]
-                        oh = ((off[:, None] == iota_rh)
-                              & valid2).astype(jnp.float32)      # [mh,r]
-                        ltf = ltf_scr[j0: j0 + mh]
-                        if algo == 0:   # BM25
-                            c1 = coef_ref[0, q, 1]
-                            c2 = coef_ref[0, q, 2]
-                            denom = (ltf[:, None] + c1
-                                     + c2 * dlen_ref[0, :][None, :])
-                            contrib = oh * (ltf * idf)[:, None] / denom
-                        else:           # TF-IDF
-                            contrib = oh * (ltf * idf)[:, None]
-                        acc_ref[0, :] = acc_ref[0, :] + \
-                            jnp.sum(contrib, axis=0)
-                        if use_mask:
-                            pres_ref[0, :] = pres_ref[0, :] + \
-                                jnp.sum(oh, axis=0)
-
+            _accumulate_term(
+                q, lo_ref[0, q, 0], hi_ref[0, q, 0], coef_ref,
+                pslot_hbm, pltf_hbm, dlen_ref, slot_scr, ltf_scr,
+                acc_ref, pres_ref, sem, base,
+                algo=algo, use_mask=use_mask, n_sub=n_sub)
             if use_mask:
                 bits_ref[0, 0, :] = bits_ref[0, 0, :] | jnp.where(
                     pres_ref[0, :] > 0.0,
@@ -167,6 +198,74 @@ def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
     return kernel
 
 
+def _make_pruned_kernel(n_terms: int, algo: int, use_mask: bool,
+                        n_sub: int):
+    """Pruned kernel: grid (N, B) over per-query selected blocks.
+
+    The block id is runtime data (sel_ref), so the doc-length and
+    alive tiles DMA from HBM at dynamic offsets -- BlockSpec index
+    maps cannot express data-dependent blocks.
+    """
+    r = BLOCK_SLOTS
+
+    def kernel(sel_ref,       # SMEM int32[1, 1]: global block id
+               lo_ref,        # SMEM int32[1, Q, 1]
+               hi_ref,        # SMEM int32[1, Q, 1]
+               coef_ref,      # SMEM f32[1, Q, 4]
+               pslot_hbm,     # ANY int32[P]
+               pltf_hbm,      # ANY f32[P]
+               dlen_hbm,      # ANY f32[S]
+               alive_hbm,     # ANY f32[S]
+               out_ref,       # VMEM f32[1, 1, R]
+               bits_ref,      # VMEM u32[1, 1, R]
+               slot_scr, ltf_scr, dlen_scr, alive_scr,
+               pres_ref, acc_ref, sem):
+        g = sel_ref[0, 0]
+        base = g * r
+        # Block-aligned slices (base is a multiple of R = the 1-D
+        # tiling), fetched once per program.
+        cp = pltpu.make_async_copy(
+            dlen_hbm.at[pl.ds(pl.multiple_of(base, r), r)],
+            dlen_scr.at[0], sem)
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(
+            alive_hbm.at[pl.ds(pl.multiple_of(base, r), r)],
+            alive_scr.at[0], sem)
+        cp.start()
+        cp.wait()
+
+        acc_ref[0, :] = jnp.zeros((r,), jnp.float32)
+        bits_ref[0, 0, :] = jnp.zeros((r,), jnp.uint32)
+
+        for q in range(n_terms):
+            if use_mask:
+                pres_ref[0, :] = jnp.zeros((r,), jnp.float32)
+            _accumulate_term(
+                q, lo_ref[0, q, 0], hi_ref[0, q, 0], coef_ref,
+                pslot_hbm, pltf_hbm, dlen_scr, slot_scr, ltf_scr,
+                acc_ref, pres_ref, sem, base,
+                algo=algo, use_mask=use_mask, n_sub=n_sub)
+            if use_mask:
+                bits_ref[0, 0, :] = bits_ref[0, 0, :] | jnp.where(
+                    pres_ref[0, :] > 0.0,
+                    jnp.uint32(1) << jnp.uint32(min(q, 31)),
+                    jnp.uint32(0))
+
+        out_ref[0, 0, :] = acc_ref[0, :] * alive_scr[0, :]
+
+    return kernel
+
+
+def alive_factors(alive_mask: jax.Array) -> jax.Array:
+    """Packed u32 bitmap -> per-slot 0/1 f32 factors (block shapes of
+    R/32 u32 words violate Mosaic tile constraints, so the expansion
+    happens in XLA)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return (((alive_mask[:, None] >> shifts[None, :]) & 1)
+            .astype(jnp.float32).reshape(-1))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_slots", "algo", "use_mask", "interpret"),
@@ -176,7 +275,8 @@ def blockdense_scores(
     postings_ltf: jax.Array,    # float32[P]
     doc_len: jax.Array,         # float32[S_pad]
     alive_mask: jax.Array,      # uint32[S_pad/32]
-    bounds: jax.Array,          # int32[N, Q, G+1] from csr_block_bounds
+    lo: jax.Array,              # int32[N, Q, G] subrange starts
+    hi: jax.Array,              # int32[N, Q, G] subrange ends
     coef: jax.Array,            # float32[N, Q, 4]: idf, C1, C2, 0
     *,
     n_slots: int,
@@ -184,27 +284,24 @@ def blockdense_scores(
     use_mask: bool,
     interpret: bool = False,
 ):
-    """Dense per-slot scores (and presence bits) via the block kernel.
-
-    Batched over queries: grid (N, G), one dispatch for the whole
-    batch.  Returns (scores f32[N, S], bits u32[N, S])."""
-    n_batch, n_terms = bounds.shape[0], bounds.shape[1]
+    """Dense per-slot scores (and presence bits) via the full-sweep
+    block kernel.  Batched over queries: grid (N, G), one dispatch for
+    the whole batch.  Returns (scores f32[N, S], bits u32[N, S])."""
+    n_batch, n_terms = lo.shape[0], lo.shape[1]
     grid = (n_batch, n_slots // BLOCK_SLOTS)
     n_sub = 2   # a <=R-long subrange spans at most 2 aligned chunks
 
-    # Expand the packed bitmap to per-slot 0/1 f32 factors in XLA
-    # (block shapes of R/32 u32 words violate Mosaic tile constraints).
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    alive_f = (((alive_mask[:, None] >> shifts[None, :]) & 1)
-               .astype(jnp.float32).reshape(-1))
+    alive_f = alive_factors(alive_mask)
 
     kernel = _make_kernel(n_terms, algo, use_mask, n_sub)
     scores, bits = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1,) + bounds.shape[1:], lambda n, g: (n, 0, 0),
-                         memory_space=pltpu.SMEM),    # bounds
+            pl.BlockSpec((1, n_terms, 1), lambda n, g: (n, 0, g),
+                         memory_space=pltpu.SMEM),    # lo
+            pl.BlockSpec((1, n_terms, 1), lambda n, g: (n, 0, g),
+                         memory_space=pltpu.SMEM),    # hi
             pl.BlockSpec((1,) + coef.shape[1:], lambda n, g: (n, 0, 0),
                          memory_space=pltpu.SMEM),    # coef
             pl.BlockSpec(memory_space=pl.ANY),     # postings_slot
@@ -232,6 +329,75 @@ def blockdense_scores(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(bounds, coef, postings_slot, postings_ltf,
+    )(lo, hi, coef, postings_slot, postings_ltf,
       doc_len[None, :], alive_f[None, :])
     return scores[:, 0, :], bits[:, 0, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("algo", "use_mask", "interpret"),
+)
+def blockdense_scores_pruned(
+    postings_slot: jax.Array,   # int32[P]
+    postings_ltf: jax.Array,    # float32[P]
+    doc_len: jax.Array,         # float32[S_pad]
+    alive_f: jax.Array,         # float32[S_pad] 0/1 factors
+    sel_blocks: jax.Array,      # int32[N, B]: selected block ids
+    sel_lo: jax.Array,          # int32[N, Q, B]
+    sel_hi: jax.Array,          # int32[N, Q, B]
+    coef: jax.Array,            # float32[N, Q, 4]
+    *,
+    algo: int,
+    use_mask: bool,
+    interpret: bool = False,
+):
+    """Scores for per-query selected blocks only: grid (N, B).
+    Returns (scores f32[N, B, R], bits u32[N, B, R])."""
+    n_batch, n_terms, n_sel = sel_lo.shape
+    grid = (n_batch, n_sel)
+    n_sub = 2
+
+    kernel = _make_pruned_kernel(n_terms, algo, use_mask, n_sub)
+    scores, bits = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda n, b: (n, b),
+                         memory_space=pltpu.SMEM),    # sel_blocks
+            pl.BlockSpec((1, n_terms, 1), lambda n, b: (n, 0, b),
+                         memory_space=pltpu.SMEM),    # sel_lo
+            pl.BlockSpec((1, n_terms, 1), lambda n, b: (n, 0, b),
+                         memory_space=pltpu.SMEM),    # sel_hi
+            pl.BlockSpec((1,) + coef.shape[1:], lambda n, b: (n, 0, 0),
+                         memory_space=pltpu.SMEM),    # coef
+            pl.BlockSpec(memory_space=pl.ANY),     # postings_slot
+            pl.BlockSpec(memory_space=pl.ANY),     # postings_ltf
+            pl.BlockSpec(memory_space=pl.ANY),     # doc_len
+            pl.BlockSpec(memory_space=pl.ANY),     # alive factors
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, BLOCK_SLOTS), lambda n, b: (n, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLOCK_SLOTS), lambda n, b: (n, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_batch, n_sel, BLOCK_SLOTS),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_batch, n_sel, BLOCK_SLOTS),
+                                 jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SUB_POSTINGS,), jnp.int32),
+            pltpu.VMEM((SUB_POSTINGS,), jnp.float32),
+            pltpu.VMEM((1, BLOCK_SLOTS), jnp.float32),
+            pltpu.VMEM((1, BLOCK_SLOTS), jnp.float32),
+            pltpu.VMEM((1, BLOCK_SLOTS), jnp.float32),
+            pltpu.VMEM((1, BLOCK_SLOTS), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(sel_blocks, sel_lo, sel_hi, coef,
+      postings_slot, postings_ltf, doc_len, alive_f)
+    return scores, bits

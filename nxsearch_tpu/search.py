@@ -297,6 +297,33 @@ def _use_blockdense(plan: _Plan, sharded: bool, n_slots: int) -> bool:
             and (not plan.use_mask or plan.q_start.shape[-1] <= 32))
 
 
+# Block-max pruning: number of slot blocks scored exactly per query.
+_N_SEL = 64
+# Pruning pays off only when most blocks can be skipped, and its
+# exactness check must certify the k-th result -- deep result lists
+# (large limit) rarely certify, so they keep the full sweep.
+_PRUNE_MIN_BLOCKS = 4 * _N_SEL
+_PRUNE_MAX_K = 128
+
+
+def _use_pruned(plan: _Plan, sharded: bool, dev, k: int,
+                algo: int) -> bool:
+    from .ops.pallas.segsum import BLOCK_SLOTS
+
+    if not (_use_blockdense(plan, sharded, dev.n_slots)
+            and getattr(dev, "bmax_bm25", None) is not None
+            and dev.n_slots // BLOCK_SLOTS >= _PRUNE_MIN_BLOCKS
+            and k <= _PRUNE_MAX_K):
+        return False
+    # The BM25 block bound was computed at adl_cap; it upper-bounds
+    # live scores only while adl <= adl_cap (g grows with adl).
+    return algo != ALGO_BM25 or dev.adl <= dev.adl_cap
+
+
+def _prune_bound(dev, algo: int):
+    return dev.bmax_bm25 if algo == ALGO_BM25 else dev.bmax_ltf
+
+
 def _to_response(dev, scores, slots, limit: int, delta=None) -> Response:
     scores = np.asarray(scores)
     slots = np.asarray(slots)
@@ -333,6 +360,23 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
     use_mask, use_dense = plan.use_mask, plan.use_dense
     budget, depth = plan.budget, plan.depth
     k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
+
+    if _use_pruned(plan, sharded, dev, k, sp.algo):
+        from .ops.executor import device_search_pruned_batch, unpack_pruned
+        packed = device_search_pruned_batch(
+            dev.postings_slot, dev.postings_ltf, dev.doc_len,
+            dev.alive_mask, _prune_bound(dev, sp.algo),
+            jnp.asarray(q_start[None]), jnp.asarray(q_len[None]),
+            jnp.asarray(q_idf[None]), jnp.float32(dev.adl),
+            jnp.asarray(prog_ops[None]), jnp.asarray(prog_args[None]),
+            k=k, algo=sp.algo, n_slots=dev.n_slots, n_sel=_N_SEL,
+            use_mask=use_mask, depth=depth,
+        )
+        scores, slots, exact = unpack_pruned(packed)
+        if exact[0]:
+            return _to_response(dev, scores[0], slots[0], sp.limit,
+                                delta=_delta_results(dev, plan, sp))
+        # Pruning could not certify the top-k: full sweep below.
 
     if _use_blockdense(plan, sharded, dev.n_slots):
         scores, slots = device_search_blockdense(
@@ -436,7 +480,8 @@ def execute_query_batch(dev, queries: list[Query],
     for key, members in chunked:
         sample = plans[members[0]]
         if _use_blockdense(sample, sharded, dev.n_slots):
-            from .ops.executor import device_search_blockdense_batch
+            from .ops.executor import (device_search_blockdense_batch,
+                                       device_search_pruned_batch)
             n = len(members)
             n_pad = _bucket(n, 8)
             q_pad = sample.q_start.shape[-1]
@@ -453,6 +498,21 @@ def execute_query_batch(dev, queries: list[Query],
                 q_idf[row] = p.q_idf
                 prog_ops[row] = p.prog_ops
                 prog_args[row] = p.prog_args
+            if _use_pruned(sample, sharded, dev, k, sp.algo):
+                packed = device_search_pruned_batch(
+                    dev.postings_slot, dev.postings_ltf, dev.doc_len,
+                    dev.alive_mask, _prune_bound(dev, sp.algo),
+                    jnp.asarray(q_start), jnp.asarray(q_len),
+                    jnp.asarray(q_idf), jnp.float32(dev.adl),
+                    jnp.asarray(prog_ops), jnp.asarray(prog_args),
+                    k=k, algo=sp.algo, n_slots=dev.n_slots,
+                    n_sel=_N_SEL, use_mask=sample.use_mask,
+                    depth=sample.depth,
+                )
+                group_arrays = (q_start, q_len, q_idf, prog_ops,
+                                prog_args, sample)
+                pending.append((members, packed, group_arrays, "pruned"))
+                continue
             packed = device_search_blockdense_batch(
                 dev.postings_slot, dev.postings_ltf, dev.doc_len,
                 dev.alive_mask,
@@ -520,9 +580,41 @@ def execute_query_batch(dev, queries: list[Query],
             )
         pending.append((members, scores, slots, None))
 
-    from .ops.executor import unpack_blockdense
+    from .ops.executor import unpack_blockdense, unpack_pruned
     for members, scores, slots, tag in pending:
-        if tag == "packed":
+        if tag == "pruned":
+            group_arrays = slots
+            scores, slots, exact = unpack_pruned(scores)
+            # np.asarray over a device array can be read-only; the
+            # fallback overwrites rows in place.
+            scores = np.array(scores)
+            slots = np.array(slots)
+            failed = [row for row in range(len(members))
+                      if not exact[row]]
+            if failed:
+                # Pruning could not certify these rows' top-k: rerun
+                # them through the full sweep (same group signature).
+                from .ops.executor import device_search_blockdense_batch
+                (q_start, q_len, q_idf, prog_ops, prog_args,
+                 sample) = group_arrays
+                sel = np.asarray(failed, dtype=np.int64)
+                f_pad = _bucket(len(failed), 8)
+                pad = np.zeros(f_pad - len(failed), dtype=np.int64)
+                rows = np.concatenate([sel, pad])
+                packed = device_search_blockdense_batch(
+                    dev.postings_slot, dev.postings_ltf, dev.doc_len,
+                    dev.alive_mask,
+                    jnp.asarray(q_start[rows]), jnp.asarray(q_len[rows]),
+                    jnp.asarray(q_idf[rows]), jnp.float32(dev.adl),
+                    jnp.asarray(prog_ops[rows]),
+                    jnp.asarray(prog_args[rows]),
+                    k=k, algo=sp.algo, n_slots=dev.n_slots,
+                    use_mask=sample.use_mask, depth=sample.depth,
+                )
+                f_scores, f_slots = unpack_blockdense(packed)
+                scores[sel] = f_scores[: len(failed)]
+                slots[sel] = f_slots[: len(failed)]
+        elif tag == "packed":
             scores, slots = unpack_blockdense(scores)
         else:
             scores = np.asarray(scores)
