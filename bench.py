@@ -85,6 +85,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--limit", type=int, default=10)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--no-cache", action="store_true",
+                    help="always rebuild the corpus index")
     args = ap.parse_args()
 
     def log(msg):
@@ -93,26 +95,51 @@ def main() -> None:
 
     enable_compile_cache()
     rng = np.random.default_rng(42)
-    t0 = time.perf_counter()
-    docs, words, probs = make_corpus(args.docs, args.vocab,
-                                     args.mean_len, rng)
+
+    # The query mix only needs the vocabulary shape, not the corpus.
+    ranks = np.arange(args.vocab, dtype=np.float64)
+    probs = 1.0 / (ranks + 10.0)
+    probs /= probs.sum()
+    words = np.array([f"w{i:05d}" for i in range(args.vocab)])
     queries = make_queries(args.queries, words, probs, rng)
-    log(f"corpus generated in {time.perf_counter() - t0:.1f}s")
 
     from nxsearch_tpu import Nxs, Params
 
-    with tempfile.TemporaryDirectory() as basedir:
-        nxs = Nxs(basedir)
-        idx = nxs.index_create("bench")
+    # Corpus indexes are cached on disk (journals + snapshot) keyed by
+    # their generation parameters, so repeated bench/probe runs skip
+    # corpus generation and ingest entirely (snapshot fast-open).
+    cache_root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_cache")
+    key = f"d{args.docs}-v{args.vocab}-l{args.mean_len}-s42"
+    basedir = os.path.join(cache_root, key)
+    fresh = args.no_cache or not os.path.isdir(
+        os.path.join(basedir, "data", "bench"))
+    if args.no_cache and os.path.isdir(basedir):
+        import shutil
+        shutil.rmtree(basedir)
+    os.makedirs(basedir, exist_ok=True)
 
-        t0 = time.perf_counter()
-        chunk = 2048
-        for base in range(0, len(docs), chunk):
-            idx.add_many([(base + i + 1, text) for i, text in
-                          enumerate(docs[base: base + chunk])])
-        ingest_s = time.perf_counter() - t0
-        log(f"indexed {args.docs} docs in {ingest_s:.1f}s "
-            f"({args.docs / ingest_s:.0f} docs/s)")
+    if True:
+        nxs = Nxs(basedir)
+        if fresh:
+            t0 = time.perf_counter()
+            docs, words, probs = make_corpus(args.docs, args.vocab,
+                                             args.mean_len, rng)
+            log(f"corpus generated in {time.perf_counter() - t0:.1f}s")
+            idx = nxs.index_create("bench")
+            t0 = time.perf_counter()
+            chunk = 2048
+            for base in range(0, len(docs), chunk):
+                idx.add_many([(base + i + 1, text) for i, text in
+                              enumerate(docs[base: base + chunk])])
+            ingest_s = time.perf_counter() - t0
+            log(f"indexed {args.docs} docs in {ingest_s:.1f}s "
+                f"({args.docs / ingest_s:.0f} docs/s)")
+            idx.checkpoint()
+        else:
+            t0 = time.perf_counter()
+            idx = nxs.index_open("bench")
+            log(f"opened cached index in {time.perf_counter() - t0:.1f}s")
 
         sp = Params().set_uint("limit", args.limit)
         batches = [queries[i: i + args.batch]
@@ -140,6 +167,8 @@ def main() -> None:
         log(f"sequential: {n_seq} queries in {seq_elapsed:.2f}s -> "
             f"{n_seq / seq_elapsed:.0f} QPS, "
             f"avg {1e3 * seq_elapsed / n_seq:.2f} ms/query")
+        from nxsearch_tpu.search import EXEC_STATS
+        log(f"exec stats: {EXEC_STATS}")
         nxs.close()
 
     print(json.dumps({

@@ -102,7 +102,7 @@ def candidate_topk(
     return top_scores, agg_slot[idx]
 
 
-def _blockdense_core(
+def blockdense_topk(
     postings_slot, postings_ltf, doc_len, alive_mask,
     q_start,    # int32[N, Q]
     q_len,      # int32[N, Q]
@@ -122,6 +122,9 @@ def _blockdense_core(
     query batch (grid = N x blocks).  Queries wider than 8 terms run
     the kernel per 8-term group and sum the dense results (presence
     bits shift into their global positions).
+
+    Returns (scores f32[N, k'], slots i32[N, k']); also the per-shard
+    body of the sharded executor (parallel/sharded.py).
     """
     from .pallas.segsum import (BLOCK_SLOTS, MAX_KERNEL_TERMS,
                                 blockdense_scores, csr_block_bounds)
@@ -150,8 +153,7 @@ def _blockdense_core(
             n_blocks=n_blocks).reshape(n_batch, gq, n_blocks + 1)
         sc, bits = blockdense_scores(
             postings_slot, postings_ltf, doc_len, alive_mask,
-            bounds[:, :, :-1], bounds[:, :, 1:], coef,
-            n_slots=n_slots, algo=algo,
+            bounds, coef, n_slots=n_slots, algo=algo,
             use_mask=use_mask, interpret=interpret)
         total = total + sc
         if use_mask:
@@ -164,6 +166,21 @@ def _blockdense_core(
         total = jnp.where(keep, total, 0.0)
     k_eff = min(k, n_slots)
     scores, slots = lax.top_k(total, k_eff)
+    return scores, slots
+
+
+def _blockdense_core(
+    postings_slot, postings_ltf, doc_len, alive_mask,
+    q_start, q_len, q_idf, adl, prog_ops, prog_args,
+    *, k: int, algo: int, n_slots: int, use_mask: bool,
+    depth: int = 8, interpret: bool = False,
+):
+    """blockdense_topk packed into one [N, 2, k'] array."""
+    scores, slots = blockdense_topk(
+        postings_slot, postings_ltf, doc_len, alive_mask,
+        q_start, q_len, q_idf, adl, prog_ops, prog_args,
+        k=k, algo=algo, n_slots=n_slots, use_mask=use_mask,
+        depth=depth, interpret=interpret)
     # Pack scores + slots into ONE output array: on remote-TPU setups
     # every device->host transfer is a full round trip, so the result
     # must come back in a single fetch.  Slots convert by VALUE, not

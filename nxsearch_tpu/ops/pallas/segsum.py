@@ -94,14 +94,14 @@ def csr_block_bounds(postings_slot: jax.Array,   # int32[P]
 
 
 def _accumulate_term(q, b0, b1, coef_ref, pslot_hbm, pltf_hbm,
-                     dlen_row_ref, slot_scr, ltf_scr, acc_ref, pres_ref,
+                     dlen_row, slot_scr, ltf_scr, acc_ref, pres_ref,
                      sem, base, *, algo: int, use_mask: bool, n_sub: int):
     """Accumulate one query term's postings-in-block into acc_ref
     (and pres_ref when masking).  Shared by both kernels.
 
     b0/b1: the term's subrange [b0, b1) in the postings arrays;
-    base: the block's first slot; dlen_row_ref: f32[1, R] doc lengths
-    for this block (VMEM).
+    base: the block's first slot; dlen_row: f32[R] doc lengths for
+    this block (a loaded value, not a ref).
     """
     r = BLOCK_SLOTS
     m = SUB_POSTINGS
@@ -148,7 +148,7 @@ def _accumulate_term(q, b0, b1, coef_ref, pslot_hbm, pltf_hbm,
                         c1 = coef_ref[0, q, 1]
                         c2 = coef_ref[0, q, 2]
                         denom = (ltf[:, None] + c1
-                                 + c2 * dlen_row_ref[0, :][None, :])
+                                 + c2 * dlen_row[None, :])
                         contrib = oh * (ltf * idf)[:, None] / denom
                     else:           # TF-IDF
                         contrib = oh * (ltf * idf)[:, None]
@@ -160,11 +160,15 @@ def _accumulate_term(q, b0, b1, coef_ref, pslot_hbm, pltf_hbm,
 
 
 def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
-    """Full-sweep kernel: grid (N, G), block data via BlockSpecs."""
+    """Full-sweep kernel: grid (N, G), block data via BlockSpecs.
+
+    The bounds row is the whole [Q, G+1] slice per query: Mosaic
+    requires SMEM block dims to divide (8, 128) or equal the array
+    dims, so a per-g (Q, 1) window is not expressible.
+    """
     r = BLOCK_SLOTS
 
-    def kernel(lo_ref,        # SMEM int32[1, Q, 1] (query n, block g)
-               hi_ref,        # SMEM int32[1, Q, 1]
+    def kernel(bounds_ref,    # SMEM int32[1, Q, G+1] (query n)
                coef_ref,      # SMEM f32[1, Q, 4]: idf, C1, C2, unused
                pslot_hbm,     # ANY int32[P]
                pltf_hbm,      # ANY f32[P]
@@ -183,9 +187,9 @@ def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
             if use_mask:
                 pres_ref[0, :] = jnp.zeros((r,), jnp.float32)
             _accumulate_term(
-                q, lo_ref[0, q, 0], hi_ref[0, q, 0], coef_ref,
-                pslot_hbm, pltf_hbm, dlen_ref, slot_scr, ltf_scr,
-                acc_ref, pres_ref, sem, base,
+                q, bounds_ref[0, q, g], bounds_ref[0, q, g + 1],
+                coef_ref, pslot_hbm, pltf_hbm, dlen_ref[0, :],
+                slot_scr, ltf_scr, acc_ref, pres_ref, sem, base,
                 algo=algo, use_mask=use_mask, n_sub=n_sub)
             if use_mask:
                 bits_ref[0, 0, :] = bits_ref[0, 0, :] | jnp.where(
@@ -208,51 +212,54 @@ def _make_pruned_kernel(n_terms: int, algo: int, use_mask: bool,
     """
     r = BLOCK_SLOTS
 
-    def kernel(sel_ref,       # SMEM int32[1, 1]: global block id
-               lo_ref,        # SMEM int32[1, Q, 1]
-               hi_ref,        # SMEM int32[1, Q, 1]
+    def kernel(sel_ref,       # SMEM int32[1, 1, B]: global block ids
+               lo_ref,        # SMEM int32[1, Q, B]
+               hi_ref,        # SMEM int32[1, Q, B]
                coef_ref,      # SMEM f32[1, Q, 4]
                pslot_hbm,     # ANY int32[P]
                pltf_hbm,      # ANY f32[P]
                dlen_hbm,      # ANY f32[S]
                alive_hbm,     # ANY f32[S]
-               out_ref,       # VMEM f32[1, 1, R]
-               bits_ref,      # VMEM u32[1, 1, R]
+               out_ref,       # VMEM f32[1, 1, 1, R]
+               bits_ref,      # VMEM u32[1, 1, 1, R]
                slot_scr, ltf_scr, dlen_scr, alive_scr,
                pres_ref, acc_ref, sem):
-        g = sel_ref[0, 0]
+        b = pl.program_id(1)
+        g = sel_ref[0, 0, b]
         base = g * r
         # Block-aligned slices (base is a multiple of R = the 1-D
-        # tiling), fetched once per program.
+        # tiling), fetched once per program into 1-D scratch (1-D->2-D
+        # DMAs hit a Mosaic tiling-mismatch limitation).
         cp = pltpu.make_async_copy(
             dlen_hbm.at[pl.ds(pl.multiple_of(base, r), r)],
-            dlen_scr.at[0], sem)
+            dlen_scr, sem)
         cp.start()
         cp.wait()
         cp = pltpu.make_async_copy(
             alive_hbm.at[pl.ds(pl.multiple_of(base, r), r)],
-            alive_scr.at[0], sem)
+            alive_scr, sem)
         cp.start()
         cp.wait()
+        dlen_row = dlen_scr[:]
 
         acc_ref[0, :] = jnp.zeros((r,), jnp.float32)
-        bits_ref[0, 0, :] = jnp.zeros((r,), jnp.uint32)
+        bits_ref[0, 0, 0, :] = jnp.zeros((r,), jnp.uint32)
 
         for q in range(n_terms):
             if use_mask:
                 pres_ref[0, :] = jnp.zeros((r,), jnp.float32)
             _accumulate_term(
-                q, lo_ref[0, q, 0], hi_ref[0, q, 0], coef_ref,
-                pslot_hbm, pltf_hbm, dlen_scr, slot_scr, ltf_scr,
+                q, lo_ref[0, q, b], hi_ref[0, q, b], coef_ref,
+                pslot_hbm, pltf_hbm, dlen_row, slot_scr, ltf_scr,
                 acc_ref, pres_ref, sem, base,
                 algo=algo, use_mask=use_mask, n_sub=n_sub)
             if use_mask:
-                bits_ref[0, 0, :] = bits_ref[0, 0, :] | jnp.where(
+                bits_ref[0, 0, 0, :] = bits_ref[0, 0, 0, :] | jnp.where(
                     pres_ref[0, :] > 0.0,
                     jnp.uint32(1) << jnp.uint32(min(q, 31)),
                     jnp.uint32(0))
 
-        out_ref[0, 0, :] = acc_ref[0, :] * alive_scr[0, :]
+        out_ref[0, 0, 0, :] = acc_ref[0, :] * alive_scr[:]
 
     return kernel
 
@@ -275,8 +282,7 @@ def blockdense_scores(
     postings_ltf: jax.Array,    # float32[P]
     doc_len: jax.Array,         # float32[S_pad]
     alive_mask: jax.Array,      # uint32[S_pad/32]
-    lo: jax.Array,              # int32[N, Q, G] subrange starts
-    hi: jax.Array,              # int32[N, Q, G] subrange ends
+    bounds: jax.Array,          # int32[N, Q, G+1] from csr_block_bounds
     coef: jax.Array,            # float32[N, Q, 4]: idf, C1, C2, 0
     *,
     n_slots: int,
@@ -287,7 +293,7 @@ def blockdense_scores(
     """Dense per-slot scores (and presence bits) via the full-sweep
     block kernel.  Batched over queries: grid (N, G), one dispatch for
     the whole batch.  Returns (scores f32[N, S], bits u32[N, S])."""
-    n_batch, n_terms = lo.shape[0], lo.shape[1]
+    n_batch, n_terms = bounds.shape[0], bounds.shape[1]
     grid = (n_batch, n_slots // BLOCK_SLOTS)
     n_sub = 2   # a <=R-long subrange spans at most 2 aligned chunks
 
@@ -298,10 +304,8 @@ def blockdense_scores(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, n_terms, 1), lambda n, g: (n, 0, g),
-                         memory_space=pltpu.SMEM),    # lo
-            pl.BlockSpec((1, n_terms, 1), lambda n, g: (n, 0, g),
-                         memory_space=pltpu.SMEM),    # hi
+            pl.BlockSpec((1,) + bounds.shape[1:], lambda n, g: (n, 0, 0),
+                         memory_space=pltpu.SMEM),    # bounds
             pl.BlockSpec((1,) + coef.shape[1:], lambda n, g: (n, 0, 0),
                          memory_space=pltpu.SMEM),    # coef
             pl.BlockSpec(memory_space=pl.ANY),     # postings_slot
@@ -329,7 +333,7 @@ def blockdense_scores(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(lo, hi, coef, postings_slot, postings_ltf,
+    )(bounds, coef, postings_slot, postings_ltf,
       doc_len[None, :], alive_f[None, :])
     return scores[:, 0, :], bits[:, 0, :]
 
@@ -359,15 +363,18 @@ def blockdense_scores_pruned(
     n_sub = 2
 
     kernel = _make_pruned_kernel(n_terms, algo, use_mask, n_sub)
+    # Whole per-query rows in SMEM (Q*B ints are tiny): Mosaic requires
+    # SMEM block dims to divide (8, 128) or equal the array dims, so a
+    # per-b (1, 1) window is not expressible.
     scores, bits = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda n, b: (n, b),
+            pl.BlockSpec((1, 1, n_sel), lambda n, b: (n, 0, 0),
                          memory_space=pltpu.SMEM),    # sel_blocks
-            pl.BlockSpec((1, n_terms, 1), lambda n, b: (n, 0, b),
+            pl.BlockSpec((1, n_terms, n_sel), lambda n, b: (n, 0, 0),
                          memory_space=pltpu.SMEM),    # sel_lo
-            pl.BlockSpec((1, n_terms, 1), lambda n, b: (n, 0, b),
+            pl.BlockSpec((1, n_terms, n_sel), lambda n, b: (n, 0, 0),
                          memory_space=pltpu.SMEM),    # sel_hi
             pl.BlockSpec((1,) + coef.shape[1:], lambda n, b: (n, 0, 0),
                          memory_space=pltpu.SMEM),    # coef
@@ -377,27 +384,29 @@ def blockdense_scores_pruned(
             pl.BlockSpec(memory_space=pl.ANY),     # alive factors
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, BLOCK_SLOTS), lambda n, b: (n, b, 0),
+            # 4-D with a singleton axis: Mosaic requires the last two
+            # block dims to divide (8, 128) or equal the array dims.
+            pl.BlockSpec((1, 1, 1, BLOCK_SLOTS), lambda n, b: (n, b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BLOCK_SLOTS), lambda n, b: (n, b, 0),
+            pl.BlockSpec((1, 1, 1, BLOCK_SLOTS), lambda n, b: (n, b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_batch, n_sel, BLOCK_SLOTS),
+            jax.ShapeDtypeStruct((n_batch, n_sel, 1, BLOCK_SLOTS),
                                  jnp.float32),
-            jax.ShapeDtypeStruct((n_batch, n_sel, BLOCK_SLOTS),
+            jax.ShapeDtypeStruct((n_batch, n_sel, 1, BLOCK_SLOTS),
                                  jnp.uint32),
         ],
         scratch_shapes=[
             pltpu.VMEM((SUB_POSTINGS,), jnp.int32),
             pltpu.VMEM((SUB_POSTINGS,), jnp.float32),
-            pltpu.VMEM((1, BLOCK_SLOTS), jnp.float32),
-            pltpu.VMEM((1, BLOCK_SLOTS), jnp.float32),
+            pltpu.VMEM((BLOCK_SLOTS,), jnp.float32),   # dlen (1-D DMA)
+            pltpu.VMEM((BLOCK_SLOTS,), jnp.float32),   # alive (1-D DMA)
             pltpu.VMEM((1, BLOCK_SLOTS), jnp.float32),
             pltpu.VMEM((1, BLOCK_SLOTS), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(sel_blocks, sel_lo, sel_hi, coef,
+    )(sel_blocks[:, None, :], sel_lo, sel_hi, coef,
       postings_slot, postings_ltf, doc_len, alive_f)
-    return scores, bits
+    return scores[:, :, 0, :], bits[:, :, 0, :]

@@ -7,8 +7,8 @@ across the mesh's ``docs`` axis, each chip holds its shard of the
 postings (its rows of every term's posting list) and its shard of the
 document table, and a query executes as:
 
-    shard-local gather -> score -> boolean mask -> dense scatter
-    -> shard-local top-k                      (pure local compute)
+    shard-local score -> boolean mask -> shard-local top-k
+                                              (pure local compute)
     -> all_gather of the per-shard top-k      (one small ICI collective)
     -> global top-k merge                     (replicated)
 
@@ -17,9 +17,18 @@ pairs -- the collective rides ICI, never the postings.  This mirrors
 the classic distributed-search scatter/gather but expressed as a
 single SPMD program under ``shard_map``.
 
-Scoring/mask math is identical to the single-chip executor
-(ops/executor.py); correctness of the merge follows from every global
-top-k document being in its own shard's local top-k.
+The shard-local body picks the same executors as a single chip
+(ops/executor.py): the Pallas block-accumulation kernel on
+accelerators (``use_kernel``), the dense packed-bitmap path for
+>32-term boolean queries (``use_dense``), and the candidate
+gather/sort core otherwise -- so multi-chip scales the fast path, not
+a fallback.  Correctness of the merge follows from every global top-k
+document being in its own shard's local top-k.
+
+Incremental refresh mirrors index.device.DeviceIndex: removals flip
+bits in the per-shard alive bitmaps (one small re-upload), additions
+stay host-side as the delta until the budget forces a full rebuild --
+a mutation no longer re-uploads the postings across the mesh.
 """
 
 from __future__ import annotations
@@ -34,7 +43,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.hostindex import HostIndex
-from ..ops.executor import candidate_topk
+from ..ops.executor import blockdense_topk, candidate_topk, dense_topk
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
@@ -53,7 +62,8 @@ def _bucket(n: int, minimum: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "budget", "k", "algo", "use_mask", "depth"),
+    static_argnames=("mesh", "budget", "k", "algo", "use_mask", "depth",
+                     "use_kernel", "use_dense", "interpret"),
 )
 def sharded_search(
     postings_slot: jax.Array,   # int32[n_dev, Ps_pad] shard-local slots
@@ -73,47 +83,26 @@ def sharded_search(
     algo: int,
     use_mask: bool,
     depth: int = 8,
+    use_kernel: bool = False,
+    use_dense: bool = False,
+    interpret: bool = False,
 ):
     """Returns replicated (scores f32[k'], global slots i32[k'])."""
-    axis = mesh.axis_names[0]
-    n_dev = mesh.shape[axis]
-    slots_per_shard = doc_len.shape[1]
-    k_local = min(k, budget)
-    k_final = min(k, n_dev * k_local)
-
-    def shard_body(pslot, pltf, dlen, am, qs, qlen, qidf, adl_s,
-                   pops, pargs):
-        local_scores, local_slots = candidate_topk(
-            pslot[0], pltf[0], dlen[0], am[0], qs[0], qlen[0],
-            qidf, adl_s, pops, pargs,
-            budget=budget, k=k_local, algo=algo,
-            use_mask=use_mask, depth=depth)
-        global_slots = (local_slots
-                        + lax.axis_index(axis) * slots_per_shard)
-
-        # Merge candidates across the mesh: n_dev * k_local pairs over
-        # ICI, then an identical top-k on every chip (replicated out).
-        all_scores = lax.all_gather(local_scores, axis).reshape(-1)
-        all_slots = lax.all_gather(global_slots, axis).reshape(-1)
-        m_scores, m_idx = lax.top_k(all_scores, k_final)
-        return m_scores, all_slots[m_idx]
-
-    sharded = P(mesh.axis_names[0], None)
-    repl = P()
-    return jax.shard_map(
-        shard_body,
-        mesh=mesh,
-        in_specs=(sharded, sharded, sharded, sharded, sharded, sharded,
-                  repl, repl, repl, repl),
-        out_specs=(repl, repl),
-        check_vma=False,
-    )(postings_slot, postings_ltf, doc_len, alive_mask, q_start, q_len,
-      q_idf, adl, prog_ops, prog_args)
+    packed = sharded_search_batch(
+        postings_slot, postings_ltf, doc_len, alive_mask,
+        q_start[:, None, :], q_len[:, None, :], q_idf[None],
+        adl, prog_ops[None], prog_args[None],
+        mesh=mesh, budget=budget, k=k, algo=algo, use_mask=use_mask,
+        depth=depth, use_kernel=use_kernel, use_dense=use_dense,
+        interpret=interpret)
+    scores, slots = packed
+    return scores[0], slots[0]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "budget", "k", "algo", "use_mask", "depth"),
+    static_argnames=("mesh", "budget", "k", "algo", "use_mask", "depth",
+                     "use_kernel", "use_dense", "interpret"),
 )
 def sharded_search_batch(
     postings_slot: jax.Array,   # int32[n_dev, Ps_pad]
@@ -133,26 +122,45 @@ def sharded_search_batch(
     algo: int,
     use_mask: bool,
     depth: int = 8,
+    use_kernel: bool = False,
+    use_dense: bool = False,
+    interpret: bool = False,
 ):
-    """Batched doc-sharded search: vmap of the candidate core inside
-    the shard_map body, one ICI all_gather for the whole batch.
+    """Batched doc-sharded search: the shard-local executor inside the
+    shard_map body, one ICI all_gather for the whole batch.
     Returns replicated (scores f32[N, k'], global slots i32[N, k'])."""
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     slots_per_shard = doc_len.shape[1]
-    k_local = min(k, budget)
+    k_local = min(k, slots_per_shard if (use_kernel or use_dense)
+                  else budget)
     k_final = min(k, n_dev * k_local)
 
     def shard_body(pslot, pltf, dlen, am, qs, qlen, qidf, adl_s,
                    pops, pargs):
-        def one(q_s, q_l, q_i, p_o, p_a):
-            return candidate_topk(
-                pslot[0], pltf[0], dlen[0], am[0], q_s, q_l, q_i, adl_s,
-                p_o, p_a, budget=budget, k=k_local, algo=algo,
-                use_mask=use_mask, depth=depth)
+        if use_kernel:
+            local_scores, local_slots = blockdense_topk(
+                pslot[0], pltf[0], dlen[0], am[0], qs[0], qlen[0],
+                qidf, adl_s, pops, pargs,
+                k=k_local, algo=algo, n_slots=slots_per_shard,
+                use_mask=use_mask, depth=depth, interpret=interpret)
+        else:
+            core = dense_topk if use_dense else candidate_topk
 
-        local_scores, local_slots = jax.vmap(one)(
-            qs[0], qlen[0], qidf, pops, pargs)     # [N, k_local]
+            def one(q_s, q_l, q_i, p_o, p_a):
+                if use_dense:
+                    return dense_topk(
+                        pslot[0], pltf[0], dlen[0], am[0], q_s, q_l,
+                        q_i, adl_s, p_o, p_a, budget=budget, k=k_local,
+                        algo=algo, n_slots=slots_per_shard,
+                        use_mask=use_mask, depth=depth)
+                return candidate_topk(
+                    pslot[0], pltf[0], dlen[0], am[0], q_s, q_l, q_i,
+                    adl_s, p_o, p_a, budget=budget, k=k_local,
+                    algo=algo, use_mask=use_mask, depth=depth)
+
+            local_scores, local_slots = jax.vmap(one)(
+                qs[0], qlen[0], qidf, pops, pargs)     # [N, k_local]
         global_slots = (local_slots
                         + lax.axis_index(axis) * slots_per_shard)
         all_scores = lax.all_gather(local_scores, axis, axis=1)
@@ -180,14 +188,21 @@ def sharded_search_batch(
 class ShardedDeviceIndex:
     """Doc-sharded device mirror of one HostIndex generation.
 
-    Same refresh contract as index.device.DeviceIndex, but arrays have
-    a leading ``n_dev`` axis laid out with NamedSharding over the mesh,
-    and every shard carries its own CSR row pointers (a term's posting
-    list is split by the doc-slot partition).
+    Same refresh contract as index.device.DeviceIndex -- removals flip
+    the alive bitmap, additions accumulate in a host-side delta, and a
+    full rebuild re-shards only when the delta outgrows its budget --
+    but arrays have a leading ``n_dev`` axis laid out with
+    NamedSharding over the mesh, and every shard carries its own CSR
+    row pointers (a term's posting list is split by the doc-slot
+    partition).  Global device slot == host slot: shard d holds host
+    slots [d*Ss, (d+1)*Ss).
     """
 
     _MIN_SLOTS = 1024       # per shard; keeps mask words VPU-aligned
     _MIN_POSTINGS = 4096    # per shard
+
+    DELTA_MAX_POSTINGS = 65536
+    DELTA_MAX_REMOVALS = 65536
 
     def __init__(self, host: HostIndex, mesh: Mesh):
         self.host = host
@@ -195,28 +210,83 @@ class ShardedDeviceIndex:
         self.axis = mesh.axis_names[0]
         self.n_dev = mesh.shape[self.axis]
         self.generation = -1
-        self.doc_ids = np.zeros(0, dtype=np.int64)
-        self.doc_count = 0
-        self.token_count = 0
         self.n_slots = 0            # global padded slot count
         self.slots_per_shard = 0
+        self.base_nterms = 0
         self.postings_slot = None   # [n_dev, Ps_pad] device
         self.postings_ltf = None
         self.doc_len = None         # [n_dev, Ss] device
         self.alive_mask = None      # [n_dev, Ss/32] device
         self.shard_starts = None    # host int64[n_dev, T+1]
-        self.term_df = np.zeros(0, dtype=np.int64)
+        self._arrival_mark = 0      # host postings consumed into base
+        self._slots_mark = 0        # host slot count at base build
+        self._alive_cached = np.zeros(0, dtype=np.bool_)
+        self._removed_since_base = 0
+
+    # -- live aggregates (host-authoritative; search syncs first) ------
+
+    @property
+    def doc_count(self) -> int:
+        return self.host.doc_count
+
+    @property
+    def token_count(self) -> int:
+        return self.host.token_count
+
+    @property
+    def doc_ids(self) -> np.ndarray:
+        return self.host.doc_ids.view()
+
+    def term_live_df(self, term_id: int) -> int:
+        return int(self.host.term_df.a[term_id - 1])
+
+    @property
+    def adl(self) -> float:
+        if self.doc_count == 0:
+            return 0.0
+        return float(self.token_count // self.doc_count)
+
+    # -- refresh -------------------------------------------------------
 
     def refresh(self) -> bool:
+        """Bring the mesh view up to the host generation.  Returns
+        True when device state changed (rebuild or bitmap flip)."""
         if self.generation == self.host.generation:
             return False
-        snap = self.host.build_csr()
-        self.term_df = snap["term_df"]
-        self.doc_ids = snap["doc_ids"]
-        self.doc_count = snap["doc_count"]
-        self.token_count = snap["token_count"]
+        host = self.host
+        if self.postings_slot is None:
+            return self._full_rebuild()
 
+        delta_postings = host.p_term.n - self._arrival_mark
+        host_alive = host.doc_alive.view()
+        newly_dead = self._alive_cached & ~host_alive[: self._slots_mark]
+        n_newly_dead = int(np.count_nonzero(newly_dead))
+        if (delta_postings > self.DELTA_MAX_POSTINGS
+                or self._removed_since_base + n_newly_dead
+                > self.DELTA_MAX_REMOVALS):
+            return self._full_rebuild()
+
+        if n_newly_dead:
+            self._alive_cached &= host_alive[: self._slots_mark]
+            self._removed_since_base += n_newly_dead
+            self.alive_mask = self._put_sharded(self._packed_alive())
+        self.generation = host.generation
+        return n_newly_dead > 0
+
+    def _packed_alive(self) -> np.ndarray:
+        padded = np.zeros(self.n_slots, dtype=np.bool_)
+        padded[: len(self._alive_cached)] = self._alive_cached
+        packed = np.packbits(padded, bitorder="little").view(np.uint32)
+        return packed.reshape(self.n_dev, self.slots_per_shard // 32)
+
+    def _put_sharded(self, arr: np.ndarray):
+        return jax.device_put(
+            arr, NamedSharding(self.mesh, P(self.axis, None)))
+
+    def _full_rebuild(self) -> bool:
+        snap = self.host.build_csr()
         nterms = len(snap["term_starts"]) - 1
+        self.base_nterms = nterms
         n_live = len(snap["doc_ids"])
         ss = _bucket(-(-max(n_live, 1) // self.n_dev), self._MIN_SLOTS)
         self.slots_per_shard = ss
@@ -253,32 +323,44 @@ class ShardedDeviceIndex:
         flat = dlen.reshape(-1)
         flat[:n_live] = snap["doc_len"]  # slots are contiguous per shard
 
-        shard_spec = NamedSharding(self.mesh, P(self.axis, None))
-        self.postings_slot = jax.device_put(pslot, shard_spec)
-        self.postings_ltf = jax.device_put(pltf, shard_spec)
-        self.doc_len = jax.device_put(dlen, shard_spec)
-        # Full rebuilds only contain live postings; the alive bitmap
-        # exists for executor-signature parity with the single-chip
-        # incremental path.
-        self.alive_mask = jax.device_put(
-            np.full((self.n_dev, ss // 32), 0xFFFFFFFF, dtype=np.uint32),
-            shard_spec)
+        self.postings_slot = self._put_sharded(pslot)
+        self.postings_ltf = self._put_sharded(pltf)
+        self.doc_len = self._put_sharded(dlen)
+        self._alive_cached = snap["doc_alive"].copy()
+        self.alive_mask = self._put_sharded(self._packed_alive())
+        self._arrival_mark = self.host.p_term.n
+        self._slots_mark = self.host.doc_ids.n
+        self._removed_since_base = 0
         self.generation = snap["generation"]
         return True
 
     # -- query-side metadata (per-shard ranges) ---------------------------
 
     def term_ranges(self, term_id: int) -> tuple[np.ndarray, np.ndarray]:
-        """Per-shard (start, length) of a 1-based term's postings."""
+        """Per-shard (start, length) of a 1-based term's base postings.
+        Terms born after the base snapshot live in the delta."""
+        if term_id > self.base_nterms:
+            z = np.zeros(self.n_dev, dtype=np.int64)
+            return z, z
         start = self.shard_starts[:, term_id - 1]
         end = self.shard_starts[:, term_id]
         return start, end - start
 
-    def term_live_df(self, term_id: int) -> int:
-        return int(self.term_df[term_id - 1])
+    # -- delta (host-side postings past the base watermark) ---------------
 
     @property
-    def adl(self) -> float:
-        if self.doc_count == 0:
-            return 0.0
-        return float(self.token_count // self.doc_count)
+    def has_delta(self) -> bool:
+        return self.host.p_term.n > self._arrival_mark
+
+    @property
+    def delta_slot0(self) -> int:
+        """First host doc slot not covered by the base snapshot."""
+        return self._slots_mark
+
+    def delta_postings(self):
+        """(term_ids, counts, slots) numpy views of the delta."""
+        host = self.host
+        mark = self._arrival_mark
+        return (host.p_term.a[mark: host.p_term.n],
+                host.p_count.a[mark: host.p_count.n],
+                host.p_slot.a[mark: host.p_slot.n])

@@ -33,6 +33,16 @@ from .resp import Response
 
 _ALGO_BY_NAME = {"BM25": ALGO_BM25, "TF-IDF": ALGO_TFIDF}
 
+# Executor-path counters (observability; reset freely).  Keys:
+# pruned / pruned_exact / pruned_fallback / full / dense / candidate
+# count QUERIES routed through each path.
+EXEC_STATS: dict[str, int] = {}
+
+
+def _count(key: str, n: int = 1) -> None:
+    EXEC_STATS[key] = EXEC_STATS.get(key, 0) + n
+
+
 # Static bucket floors; shapes are rounded up to powers of two so XLA
 # executables are shared across queries of similar size.
 _MIN_BUDGET = 1024
@@ -166,18 +176,15 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
     total = int(q_len.sum(axis=-1).max())
 
     use_mask = not _is_pure_or(query.root)
-    if sharded and use_mask and n_tok > MAX_BITS_TERMS:
-        raise NxsError(
-            ErrorCode.LIMIT,
-            f"sharded boolean queries support at most {MAX_BITS_TERMS} "
-            f"unique terms ({n_tok} given)")
     budget = _bucket(max(total, 1), _MIN_BUDGET, shift=2)
     # Dense execution (packed bitmaps + per-slot score scatter) is
     # O(B + S) with no sort; candidate scoring is O(B log B).  Dense
     # wins for >32-term queries (presence bits overflow u32) and for
     # high-df queries whose postings stream rivals the corpus size.
-    use_dense = not sharded and (
-        n_tok > MAX_BITS_TERMS or budget >= dev.n_slots)
+    # Sharded indexes use the per-shard slot count (the dense core
+    # runs inside the shard_map body over shard-local slots).
+    local_slots = dev.slots_per_shard if sharded else dev.n_slots
+    use_dense = n_tok > MAX_BITS_TERMS or budget >= max(local_slots, 1)
     empty_leaf = q_pad if use_dense else EMPTY_LEAF_BIT
     depth = _MIN_DEPTH
     # Dummy one-op program when maskless: keeps the argument pytree
@@ -324,6 +331,15 @@ def _prune_bound(dev, algo: int):
     return dev.bmax_bm25 if algo == ALGO_BM25 else dev.bmax_ltf
 
 
+def _sharded_kernel(plan: _Plan, dev) -> bool:
+    """Run the blockdense kernel inside the shard_map body: the fast
+    path per shard on accelerators (same gating as _use_blockdense,
+    with per-shard slot counts)."""
+    return (_on_accelerator()
+            and dev.slots_per_shard < (1 << 24)
+            and (not plan.use_mask or plan.q_start.shape[-1] <= 32))
+
+
 def _to_response(dev, scores, slots, limit: int, delta=None) -> Response:
     scores = np.asarray(scores)
     slots = np.asarray(slots)
@@ -373,10 +389,13 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
             use_mask=use_mask, depth=depth,
         )
         scores, slots, exact = unpack_pruned(packed)
+        _count("pruned")
         if exact[0]:
+            _count("pruned_exact")
             return _to_response(dev, scores[0], slots[0], sp.limit,
                                 delta=_delta_results(dev, plan, sp))
         # Pruning could not certify the top-k: full sweep below.
+        _count("pruned_fallback")
 
     if _use_blockdense(plan, sharded, dev.n_slots):
         scores, slots = device_search_blockdense(
@@ -401,6 +420,7 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
             jnp.asarray(prog_ops), jnp.asarray(prog_args),
             mesh=dev.mesh, budget=budget, k=k, algo=sp.algo,
             use_mask=use_mask, depth=depth,
+            use_kernel=_sharded_kernel(plan, dev), use_dense=use_dense,
         )
     elif use_dense:
         scores, slots = device_search_dense(
@@ -556,6 +576,8 @@ def execute_query_batch(dev, queries: list[Query],
                 jnp.asarray(prog_ops), jnp.asarray(prog_args),
                 mesh=dev.mesh, budget=sample.budget, k=k, algo=sp.algo,
                 use_mask=sample.use_mask, depth=sample.depth,
+                use_kernel=_sharded_kernel(sample, dev),
+                use_dense=sample.use_dense,
             )
         elif sample.use_dense:
             scores, slots = device_search_dense_batch(
@@ -591,6 +613,9 @@ def execute_query_batch(dev, queries: list[Query],
             slots = np.array(slots)
             failed = [row for row in range(len(members))
                       if not exact[row]]
+            _count("pruned", len(members))
+            _count("pruned_exact", len(members) - len(failed))
+            _count("pruned_fallback", len(failed))
             if failed:
                 # Pruning could not certify these rows' top-k: rerun
                 # them through the full sweep (same group signature).
