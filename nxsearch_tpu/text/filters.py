@@ -184,15 +184,16 @@ def _stopwords_filter(ctx: Optional[frozenset], value: str) -> Optional[str]:
 
 
 class _Stemmer:
-    """Per-language stemmer context."""
+    """Per-language stemmer context (sb_stemmer_new equivalent,
+    filters_builtin.c:206-245): Snowball algorithms from
+    text/snowball.py; unknown languages pass through, mirroring
+    sb_stemmer_new() failing for them."""
 
     def __init__(self, lang: str):
-        if lang != "en":
-            # Only English is implemented; other languages pass through,
-            # mirroring sb_stemmer_new() failing for unknown languages.
-            self.fn: Callable[[str], str] = lambda s: s
-        else:
-            self.fn = porter2.stem
+        from . import snowball
+        fn = snowball.get_stemmer(lang or "en")
+        self.fn: Callable[[str], str] = fn if fn is not None \
+            else (lambda s: s)
 
 
 def _stemmer_create(params: Params, _sysctx: Any) -> _Stemmer:

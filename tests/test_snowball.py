@@ -1,0 +1,128 @@
+"""Snowball stemmers: per-language vectors + pipeline integration.
+
+The reference stems every indexed and queried token with libstemmer
+for the index's ``lang`` param (filters_builtin.c:206-245); round 1
+silently passed non-English through.  Vectors below are hand-traced
+through the published algorithms (snowballstem.org) and cross-checked
+against well-known Snowball outputs.
+"""
+
+import pytest
+
+from nxsearch_tpu import Nxs, Params
+from nxsearch_tpu.text import snowball as sb
+
+DA = [
+    ("indeholdt", "indehold"),
+    ("følgende", "følg"),
+    ("hyggelig", "hyg"),
+    ("undersøgelse", "undersøg"),
+    ("katte", "kat"),
+    ("kattens", "kat"),
+    ("bog", "bog"),
+]
+
+SV = [
+    ("bilarna", "bil"),
+    ("flickorna", "flick"),
+    ("väsentliga", "väsent"),
+    ("klokheten", "klok"),
+    ("betydelse", "betyd"),
+    ("möjligheterna", "möj"),
+    ("hus", "hus"),
+]
+
+NO = [
+    ("huseiere", "huseier"),
+    ("dagene", "dag"),
+    ("bygningene", "bygning"),
+    ("viktigste", "viktigst"),
+    ("norske", "norsk"),
+    ("hus", "hus"),
+]
+
+DE = [
+    ("freundlichkeit", "freundlich"),
+    ("aufeinander", "aufeinand"),
+    ("häuser", "haus"),
+    ("bücher", "buch"),
+    ("kategorie", "kategori"),
+    ("verbindungen", "verbind"),
+    ("schönheit", "schonheit"),  # heit not in R2: kept
+    ("größe", "gross"),
+]
+
+RU = [
+    ("книгами", "книг"),
+    ("книги", "книг"),
+    ("читающий", "чита"),
+    ("красивейший", "красив"),
+    ("возможность", "возможн"),
+    ("пересказывали", "пересказыва"),
+    ("дом", "дом"),
+]
+
+
+@pytest.mark.parametrize("word,expected", DA)
+def test_danish(word, expected):
+    assert sb.stem_da(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", SV)
+def test_swedish(word, expected):
+    assert sb.stem_sv(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", NO)
+def test_norwegian(word, expected):
+    assert sb.stem_no(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", DE)
+def test_german(word, expected):
+    assert sb.stem_de(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", RU)
+def test_russian(word, expected):
+    assert sb.stem_ru(word) == expected
+
+
+def test_english_maps_to_porter2():
+    fn = sb.get_stemmer("en")
+    assert fn("running") == "run"
+
+
+def test_unknown_language_is_none():
+    assert sb.get_stemmer("xx") is None
+    assert sb.get_stemmer("") is None
+
+
+def test_alias_names():
+    assert sb.get_stemmer("german")("verbindungen") == "verbind"
+    assert sb.get_stemmer("nb")("dagene") == "dag"
+
+
+def test_german_index_recall(tmp_path):
+    """Inflections must resolve to the same term through the full
+    pipeline, changing recall vs round 1's pass-through."""
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("de", Params({"lang": "de"}))
+    idx.add(1, "Die Verbindungen zwischen den Häusern")
+    idx.add(2, "ganz andere Themen")
+    # Different inflection of the same lemma ("Verbindung").
+    res = dict(idx.search("Verbindung"))
+    assert 1 in res and 2 not in res
+    res = dict(idx.search("Haus"))
+    assert 1 in res
+    nxs.close()
+
+
+def test_russian_index_recall(tmp_path):
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("ru", Params({"lang": "ru"}))
+    idx.add(1, "интересные книги о науке")
+    idx.add(2, "другая тема")
+    assert 1 in dict(idx.search("книгами"))
+    assert 2 not in dict(idx.search("книгами"))
+    nxs.close()
