@@ -120,6 +120,15 @@ class DeviceIndex:
     DELTA_MAX_POSTINGS = 65536
     DELTA_MAX_REMOVALS = 65536
 
+    # Dense-row tier: terms with base df > n_slots // DENSE_DF_DIV
+    # (capped at MAX_DENSE_ROWS, highest-df first).
+    DENSE_DF_DIV = 16
+    MAX_DENSE_ROWS = 128
+
+    # Per-term bounds-cache rows (must exceed the unique kernel terms
+    # of one dispatch chunk; LRU beyond that).
+    BOUNDS_CACHE_ROWS = 8192
+
     def __init__(self, host: HostIndex, device: Optional[jax.Device] = None):
         self.host = host
         self.device = device
@@ -145,6 +154,24 @@ class DeviceIndex:
         self.bmax_ltf = None
         self.bmax_bm25 = None
         self.adl_cap = 0.0
+        # Device slot -> host slot (device order is dl-ascending; see
+        # _full_rebuild).  None until the first rebuild.
+        self.slot_perm = None
+        # Dense score rows for heavy terms (df > n_slots/DENSE_DF_DIV):
+        # f32[H, S_pad] log-tf by device slot.  Scoring them is pure
+        # elementwise VPU work (one row read per query term) instead
+        # of postings x R broadcast-compare lane-ops in the kernel --
+        # the Zipf head owns most posting mass, so this removes the
+        # bulk of kernel work.  Exact: same ltf values, same formula.
+        self.dense_rows = None          # device f32[max(H,1), S_pad]
+        self.dense_row_of = {}          # term_id -> row index
+        # Per-term bounds cache: block-bounds rows depend only on the
+        # base snapshot and the term, and hot terms recur every batch
+        # -- the binary search (measured 10.6 ms/query at 1M docs)
+        # runs only on cache misses.  Row 0 is reserved all-zero
+        # (padding / dense-handled / delta-born terms).
+        self._bounds_cache = None       # device i32[C, G+1]
+        self._bounds_map = None         # OrderedDict term_id -> row
 
     # -- live aggregates (host-authoritative; search syncs first) ------
 
@@ -195,7 +222,8 @@ class DeviceIndex:
             self._alive_cached &= host_alive[: self._slots_mark]
             self._removed_since_base += n_newly_dead
             self.alive_mask = self._put(
-                _pack_alive(self._alive_cached, self.n_slots))
+                _pack_alive(self._alive_cached[self.slot_perm],
+                            self.n_slots))
         self.generation = host.generation
         return n_newly_dead > 0
 
@@ -213,14 +241,35 @@ class DeviceIndex:
         s_pad = _bucket(n_slots_host, self._MIN_SLOTS)
         p_pad = _bucket(n_post, self._MIN_POSTINGS)
 
+        # Device slots are assigned by ASCENDING doc length, not host
+        # arrival order.  BM25's dominant static score factor is dl,
+        # so length-ordering concentrates each term's strongest
+        # contributions (and short co-occurring docs) in the
+        # lowest-numbered slot blocks -- which is what makes block-max
+        # pruning discriminate: in arrival order every block looks the
+        # same and the exactness check can never certify.  Classic IR
+        # engines get the analogous effect from quality-ordered doc-id
+        # assignment.  Host slots stay stable (the delta/alive
+        # bookkeeping is host-ordered); ``slot_perm`` maps device slot
+        # -> host slot for response building.
+        perm = np.argsort(snap["doc_len"], kind="stable").astype(np.int64)
+        inv = np.empty(n_slots_host, dtype=np.int64)
+        inv[perm] = np.arange(n_slots_host)
+
+        slots_dev = inv[snap["postings_slot"]]
+        counts = np.diff(snap["term_starts"])
+        t_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        order = np.lexsort((slots_dev, t_of))
+
         slot = np.zeros(p_pad, dtype=np.int32)
-        slot[:n_post] = snap["postings_slot"]
+        slot[:n_post] = slots_dev[order]
         ltf = np.zeros(p_pad, dtype=np.float32)
-        ltf[:n_post] = np.log(snap["postings_tf"].astype(np.float64) + 1.0)
+        ltf[:n_post] = np.log(
+            snap["postings_tf"][order].astype(np.float64) + 1.0)
         # Padding doc_len with 1.0 keeps dl/adl finite for padded slots
         # (their contributions are masked out regardless).
         dlen = np.ones(s_pad, dtype=np.float32)
-        dlen[:n_slots_host] = snap["doc_len"]
+        dlen[:n_slots_host] = snap["doc_len"][perm]
 
         # 25% adl headroom: the BM25 bound is recomputed on every
         # rebuild, and the delta budget caps how far adl can move
@@ -229,23 +278,109 @@ class DeviceIndex:
             if snap["doc_count"] else 1.0
         self.adl_cap = float(max(adl_build, 1.0)) * 1.25
         bmax_ltf, bmax_bm25 = block_bounds_metadata(
-            snap["term_starts"], snap["postings_slot"], ltf,
-            snap["doc_len"], s_pad, p_pad, self.adl_cap)
+            snap["term_starts"], slot[:n_post], ltf,
+            dlen, s_pad, p_pad, self.adl_cap)
+
+        # Dense rows for the heaviest terms (device-slot indexed).
+        term_df_base = counts  # base postings per term (live rows)
+        heavy = np.nonzero(term_df_base > s_pad // self.DENSE_DF_DIV)[0]
+        if len(heavy) > self.MAX_DENSE_ROWS:
+            heavy = heavy[np.argsort(-term_df_base[heavy], kind="stable")
+                          [: self.MAX_DENSE_ROWS]]
+        self.dense_row_of = {int(t) + 1: i for i, t in enumerate(heavy)}
+        n_rows = max(len(heavy), 1)
+        rows = np.zeros((n_rows, s_pad), dtype=np.float32)
+        for i, t in enumerate(heavy):
+            lo = self.term_starts[t]
+            hi = self.term_starts[t + 1]
+            rows[i, slot[lo:hi]] = ltf[lo:hi]
+        self.dense_rows = self._put(rows)
 
         self.postings_slot = self._put(slot)
         self.postings_ltf = self._put(ltf)
         self.doc_len = self._put(dlen)
         self.bmax_ltf = self._put(bmax_ltf)
         self.bmax_bm25 = self._put(bmax_bm25)
+        self.slot_perm = perm
         self._alive_cached = snap["doc_alive"].copy()
-        self.alive_mask = self._put(_pack_alive(self._alive_cached, s_pad))
+        self.alive_mask = self._put(
+            _pack_alive(self._alive_cached[perm], s_pad))
         self.n_slots = s_pad
         self.n_postings = p_pad
         self._arrival_mark = self.host.p_term.n
         self._slots_mark = self.host.doc_ids.n
         self._removed_since_base = 0
+        # Bounds rows are derived from the base CSR: drop them.
+        self._bounds_cache = None
+        self._bounds_map = None
         self.generation = snap["generation"]
         return True
+
+    # -- per-term bounds cache ---------------------------------------
+
+    def bounds_crows(self, term_ids) -> dict[int, int]:
+        """Cache rows for the given base terms' block-bounds; missing
+        rows are computed in ONE device dispatch and scattered into
+        the cache.  Terms without base postings map to row 0."""
+        import jax.numpy as jnp
+        from collections import OrderedDict
+
+        from ..ops.pallas.segsum import BLOCK_SLOTS, csr_block_bounds
+
+        n_blocks = self.n_slots // BLOCK_SLOTS
+        if self._bounds_map is None:
+            self._bounds_map = OrderedDict()
+        if self._bounds_cache is None:
+            self._bounds_cache = self._put(np.zeros(
+                (self.BOUNDS_CACHE_ROWS, n_blocks + 1), dtype=np.int32))
+            self._bounds_next = 1
+        out: dict[int, int] = {}
+        missing: list[int] = []
+        for t in term_ids:
+            row = self._bounds_map.get(t)
+            if row is not None:
+                self._bounds_map.move_to_end(t)
+                out[t] = row
+            elif self.term_range(t)[1] > 0:
+                if t not in out:
+                    missing.append(t)
+                    out[t] = -1  # placeholder, assigned below
+            else:
+                out[t] = 0
+        missing = [t for t in missing if out[t] == -1]
+        if not missing:
+            return out
+
+        rows = []
+        pinned = set()
+        for t in missing:
+            if self._bounds_next < self.BOUNDS_CACHE_ROWS:
+                row = self._bounds_next
+                self._bounds_next += 1
+            else:
+                # LRU-evict a row not pinned by this very call.
+                for old_t, old_row in self._bounds_map.items():
+                    if old_row not in pinned:
+                        del self._bounds_map[old_t]
+                        row = old_row
+                        break
+                else:  # pragma: no cover - cache smaller than one call
+                    raise RuntimeError("bounds cache exhausted")
+            pinned.add(row)
+            self._bounds_map[t] = row
+            out[t] = row
+            rows.append(row)
+
+        starts = np.zeros(len(missing), dtype=np.int32)
+        lens = np.zeros(len(missing), dtype=np.int32)
+        for i, t in enumerate(missing):
+            starts[i], lens[i] = self.term_range(t)
+        new_rows = csr_block_bounds(
+            self.postings_slot, jnp.asarray(starts), jnp.asarray(lens),
+            n_blocks=n_blocks)
+        self._bounds_cache = self._bounds_cache.at[
+            jnp.asarray(np.asarray(rows, dtype=np.int32))].set(new_rows)
+        return out
 
     # -- query-side metadata ----------------------------------------------
 

@@ -95,7 +95,8 @@ def csr_block_bounds(postings_slot: jax.Array,   # int32[P]
 
 def _accumulate_term(q, b0, b1, coef_ref, pslot_hbm, pltf_hbm,
                      dlen_row, slot_scr, ltf_scr, acc_ref, pres_ref,
-                     sem, base, *, algo: int, use_mask: bool, n_sub: int):
+                     sem, sem2, base, *, algo: int, use_mask: bool,
+                     n_sub: int):
     """Accumulate one query term's postings-in-block into acc_ref
     (and pres_ref when masking).  Shared by both kernels.
 
@@ -111,17 +112,21 @@ def _accumulate_term(q, b0, b1, coef_ref, pslot_hbm, pltf_hbm,
     iota_m = lax.broadcasted_iota(jnp.int32, (mt, r), 0)
 
     for s in range(n_sub):        # aligned chunks covering the range
-        @pl.when(((b0 // m) + s) * m < b1)
+        # b0 < b1 matters: an EMPTY subrange with an unaligned b0
+        # would otherwise still run a chunk (DMA + one all-masked
+        # tile) -- for rare terms that used to waste a full chunk on
+        # nearly every block of the corpus.
+        @pl.when((b0 < b1) & (((b0 // m) + s) * m < b1))
         def _(s=s):
             aligned = ((b0 // m) + s) * m
             safe = pl.multiple_of(jnp.minimum(aligned, p_max - m), m)
             cp1 = pltpu.make_async_copy(
                 pslot_hbm.at[pl.ds(safe, m)], slot_scr, sem)
-            cp1.start()
-            cp1.wait()
             cp2 = pltpu.make_async_copy(
-                pltf_hbm.at[pl.ds(safe, m)], ltf_scr, sem)
+                pltf_hbm.at[pl.ds(safe, m)], ltf_scr, sem2)
+            cp1.start()
             cp2.start()
+            cp1.wait()
             cp2.wait()
             # Posting j in the scratch is global index safe+j; compute
             # in [mt, R] tiles, each skipped when it cannot overlap
@@ -176,7 +181,7 @@ def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
                alive_ref,     # VMEM f32[1, R] (block g; 0/1 factors)
                out_ref,       # VMEM f32[1, 1, R]
                bits_ref,      # VMEM u32[1, 1, R]
-               slot_scr, ltf_scr, pres_ref, acc_ref, sem):
+               slot_scr, ltf_scr, pres_ref, acc_ref, sem, sem2):
         g = pl.program_id(1)
         base = g * r
 
@@ -189,8 +194,8 @@ def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
             _accumulate_term(
                 q, bounds_ref[0, q, g], bounds_ref[0, q, g + 1],
                 coef_ref, pslot_hbm, pltf_hbm, dlen_ref[0, :],
-                slot_scr, ltf_scr, acc_ref, pres_ref, sem, base,
-                algo=algo, use_mask=use_mask, n_sub=n_sub)
+                slot_scr, ltf_scr, acc_ref, pres_ref, sem, sem2,
+                base, algo=algo, use_mask=use_mask, n_sub=n_sub)
             if use_mask:
                 bits_ref[0, 0, :] = bits_ref[0, 0, :] | jnp.where(
                     pres_ref[0, :] > 0.0,
@@ -223,7 +228,7 @@ def _make_pruned_kernel(n_terms: int, algo: int, use_mask: bool,
                out_ref,       # VMEM f32[1, 1, 1, R]
                bits_ref,      # VMEM u32[1, 1, 1, R]
                slot_scr, ltf_scr, dlen_scr, alive_scr,
-               pres_ref, acc_ref, sem):
+               pres_ref, acc_ref, sem, sem2):
         b = pl.program_id(1)
         g = sel_ref[0, 0, b]
         base = g * r
@@ -251,7 +256,7 @@ def _make_pruned_kernel(n_terms: int, algo: int, use_mask: bool,
             _accumulate_term(
                 q, lo_ref[0, q, b], hi_ref[0, q, b], coef_ref,
                 pslot_hbm, pltf_hbm, dlen_row, slot_scr, ltf_scr,
-                acc_ref, pres_ref, sem, base,
+                acc_ref, pres_ref, sem, sem2, base,
                 algo=algo, use_mask=use_mask, n_sub=n_sub)
             if use_mask:
                 bits_ref[0, 0, 0, :] = bits_ref[0, 0, 0, :] | jnp.where(
@@ -331,6 +336,7 @@ def blockdense_scores(
             pltpu.VMEM((1, BLOCK_SLOTS), jnp.float32),
             pltpu.VMEM((1, BLOCK_SLOTS), jnp.float32),
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(bounds, coef, postings_slot, postings_ltf,
@@ -404,6 +410,7 @@ def blockdense_scores_pruned(
             pltpu.VMEM((BLOCK_SLOTS,), jnp.float32),   # alive (1-D DMA)
             pltpu.VMEM((1, BLOCK_SLOTS), jnp.float32),
             pltpu.VMEM((1, BLOCK_SLOTS), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -43,6 +43,8 @@ def _count(key: str, n: int = 1) -> None:
     EXEC_STATS[key] = EXEC_STATS.get(key, 0) + n
 
 
+_MAX_DENSE_PER_QUERY = 4
+
 # Static bucket floors; shapes are rounded up to powers of two so XLA
 # executables are shared across queries of similar size.
 _MIN_BUDGET = 1024
@@ -125,6 +127,14 @@ class _Plan:
     use_dense: bool
     budget: int
     depth: int
+    # Dense-row tier entries (blockdense only): query row + device
+    # row of up to _MAX_DENSE_PER_QUERY heavy terms; -1 padded.
+    d_qpos: np.ndarray = None  # int32[_MAX_DENSE_PER_QUERY]
+    d_row: np.ndarray = None
+
+    @property
+    def use_rows(self) -> bool:
+        return self.d_qpos is not None and bool((self.d_qpos >= 0).any())
 
     @property
     def batch_key(self):
@@ -203,12 +213,30 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
         prog_args[: len(args)] = args
         depth = _bucket(max_depth, _MIN_DEPTH)
 
+    # Heavy terms with a dense device row (blockdense path only;
+    # overflow beyond _MAX_DENSE_PER_QUERY stays in the kernel --
+    # exact either way).
+    d_qpos = np.full(_MAX_DENSE_PER_QUERY, -1, dtype=np.int32)
+    d_row = np.full(_MAX_DENSE_PER_QUERY, -1, dtype=np.int32)
+    row_of = getattr(dev, "dense_row_of", None)
+    if row_of:
+        j = 0
+        for i, token in enumerate(tokens):
+            if j >= _MAX_DENSE_PER_QUERY:
+                break
+            h = row_of.get(token.term_id)
+            if h is not None:
+                d_qpos[j] = i
+                d_row[j] = h
+                j += 1
+
     return _Plan(q_start=q_start, q_len=q_len, q_idf=q_idf,
                  term_ids=np.asarray([t.term_id for t in tokens],
                                      dtype=np.int64),
                  prog_ops=prog_ops, prog_args=prog_args,
                  use_mask=use_mask, use_dense=use_dense,
-                 budget=budget, depth=depth)
+                 budget=budget, depth=depth,
+                 d_qpos=d_qpos, d_row=d_row)
 
 
 def _eval_program_np(present: np.ndarray, prog_ops: np.ndarray,
@@ -317,7 +345,15 @@ def _use_pruned(plan: _Plan, sharded: bool, dev, k: int,
                 algo: int) -> bool:
     from .ops.pallas.segsum import BLOCK_SLOTS
 
+    import os
+    if not os.environ.get("NXS_ENABLE_PRUNED"):
+        # Block-max certification never fires on realistic tf/arrival
+        # distributions at 1024-slot granularity (measured 100%
+        # fallback, r2): the pruned pass would only add overhead.
+        # Kept behind an env flag for experimentation.
+        return False
     if not (_use_blockdense(plan, sharded, dev.n_slots)
+            and not plan.use_rows
             and getattr(dev, "bmax_bm25", None) is not None
             and dev.n_slots // BLOCK_SLOTS >= _PRUNE_MIN_BLOCKS
             and k <= _PRUNE_MAX_K):
@@ -329,6 +365,23 @@ def _use_pruned(plan: _Plan, sharded: bool, dev, k: int,
 
 def _prune_bound(dev, algo: int):
     return dev.bmax_bm25 if algo == ALGO_BM25 else dev.bmax_ltf
+
+
+def _kernel_crows(dev, plan: _Plan,
+                  crow_map: Optional[dict] = None) -> np.ndarray:
+    """Bounds-cache rows for the plan's kernel terms (dense-handled
+    and delta-born terms map to the zero row)."""
+    dense_pos = {int(x) for x in plan.d_qpos if x >= 0} \
+        if plan.d_qpos is not None else set()
+    if crow_map is None:
+        tids = [int(t) for i, t in enumerate(plan.term_ids)
+                if i not in dense_pos]
+        crow_map = dev.bounds_crows(tids)
+    q_crow = np.zeros(plan.q_start.shape[-1], dtype=np.int32)
+    for i, t in enumerate(plan.term_ids):
+        if i not in dense_pos:
+            q_crow[i] = crow_map.get(int(t), 0)
+    return q_crow
 
 
 def _sharded_kernel(plan: _Plan, dev) -> bool:
@@ -346,6 +399,12 @@ def _to_response(dev, scores, slots, limit: int, delta=None) -> Response:
     matched = scores > 0.0
     scores = scores[matched]
     slots = slots[matched]
+    perm = getattr(dev, "slot_perm", None)
+    if perm is not None:
+        # Device slots are dl-ordered; translate back to host slots
+        # before doc-id lookup and delta merging (delta slots are
+        # host-ordered).
+        slots = perm[slots.astype(np.int64)]
     if delta is not None:
         d_slots, d_scores = delta
         slots = np.concatenate([slots.astype(np.int64), d_slots])
@@ -398,16 +457,22 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
         _count("pruned_fallback")
 
     if _use_blockdense(plan, sharded, dev.n_slots):
-        scores, slots = device_search_blockdense(
+        from .ops.executor import (device_search_blockdense_cached,
+                                   unpack_blockdense)
+        q_crow = _kernel_crows(dev, plan)
+        packed = device_search_blockdense_cached(
             dev.postings_slot, dev.postings_ltf, dev.doc_len,
-            dev.alive_mask,
-            jnp.asarray(q_start), jnp.asarray(q_len), jnp.asarray(q_idf),
+            dev.alive_mask, dev._bounds_cache,
+            jnp.asarray(q_crow[None]), jnp.asarray(q_idf[None]),
             jnp.float32(dev.adl),
-            jnp.asarray(prog_ops), jnp.asarray(prog_args),
+            jnp.asarray(prog_ops[None]), jnp.asarray(prog_args[None]),
+            dev.dense_rows, jnp.asarray(plan.d_qpos[None]),
+            jnp.asarray(plan.d_row[None]),
             k=k, algo=sp.algo, n_slots=dev.n_slots,
-            use_mask=use_mask, depth=depth,
+            use_mask=use_mask, depth=depth, use_rows=plan.use_rows,
         )
-        return _to_response(dev, scores, slots, sp.limit,
+        scores, slots = unpack_blockdense(packed)
+        return _to_response(dev, scores[0], slots[0], sp.limit,
                             delta=_delta_results(dev, plan, sp))
 
     if sharded:
@@ -473,7 +538,7 @@ def execute_query_batch(dev, queries: list[Query],
             # The block kernel's signature has no postings budget:
             # every budget tier shares one executable per shape.
             key = ("bd", plan.q_start.shape[-1], len(plan.prog_ops),
-                   plan.use_mask, plan.depth)
+                   plan.use_mask, plan.depth, plan.use_rows)
         else:
             key = plan.batch_key
         groups.setdefault(key, []).append(i)
@@ -511,6 +576,10 @@ def execute_query_batch(dev, queries: list[Query],
             q_idf = np.zeros((n_pad, q_pad), dtype=np.float32)
             prog_ops = np.zeros((n_pad, prog_len), dtype=np.int32)
             prog_args = np.zeros((n_pad, prog_len), dtype=np.int32)
+            d_qpos = np.full((n_pad, _MAX_DENSE_PER_QUERY), -1,
+                             dtype=np.int32)
+            d_row = np.full((n_pad, _MAX_DENSE_PER_QUERY), -1,
+                            dtype=np.int32)
             for row, i in enumerate(members):
                 p = plans[i]
                 q_start[row] = p.q_start
@@ -518,6 +587,9 @@ def execute_query_batch(dev, queries: list[Query],
                 q_idf[row] = p.q_idf
                 prog_ops[row] = p.prog_ops
                 prog_args[row] = p.prog_args
+                if p.d_qpos is not None:
+                    d_qpos[row] = p.d_qpos
+                    d_row[row] = p.d_row
             if _use_pruned(sample, sharded, dev, k, sp.algo):
                 packed = device_search_pruned_batch(
                     dev.postings_slot, dev.postings_ltf, dev.doc_len,
@@ -533,14 +605,28 @@ def execute_query_batch(dev, queries: list[Query],
                                 prog_args, sample)
                 pending.append((members, packed, group_arrays, "pruned"))
                 continue
-            packed = device_search_blockdense_batch(
+            from .ops.executor import device_search_blockdense_cached
+            all_tids = []
+            for i in members:
+                p = plans[i]
+                dense_pos = {int(x) for x in p.d_qpos if x >= 0} \
+                    if p.d_qpos is not None else set()
+                all_tids.extend(int(t) for j, t in enumerate(p.term_ids)
+                                if j not in dense_pos)
+            crow_map = dev.bounds_crows(all_tids)
+            q_crow = np.zeros((n_pad, q_pad), dtype=np.int32)
+            for row, i in enumerate(members):
+                q_crow[row] = _kernel_crows(dev, plans[i], crow_map)
+            packed = device_search_blockdense_cached(
                 dev.postings_slot, dev.postings_ltf, dev.doc_len,
-                dev.alive_mask,
-                jnp.asarray(q_start), jnp.asarray(q_len),
+                dev.alive_mask, dev._bounds_cache,
+                jnp.asarray(q_crow),
                 jnp.asarray(q_idf), jnp.float32(dev.adl),
                 jnp.asarray(prog_ops), jnp.asarray(prog_args),
+                dev.dense_rows, jnp.asarray(d_qpos), jnp.asarray(d_row),
                 k=k, algo=sp.algo, n_slots=dev.n_slots,
                 use_mask=sample.use_mask, depth=sample.depth,
+                use_rows=sample.use_rows,
             )
             pending.append((members, packed, None, "packed"))
             continue

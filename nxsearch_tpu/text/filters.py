@@ -108,8 +108,15 @@ class FilterPipeline:
             if name == "stopwords":
                 stopwords_set = ctx
         if "stemmer" in self.names and lang != "en":
-            # Non-English stemmers pass through in this build; the
-            # native stemmer flag must stay off to match.
+            from . import snowball
+            if snowball.get_stemmer(lang) is not None:
+                # A Python Snowball stemmer must run for this
+                # language: the native path (which only implements
+                # Porter2) would silently skip it.
+                return None
+            # Unknown language: stemming passes through (sb_stemmer_new
+            # -> NULL parity), so the native path with the stemmer
+            # flag off matches exactly.
             stem = False
         else:
             stem = "stemmer" in self.names

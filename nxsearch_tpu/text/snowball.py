@@ -386,6 +386,781 @@ def stem_ru(word: str) -> str:
     return w
 
 
+
+# ---------------------------------------------------------------------------
+# Dutch
+
+_NL_V = "aeiouyè"
+
+
+def _nl_undouble(w: str) -> str:
+    for d in ("kk", "dd", "tt"):
+        if w.endswith(d):
+            return w[:-1]
+    return w
+
+
+def stem_nl(word: str) -> str:
+    for a, b in (("ä", "a"), ("ë", "e"), ("ï", "i"), ("ö", "o"),
+                 ("ü", "u"), ("á", "a"), ("é", "e"), ("í", "i"),
+                 ("ó", "o"), ("ú", "u")):
+        word = word.replace(a, b)
+    if len(word) <= 2:
+        return word
+    # Protect y (initial or after vowel) and i between vowels.
+    chars = list(word)
+    if chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and word[i - 1] in _NL_V:
+            chars[i] = "Y"
+        elif (chars[i] == "i" and i + 1 < len(chars)
+              and word[i - 1] in _NL_V and word[i + 1] in _NL_V):
+            chars[i] = "I"
+    w = "".join(chars)
+    r1, r2 = _r1r2(w, _NL_V)
+    r1 = max(r1, 3)
+
+    def en_ok(x: str, n: int) -> bool:
+        """valid en-ending: preceded by a non-vowel, and not gem."""
+        stem = x[:-n]
+        return (bool(stem) and stem[-1] not in _NL_V
+                and not stem.endswith("gem"))
+
+    # Step 1.
+    suf = _longest(w, ("heden", "ene", "en", "se", "s"))
+    if suf == "heden":
+        if _in_r(w, suf, r1):
+            w = w[:-5] + "heid"
+    elif suf in ("ene", "en"):
+        if _in_r(w, suf, r1) and en_ok(w, len(suf)):
+            w = _nl_undouble(w[: -len(suf)])
+    elif suf in ("se", "s"):
+        if _in_r(w, suf, r1) and len(w) > len(suf) \
+                and w[-len(suf) - 1] not in _NL_V + "j":
+            w = w[: -len(suf)]
+
+    # Step 2.
+    e_found = False
+    if w.endswith("e") and _in_r(w, "e", r1) and len(w) >= 2 \
+            and w[-2] not in _NL_V:
+        e_found = True
+        w = _nl_undouble(w[:-1])
+
+    # Step 3a: heid.
+    if w.endswith("heid") and _in_r(w, "heid", r2) \
+            and not w[:-4].endswith("c"):
+        w = w[:-4]
+        if w.endswith("en") and _in_r(w, "en", r1) and en_ok(w, 2):
+            w = _nl_undouble(w[:-2])
+
+    # Step 3b: d-suffixes.
+    suf = _longest(w, ("end", "ing", "ig", "lijk", "baar", "bar"))
+    if suf in ("end", "ing"):
+        if _in_r(w, suf, r2):
+            w = w[:-3]
+            if w.endswith("ig") and _in_r(w, "ig", r2) \
+                    and not w[:-2].endswith("e"):
+                w = w[:-2]
+            else:
+                w = _nl_undouble(w)
+    elif suf == "ig":
+        if _in_r(w, suf, r2) and not w[:-2].endswith("e"):
+            w = w[:-2]
+    elif suf == "lijk":
+        if _in_r(w, suf, r2):
+            w = w[:-4]
+            if w.endswith("e") and _in_r(w, "e", r1) and len(w) >= 2 \
+                    and w[-2] not in _NL_V:
+                w = _nl_undouble(w[:-1])
+    elif suf == "baar":
+        if _in_r(w, suf, r2):
+            w = w[:-4]
+    elif suf == "bar":
+        if _in_r(w, suf, r2) and e_found:
+            w = w[:-3]
+
+    # Step 4: undouble vowel (C + aa/ee/oo/uu + C, last C != I).
+    if len(w) >= 4 and w[-1] not in _NL_V and w[-1] != "I" \
+            and w[-2] == w[-3] and w[-2] in "aeou" \
+            and w[-4] not in _NL_V:
+        w = w[:-2] + w[-1]
+
+    return w.replace("I", "i").replace("Y", "y")
+
+
+# ---------------------------------------------------------------------------
+# French
+
+_FR_V = "aeiouyâàëéêèïîôûù"
+
+
+def _fr_prelude(word: str) -> str:
+    chars = list(word)
+    n = len(chars)
+    for i in range(n):
+        c = chars[i]
+        prev_v = i > 0 and word[i - 1] in _FR_V
+        next_v = i + 1 < n and word[i + 1] in _FR_V
+        if c in "ui" and prev_v and next_v:
+            chars[i] = c.upper()
+        elif c == "y" and (prev_v or next_v):
+            chars[i] = "Y"
+        elif c == "u" and i > 0 and word[i - 1] == "q":
+            chars[i] = "U"
+    return "".join(chars)
+
+
+def _fr_rv(w: str) -> int:
+    if len(w) >= 3 and w[0] in _FR_V and w[1] in _FR_V:
+        return 3
+    if w[:3] in ("par", "col", "tap"):
+        return 3
+    for i in range(1, len(w)):
+        if w[i] in _FR_V:
+            return i + 1
+    return len(w)
+
+
+def stem_fr(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    w = _fr_prelude(word)
+    rv = _fr_rv(w)
+    r1, r2 = _r1r2(w, _FR_V)
+
+    orig = w
+    found = False         # a suffix was removed in step 1
+    do_2a = True          # step 1 found nothing, or found *ment*
+
+    # ---- Step 1: standard suffixes (longest raw match, then rules).
+    s1 = _longest(w, (
+        "ance", "iqUe", "isme", "able", "iste", "eux", "ances",
+        "iqUes", "ismes", "ables", "istes",
+        "atrice", "ateur", "ation", "atrices", "ateurs", "ations",
+        "logie", "logies", "usion", "ution", "usions", "utions",
+        "ence", "ences", "ement", "ements", "ité", "ités",
+        "if", "ive", "ifs", "ives", "eaux", "aux", "euse", "euses",
+        "issement", "issements", "amment", "emment", "ment", "ments",
+    ))
+    if s1:
+        base = w[: -len(s1)]
+        if s1 in ("ance", "iqUe", "isme", "able", "iste", "eux",
+                  "ances", "iqUes", "ismes", "ables", "istes"):
+            if _in_r(w, s1, r2):
+                w, found = base, True
+        elif s1 in ("atrice", "ateur", "ation", "atrices", "ateurs",
+                    "ations"):
+            if _in_r(w, s1, r2):
+                w, found = base, True
+                if w.endswith("ic"):
+                    if _in_r(w, "ic", r2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif s1 in ("logie", "logies"):
+            if _in_r(w, s1, r2):
+                w, found = base + "log", True
+        elif s1 in ("usion", "ution", "usions", "utions"):
+            if _in_r(w, s1, r2):
+                w, found = base + "u", True
+        elif s1 in ("ence", "ences"):
+            if _in_r(w, s1, r2):
+                w, found = base + "ent", True
+        elif s1 in ("ement", "ements"):
+            if _in_r(w, s1, rv):
+                w, found = base, True
+                if w.endswith("iv") and _in_r(w, "iv", r2):
+                    w = w[:-2]
+                    if w.endswith("at") and _in_r(w, "at", r2):
+                        w = w[:-2]
+                elif w.endswith("eus"):
+                    if _in_r(w, "eus", r2):
+                        w = w[:-3]
+                    elif _in_r(w, "eus", r1):
+                        w = w[:-1] + "x"
+                elif w.endswith("abl") and _in_r(w, "abl", r2):
+                    w = w[:-3]
+                elif w.endswith("iqU") and _in_r(w, "iqU", r2):
+                    w = w[:-3]
+                elif w.endswith("ièr") and _in_r(w, "ièr", rv):
+                    w = w[:-3] + "i"
+                elif w.endswith("Ièr") and _in_r(w, "Ièr", rv):
+                    w = w[:-3] + "i"
+        elif s1 in ("ité", "ités"):
+            if _in_r(w, s1, r2):
+                w, found = base, True
+                if w.endswith("abil"):
+                    if _in_r(w, "abil", r2):
+                        w = w[:-4]
+                    else:
+                        w = w[:-2] + "l"
+                elif w.endswith("ic"):
+                    if _in_r(w, "ic", r2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+                elif w.endswith("iv") and _in_r(w, "iv", r2):
+                    w = w[:-2]
+        elif s1 in ("if", "ive", "ifs", "ives"):
+            if _in_r(w, s1, r2):
+                w, found = base, True
+                if w.endswith("at") and _in_r(w, "at", r2):
+                    w = w[:-2]
+                    if w.endswith("ic"):
+                        if _in_r(w, "ic", r2):
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+        elif s1 == "eaux":
+            w, found = base + "eau", True
+        elif s1 == "aux":
+            if _in_r(w, s1, r1):
+                w, found = base + "al", True
+        elif s1 in ("euse", "euses"):
+            if _in_r(w, s1, r2):
+                w, found = base, True
+            elif _in_r(w, s1, r1):
+                w, found = base + "eux", True
+        elif s1 in ("issement", "issements"):
+            if _in_r(w, s1, r1) and base and base[-1] not in _FR_V:
+                w, found = base, True
+        elif s1 == "amment":
+            if _in_r(w, s1, rv):
+                w = base + "ant"   # not counted as removed
+        elif s1 == "emment":
+            if _in_r(w, s1, rv):
+                w = base + "ent"   # not counted as removed
+        elif s1 in ("ment", "ments"):
+            if _in_r(w, s1, rv) and len(base) >= 1 \
+                    and base[-1] in _FR_V and len(base) >= rv:
+                w = base           # not counted as removed
+
+    if found and s1 not in ("amment", "emment", "ment", "ments"):
+        do_2a = False
+
+    # ---- Step 2a: verb suffixes beginning i (in RV, after non-vowel).
+    altered_2 = False
+    if do_2a:
+        s2a = _longest_in(w, (
+            "îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira",
+            "irai", "iraIent", "irais", "irait", "iras", "irent",
+            "irez", "iriez", "irions", "irons", "iront", "is",
+            "issaIent", "issais", "issait", "issant", "issante",
+            "issantes", "issants", "isse", "issent", "isses", "issez",
+            "issiez", "issions", "issons", "it",
+        ), rv)
+        base = w[: -len(s2a)] if s2a else ""
+        if s2a and base and base[-1] not in _FR_V \
+                and len(base) >= rv:
+            w, altered_2 = base, True
+        else:
+            # ---- Step 2b: other verb suffixes.
+            s2b = _longest_in(w, (
+                "ions", "é", "ée", "ées", "és", "èrent", "er", "era",
+                "erai", "eraIent", "erais", "erait", "eras", "erez",
+                "eriez", "erions", "erons", "eront", "ez", "iez",
+                "âmes", "ât", "âtes", "a", "ai", "aIent", "ais",
+                "ait", "ant", "ante", "antes", "ants", "as", "asse",
+                "assent", "asses", "assiez", "assions",
+            ), rv)
+            if s2b == "ions":
+                if _in_r(w, s2b, r2):
+                    w, altered_2 = w[:-4], True
+            elif s2b in ("é", "ée", "ées", "és", "èrent", "er", "era",
+                         "erai", "eraIent", "erais", "erait", "eras",
+                         "erez", "eriez", "erions", "erons", "eront",
+                         "ez", "iez"):
+                w, altered_2 = w[: -len(s2b)], True
+            elif s2b:
+                w, altered_2 = w[: -len(s2b)], True
+                if w.endswith("e") and _in_r(w, "e", rv):
+                    w = w[:-1]
+
+    if found or altered_2:
+        # ---- Step 3.
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # ---- Step 4.
+        if w.endswith("s") and len(w) >= 2 \
+                and w[-2] not in "aiouès" and w[-2] != "s":
+            w = w[:-1]
+        s4 = _longest_in(w, ("ion", "ier", "ière", "Ier", "Ière", "e",
+                             "ë"), rv)
+        if s4 == "ion":
+            if _in_r(w, s4, r2) and len(w) >= 4 and w[-4] in "st":
+                w = w[:-3]
+        elif s4 in ("ier", "ière", "Ier", "Ière"):
+            w = w[: -len(s4)] + "i"
+        elif s4 == "e":
+            w = w[:-1]
+        elif s4 == "ë":
+            if w[:-1].endswith("gu"):
+                w = w[:-1]
+
+    # ---- Step 5: undouble.
+    for d in ("enn", "onn", "ett", "ell", "eill"):
+        if w.endswith(d):
+            w = w[:-1]
+            break
+
+    # ---- Step 6: un-accent final syllable.
+    i = len(w) - 1
+    seen_nonv = False
+    while i >= 0 and w[i] not in _FR_V:
+        seen_nonv = True
+        i -= 1
+    if seen_nonv and i >= 0 and w[i] in "éè":
+        w = w[:i] + "e" + w[i + 1:]
+
+    return (w.replace("I", "i").replace("U", "u").replace("Y", "y"))
+
+
+# ---------------------------------------------------------------------------
+# Spanish
+
+_ES_V = "aeiouáéíóúü"
+
+
+def _es_rv(w: str) -> int:
+    if len(w) < 3:
+        return len(w)
+    if w[1] not in _ES_V:
+        for i in range(2, len(w)):
+            if w[i] in _ES_V:
+                return i + 1
+        return len(w)
+    if w[0] in _ES_V and w[1] in _ES_V:
+        for i in range(2, len(w)):
+            if w[i] not in _ES_V:
+                return i + 1
+        return len(w)
+    return 3
+
+
+_ES_PRONOUNS = ("me", "se", "sela", "selo", "selas", "selos", "la",
+                "le", "lo", "las", "les", "los", "nos")
+_ES_STEP1_DEL_R2 = (
+    "anza", "anzas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+    "able", "ables", "ible", "ibles", "ista", "istas", "oso", "osa",
+    "osos", "osas", "amiento", "amientos", "imiento", "imientos",
+)
+_ES_STEP1_ADOR = ("adora", "ador", "ación", "adoras", "adores",
+                  "aciones", "ante", "antes", "ancia", "ancias")
+_ES_STEP2B_GU = ("en", "es", "éis", "emos")
+_ES_STEP2B = (
+    "arían", "arías", "arán", "arás", "aríais", "aría", "aréis",
+    "aríamos", "aremos", "ará", "aré", "erían", "erías", "erán",
+    "erás", "eríais", "ería", "eréis", "eríamos", "eremos", "erá",
+    "eré", "irían", "irías", "irán", "irás", "iríais", "iría",
+    "iréis", "iríamos", "iremos", "irá", "iré", "aba", "ada", "ida",
+    "ía", "ara", "iera", "ad", "ed", "id", "ase", "iese", "aste",
+    "iste", "an", "aban", "ían", "aran", "ieran", "asen", "iesen",
+    "aron", "ieron", "ado", "ido", "ando", "iendo", "ió", "ar", "er",
+    "ir", "as", "abas", "adas", "idas", "ías", "aras", "ieras",
+    "ases", "ieses", "ís", "áis", "abais", "íais", "arais", "ierais",
+    "aseis", "ieseis", "asteis", "isteis", "ados", "idos", "amos",
+    "ábamos", "íamos", "imos", "áramos", "iéramos", "iésemos",
+    "ásemos",
+)
+
+
+def stem_es(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    w = word
+    rv = _es_rv(w)
+    r1, r2 = _r1r2(w, _ES_V)
+
+    # Step 0: attached pronoun.
+    pron = _longest_in(w, _ES_PRONOUNS, rv)
+    if pron:
+        base = w[: -len(pron)]
+        g = _longest(base, ("iéndo", "ándo", "ár", "ér", "ír",
+                            "ando", "iendo", "ar", "er", "ir"))
+        if g and len(base) - len(g) >= rv:
+            if g in ("iéndo", "ándo", "ár", "ér", "ír"):
+                fix = {"iéndo": "iendo", "ándo": "ando", "ár": "ar",
+                       "ér": "er", "ír": "ir"}[g]
+                w = base[: -len(g)] + fix
+            else:
+                w = base
+        elif base.endswith("yendo") and "uyendo" in base[-6:]:
+            w = base
+
+    # Step 1: standard suffixes.
+    found = False
+    s1 = _longest(w, _ES_STEP1_DEL_R2 + _ES_STEP1_ADOR + (
+        "logía", "logías", "ución", "uciones", "encia", "encias",
+        "amente", "mente", "idad", "idades", "iva", "ivo", "ivas",
+        "ivos"))
+    if s1:
+        base = w[: -len(s1)]
+        if s1 in _ES_STEP1_DEL_R2:
+            if _in_r(w, s1, r2):
+                w, found = base, True
+        elif s1 in _ES_STEP1_ADOR:
+            if _in_r(w, s1, r2):
+                w, found = base, True
+                if w.endswith("ic") and _in_r(w, "ic", r2):
+                    w = w[:-2]
+        elif s1 in ("logía", "logías"):
+            if _in_r(w, s1, r2):
+                w, found = base + "log", True
+        elif s1 in ("ución", "uciones"):
+            if _in_r(w, s1, r2):
+                w, found = base + "u", True
+        elif s1 in ("encia", "encias"):
+            if _in_r(w, s1, r2):
+                w, found = base + "ente", True
+        elif s1 == "amente":
+            if _in_r(w, s1, r1):
+                w, found = base, True
+                if w.endswith("iv") and _in_r(w, "iv", r2):
+                    w = w[:-2]
+                    if w.endswith("at") and _in_r(w, "at", r2):
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if w.endswith(pre) and _in_r(w, pre, r2):
+                            w = w[:-2]
+                            break
+        elif s1 == "mente":
+            if _in_r(w, s1, r2):
+                w, found = base, True
+                for pre in ("ante", "able", "ible"):
+                    if w.endswith(pre) and _in_r(w, pre, r2):
+                        w = w[: -len(pre)]
+                        break
+        elif s1 in ("idad", "idades"):
+            if _in_r(w, s1, r2):
+                w, found = base, True
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and _in_r(w, pre, r2):
+                        w = w[: -len(pre)]
+                        break
+        elif s1 in ("iva", "ivo", "ivas", "ivos"):
+            if _in_r(w, s1, r2):
+                w, found = base, True
+                if w.endswith("at") and _in_r(w, "at", r2):
+                    w = w[:-2]
+
+    if not found:
+        # Step 2a: verb suffixes beginning y (preceded by u).
+        s2a = _longest_in(w, ("ya", "ye", "yan", "yen", "yeron",
+                              "yendo", "yo", "yó", "yas", "yes",
+                              "yais", "yamos"), rv)
+        if s2a and w[: -len(s2a)].endswith("u"):
+            w = w[: -len(s2a)]
+        else:
+            # Step 2b: other verb suffixes.
+            s2b = _longest_in(w, _ES_STEP2B_GU + _ES_STEP2B, rv)
+            if s2b in _ES_STEP2B_GU:
+                w = w[: -len(s2b)]
+                if w.endswith("gu"):
+                    w = w[:-1]
+            elif s2b:
+                w = w[: -len(s2b)]
+
+    # Step 3: residual suffix.
+    s3 = _longest_in(w, ("os", "a", "o", "á", "í", "ó", "e", "é"), rv)
+    if s3 in ("os", "a", "o", "á", "í", "ó"):
+        w = w[: -len(s3)]
+    elif s3 in ("e", "é"):
+        w = w[:-1]
+        if w.endswith("gu") and _in_r(w, "u", rv):
+            w = w[:-1]
+
+    for a, b in (("á", "a"), ("é", "e"), ("í", "i"), ("ó", "o"),
+                 ("ú", "u")):
+        w = w.replace(a, b)
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Italian
+
+_IT_V = "aeiouàèìòù"
+
+_IT_PRONOUNS = (
+    "ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti",
+    "vi", "sene", "gliela", "gliele", "glieli", "glielo", "gliene",
+    "mela", "mele", "meli", "melo", "mene", "tela", "tele", "teli",
+    "telo", "tene", "cela", "cele", "celi", "celo", "cene", "vela",
+    "vele", "veli", "velo", "vene",
+)
+_IT_STEP1_DEL_R2 = (
+    "anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi",
+    "ismo", "ismi", "abile", "abili", "ibile", "ibili", "ista",
+    "iste", "isti", "istà", "istè", "istì", "oso", "osi", "osa",
+    "ose", "mente", "atrice", "atrici", "ante", "anti",
+)
+_IT_STEP2 = (
+    "ammo", "ando", "ano", "are", "arono", "asse", "assero", "assi",
+    "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano",
+    "avate", "avi", "avo", "emmo", "enda", "ende", "endi", "endo",
+    "erà", "erai", "eranno", "ere", "erebbe", "erebbero", "erei",
+    "eremmo", "eremo", "ereste", "eresti", "erete", "erò", "erono",
+    "essero", "ete", "eva", "evamo", "evano", "evate", "evi", "evo",
+    "Yamo", "iamo", "immo", "irà", "irai", "iranno", "ire", "irebbe",
+    "irebbero", "irei", "iremmo", "iremo", "ireste", "iresti",
+    "irete", "irò", "irono", "isca", "iscano", "isce", "isci",
+    "isco", "iscono", "issero", "ita", "ite", "iti", "ito", "iva",
+    "ivamo", "ivano", "ivate", "ivi", "ivo", "ono", "uta", "ute",
+    "uti", "uto", "ar", "ir",
+)
+
+
+def stem_it(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    for a, b in (("á", "à"), ("é", "è"), ("í", "ì"), ("ó", "ò"),
+                 ("ú", "ù")):
+        word = word.replace(a, b)
+    chars = list(word)
+    n = len(chars)
+    for i in range(n):
+        c = chars[i]
+        prev_v = i > 0 and word[i - 1] in _IT_V
+        next_v = i + 1 < n and word[i + 1] in _IT_V
+        if c in "ui" and prev_v and next_v:
+            chars[i] = c.upper()
+        elif c == "u" and i > 0 and word[i - 1] == "q":
+            chars[i] = "U"
+    w = "".join(chars)
+    rv = _es_rv_generic(w, _IT_V)
+    r1, r2 = _r1r2(w, _IT_V)
+
+    # Step 0: attached pronoun.
+    pron = _longest_in(w, _IT_PRONOUNS, rv)
+    if pron:
+        base = w[: -len(pron)]
+        g = _longest(base, ("ando", "endo", "ar", "er", "ir"))
+        if g and len(base) - len(g) >= rv:
+            if g in ("ando", "endo"):
+                w = base
+            else:
+                w = base + "e"
+
+    found = False
+    s1 = _longest(w, _IT_STEP1_DEL_R2 + (
+        "azione", "azioni", "atore", "atori", "logia", "logie",
+        "uzione", "uzioni", "usione", "usioni", "enza", "enze",
+        "amento", "amenti", "imento", "imenti", "amente", "ità",
+        "ivo", "ivi", "iva", "ive"))
+    if s1:
+        base = w[: -len(s1)]
+        if s1 == "amente":
+            if _in_r(w, s1, r1):
+                w, found = base, True
+                if w.endswith("iv") and _in_r(w, "iv", r2):
+                    w = w[:-2]
+                    if w.endswith("at") and _in_r(w, "at", r2):
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic", "abil"):
+                        if w.endswith(pre) and _in_r(w, pre, r2):
+                            w = w[: -len(pre)]
+                            break
+        elif s1 in _IT_STEP1_DEL_R2:
+            if _in_r(w, s1, r2):
+                w, found = base, True
+        elif s1 in ("azione", "azioni", "atore", "atori"):
+            if _in_r(w, s1, r2):
+                w, found = base, True
+                if w.endswith("ic") and _in_r(w, "ic", r2):
+                    w = w[:-2]
+        elif s1 in ("logia", "logie"):
+            if _in_r(w, s1, r2):
+                w, found = base + "log", True
+        elif s1 in ("uzione", "uzioni", "usione", "usioni"):
+            if _in_r(w, s1, r2):
+                w, found = base + "u", True
+        elif s1 in ("enza", "enze"):
+            if _in_r(w, s1, r2):
+                w, found = base + "ente", True
+        elif s1 in ("amento", "amenti", "imento", "imenti"):
+            if _in_r(w, s1, rv):
+                w, found = base, True
+        elif s1 == "ità":
+            if _in_r(w, s1, r2):
+                w, found = base, True
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and _in_r(w, pre, r2):
+                        w = w[: -len(pre)]
+                        break
+        elif s1 in ("ivo", "ivi", "iva", "ive"):
+            if _in_r(w, s1, r2):
+                w, found = base, True
+                if w.endswith("at") and _in_r(w, "at", r2):
+                    w = w[:-2]
+                    if w.endswith("ic") and _in_r(w, "ic", r2):
+                        w = w[:-2]
+
+    if not found:
+        s2 = _longest_in(w, _IT_STEP2, rv)
+        if s2:
+            w = w[: -len(s2)]
+
+    # Step 3a: final vowel (and then a following i).
+    if w and w[-1] in "aeioàèìò" and _in_r(w, w[-1], rv):
+        w = w[:-1]
+        if w.endswith("i") and _in_r(w, "i", rv):
+            w = w[:-1]
+    # Step 3b.
+    if _in_r(w, "ch", rv) and w.endswith("ch"):
+        w = w[:-1]
+    elif _in_r(w, "gh", rv) and w.endswith("gh"):
+        w = w[:-1]
+
+    return w.replace("U", "u").replace("I", "i")
+
+
+def _es_rv_generic(w: str, vowels: str) -> int:
+    if len(w) < 3:
+        return len(w)
+    if w[1] not in vowels:
+        for i in range(2, len(w)):
+            if w[i] in vowels:
+                return i + 1
+        return len(w)
+    if w[0] in vowels and w[1] in vowels:
+        for i in range(2, len(w)):
+            if w[i] not in vowels:
+                return i + 1
+        return len(w)
+    return 3
+
+
+# ---------------------------------------------------------------------------
+# Portuguese
+
+_PT_V = "aeiouáéíóúâêô"
+
+_PT_STEP1_DEL_R2 = (
+    "eza", "ezas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+    "ável", "ível", "ista", "istas", "oso", "osa", "osos", "osas",
+    "amento", "amentos", "imento", "imentos",
+)
+_PT_STEP1_ADOR = ("adora", "ador", "aça~o", "adoras", "adores",
+                  "aço~es", "ante", "antes", "ância")
+_PT_STEP2 = (
+    "ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara", "erá",
+    "era", "irá", "ava", "asse", "esse", "isse", "aste", "este",
+    "iste", "ei", "arei", "erei", "irei", "am", "iam", "ariam",
+    "eriam", "iriam", "aram", "eram", "iram", "avam", "em", "arem",
+    "erem", "irem", "assem", "essem", "issem", "ado", "ido", "ando",
+    "endo", "indo", "ara~o", "era~o", "ira~o", "ar", "er", "ir",
+    "as", "adas", "idas", "ias", "arias", "erias", "irias", "arás",
+    "aras", "erás", "eras", "irás", "avas", "es", "ardes", "erdes",
+    "irdes", "ares", "eres", "ires", "asses", "esses", "isses",
+    "astes", "estes", "istes", "is", "ais", "eis", "íeis", "aríeis",
+    "eríeis", "iríeis", "áreis", "areis", "éreis", "ereis", "íreis",
+    "ireis", "ásseis", "ésseis", "ísseis", "áveis", "aveis", "ados",
+    "idos", "ámos", "amos", "íamos", "aríamos", "eríamos", "iríamos",
+    "áramos", "éramos", "íramos", "ávamos", "emos", "aremos",
+    "eremos", "iremos", "ássemos", "êssemos", "íssemos", "imos",
+    "armos", "ermos", "irmos", "eu", "iu", "ou", "ira", "iras",
+)
+
+
+def stem_pt(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    w = word.replace("ã", "a~").replace("õ", "o~")
+    rv = _es_rv_generic(w, _PT_V)
+    r1, r2 = _r1r2(w, _PT_V)
+
+    found = False
+    s1 = _longest(w, _PT_STEP1_DEL_R2 + _PT_STEP1_ADOR + (
+        "logia", "logias", "uça~o", "uço~es", "ência", "ências",
+        "amente", "mente", "idade", "idades", "iva", "ivo", "ivas",
+        "ivos", "ira", "iras"))
+    if s1:
+        base = w[: -len(s1)]
+        if s1 in _PT_STEP1_DEL_R2:
+            if _in_r(w, s1, r2):
+                w, found = base, True
+        elif s1 in _PT_STEP1_ADOR:
+            if _in_r(w, s1, r2):
+                w, found = base, True
+                if w.endswith("ic") and _in_r(w, "ic", r2):
+                    w = w[:-2]
+        elif s1 in ("logia", "logias"):
+            if _in_r(w, s1, r2):
+                w, found = base + "log", True
+        elif s1 in ("uça~o", "uço~es"):
+            if _in_r(w, s1, r2):
+                w, found = base + "u", True
+        elif s1 in ("ência", "ências"):
+            if _in_r(w, s1, r2):
+                w, found = base + "ente", True
+        elif s1 == "amente":
+            if _in_r(w, s1, r1):
+                w, found = base, True
+                if w.endswith("iv") and _in_r(w, "iv", r2):
+                    w = w[:-2]
+                    if w.endswith("at") and _in_r(w, "at", r2):
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if w.endswith(pre) and _in_r(w, pre, r2):
+                            w = w[:-2]
+                            break
+        elif s1 == "mente":
+            if _in_r(w, s1, r2):
+                w, found = base, True
+                for pre in ("ante", "avel", "ível"):
+                    if w.endswith(pre) and _in_r(w, pre, r2):
+                        w = w[: -len(pre)]
+                        break
+        elif s1 in ("idade", "idades"):
+            if _in_r(w, s1, r2):
+                w, found = base, True
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and _in_r(w, pre, r2):
+                        w = w[: -len(pre)]
+                        break
+        elif s1 in ("iva", "ivo", "ivas", "ivos"):
+            if _in_r(w, s1, r2):
+                w, found = base, True
+                if w.endswith("at") and _in_r(w, "at", r2):
+                    w = w[:-2]
+        elif s1 in ("ira", "iras"):
+            if _in_r(w, s1, rv) and base.endswith("e"):
+                w, found = base + "ir", True
+
+    if not found:
+        s2 = _longest_in(w, _PT_STEP2, rv)
+        if s2:
+            w = w[: -len(s2)]
+            found = True
+
+    if found:
+        # Step 3: delete i after c.
+        if w.endswith("i") and _in_r(w, "i", rv) and w[:-1].endswith("c"):
+            w = w[:-1]
+    else:
+        # Step 4: residual suffix.
+        s4 = _longest_in(w, ("os", "a", "i", "o", "á", "í", "ó"), rv)
+        if s4:
+            w = w[: -len(s4)]
+
+    # Step 5.
+    if w and w[-1] in "eéê" and _in_r(w, w[-1], rv):
+        w = w[:-1]
+        if w.endswith("gu") and _in_r(w, "u", rv):
+            w = w[:-1]
+        elif w.endswith("ci") and _in_r(w, "i", rv):
+            w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")
+
 # ---------------------------------------------------------------------------
 # Dispatch
 
@@ -398,11 +1173,17 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "nn": stem_no,
     "de": stem_de,
     "ru": stem_ru,
+    "nl": stem_nl,
+    "fr": stem_fr,
+    "es": stem_es,
+    "it": stem_it,
+    "pt": stem_pt,
 }
 
 _ALIASES = {
     "danish": "da", "swedish": "sv", "norwegian": "no", "german": "de",
-    "russian": "ru", "english": "en",
+    "russian": "ru", "english": "en", "dutch": "nl", "french": "fr",
+    "spanish": "es", "italian": "it", "portuguese": "pt",
 }
 
 

@@ -126,3 +126,80 @@ def test_russian_index_recall(tmp_path):
     assert 1 in dict(idx.search("книгами"))
     assert 2 not in dict(idx.search("книгами"))
     nxs.close()
+
+
+NL = [
+    ("lichamelijk", "licham"),
+    ("opgave", "opgav"),
+    ("gekken", "gek"),
+    ("huizen", "huiz"),
+    ("lichamen", "licham"),
+    ("beschikbaarheid", "beschik"),
+]
+
+FR = [
+    ("continuellement", "continuel"),
+    ("majestueusement", "majestu"),
+    ("nationale", "national"),
+    ("chevaux", "cheval"),
+    ("mangeaient", "mang"),
+    ("principalement", "principal"),
+]
+
+ES = [
+    ("nacionales", "nacional"),
+    ("comieron", "com"),
+    ("rápidamente", "rapid"),
+    ("felicidad", "felic"),
+    ("trabajando", "trabaj"),
+]
+
+IT = [
+    ("nazionali", "nazional"),
+    ("bellissima", "bellissim"),
+    ("felicità", "felic"),
+    ("mangiare", "mang"),
+]
+
+PT = [
+    ("nacionais", "nacion"),
+    ("rapidamente", "rapid"),
+    ("felicidade", "felic"),
+    ("trabalhando", "trabalh"),
+]
+
+
+@pytest.mark.parametrize("word,expected", NL)
+def test_dutch(word, expected):
+    assert sb.stem_nl(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", FR)
+def test_french(word, expected):
+    assert sb.stem_fr(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", ES)
+def test_spanish(word, expected):
+    assert sb.stem_es(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", IT)
+def test_italian(word, expected):
+    assert sb.stem_it(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", PT)
+def test_portuguese(word, expected):
+    assert sb.stem_pt(word) == expected
+
+
+def test_french_index_recall(tmp_path):
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("fr", Params({"lang": "fr"}))
+    idx.add(1, "les chevaux principalement nationaux")
+    idx.add(2, "tout autre sujet")
+    assert 1 in dict(idx.search("cheval"))
+    assert 1 in dict(idx.search("principal"))
+    assert 2 not in dict(idx.search("cheval"))
+    nxs.close()
