@@ -1184,7 +1184,23 @@ _ALIASES = {
     "danish": "da", "swedish": "sv", "norwegian": "no", "german": "de",
     "russian": "ru", "english": "en", "dutch": "nl", "french": "fr",
     "spanish": "es", "italian": "it", "portuguese": "pt",
+    "finnish": "fi", "hungarian": "hu", "romanian": "ro", "arabic": "ar",
 }
+
+# Languages the reference stems via libstemmer that have no hand-rolled
+# implementation above; covered through NLTK's faithful Python ports of
+# the same published Snowball algorithms (nltk.stem.snowball).
+_NLTK_LANGS = {
+    "fi": "finnish", "hu": "hungarian", "ro": "romanian", "ar": "arabic",
+}
+
+
+def _nltk_stemmer(nltk_name: str) -> Optional[Callable[[str], str]]:
+    try:
+        from nltk.stem.snowball import SnowballStemmer
+    except Exception:  # pragma: no cover - nltk is baked into the image
+        return None
+    return SnowballStemmer(nltk_name).stem
 
 
 def get_stemmer(lang: str) -> Optional[Callable[[str], str]]:
@@ -1193,6 +1209,8 @@ def get_stemmer(lang: str) -> Optional[Callable[[str], str]]:
     lang = (lang or "").lower()
     lang = _ALIASES.get(lang, lang)
     fn = _STEMMERS.get(lang)
+    if fn is None and lang in _NLTK_LANGS:
+        fn = _nltk_stemmer(_NLTK_LANGS[lang])
     if fn is None:
         return None
     # Tokens repeat heavily within and across documents: memoize.

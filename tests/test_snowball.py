@@ -203,3 +203,32 @@ def test_french_index_recall(tmp_path):
     assert 1 in dict(idx.search("principal"))
     assert 2 not in dict(idx.search("cheval"))
     nxs.close()
+
+
+# Languages without a hand-rolled implementation are covered through
+# NLTK's ports of the published Snowball algorithms (same algorithms
+# libstemmer compiles; filters_builtin.c:206-245 accepts any of them).
+NLTK_BACKED = [
+    ("fi", "edeltäjistään", "edeltäj"),
+    ("fi", "kirjojen", "kirj"),
+    ("hu", "babáknak", "baba"),
+    ("ro", "abilitate", "abil"),
+    ("ar", "الكلاب", "كلاب"),
+]
+
+
+@pytest.mark.parametrize("lang,word,expected", NLTK_BACKED)
+def test_nltk_backed_languages(lang, word, expected):
+    fn = sb.get_stemmer(lang)
+    assert fn is not None
+    assert fn(word) == expected
+
+
+def test_finnish_index_recall(tmp_path):
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("fi", Params({"lang": "fi"}))
+    idx.add(1, "suomen kirjojen historia")
+    idx.add(2, "jotain aivan muuta")
+    assert 1 in dict(idx.search("kirja"))
+    assert 2 not in dict(idx.search("kirja"))
+    nxs.close()
