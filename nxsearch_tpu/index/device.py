@@ -31,6 +31,7 @@ Device arrays (strings and the term dictionary never leave the host):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -129,6 +130,14 @@ class DeviceIndex:
     # of one dispatch chunk; LRU beyond that).
     BOUNDS_CACHE_ROWS = 8192
 
+    # Guard padding past the CSR postings so the sliced executor's
+    # per-term dynamic slices (length <= SLICE_MAX_T, contiguous HBM
+    # reads) never clamp their start offset: XLA clamps out-of-range
+    # dynamic_slice starts, which would silently shift the fetched
+    # window.  Terms with base df > SLICE_MAX_T take the dense-row or
+    # blockdense path instead.
+    SLICE_MAX_T = 1 << 20
+
     def __init__(self, host: HostIndex, device: Optional[jax.Device] = None):
         self.host = host
         self.device = device
@@ -145,8 +154,10 @@ class DeviceIndex:
         # Device arrays.
         self.postings_slot = None
         self.postings_ltf = None
+        self.postings_pack = None   # f32[P_pad + guard, 2]: (ltf, dl)
         self.doc_len = None
         self.alive_mask = None
+        self._alive_all = True      # no dead slot in the base snapshot
         # Block-max pruning metadata (ops/executor._blockdense_pruned_core):
         # per-(term, slot-block) contribution maxima (see
         # block_bounds_metadata).  The BM25 bound is valid while the
@@ -191,6 +202,12 @@ class DeviceIndex:
         return int(self.host.term_df.a[term_id - 1])
 
     @property
+    def alive_all(self) -> bool:
+        """True when no base-snapshot document is tombstoned: the
+        executors may skip per-candidate alive masking entirely."""
+        return self._alive_all
+
+    @property
     def adl(self) -> float:
         """Average document length with the reference's integer
         division (ranking.c:160: unsigned long / unsigned long)."""
@@ -221,6 +238,7 @@ class DeviceIndex:
         if n_newly_dead:
             self._alive_cached &= host_alive[: self._slots_mark]
             self._removed_since_base += n_newly_dead
+            self._alive_all = False
             self.alive_mask = self._put(
                 _pack_alive(self._alive_cached[self.slot_perm],
                             self.n_slots))
@@ -277,9 +295,15 @@ class DeviceIndex:
         adl_build = (snap["token_count"] // snap["doc_count"]) \
             if snap["doc_count"] else 1.0
         self.adl_cap = float(max(adl_build, 1.0)) * 1.25
-        bmax_ltf, bmax_bm25 = block_bounds_metadata(
-            snap["term_starts"], slot[:n_post], ltf,
-            dlen, s_pad, p_pad, self.adl_cap)
+        if os.environ.get("NXS_ENABLE_PRUNED"):
+            bmax_ltf, bmax_bm25 = block_bounds_metadata(
+                snap["term_starts"], slot[:n_post], ltf,
+                dlen, s_pad, p_pad, self.adl_cap)
+        else:
+            # The block-max pruned executor is experimental (gated off
+            # in the router); skip its per-posting metadata -- 2x f32
+            # the postings size in HBM and a host reduceat per rebuild.
+            bmax_ltf = bmax_bm25 = None
 
         # Dense rows for the heaviest terms (device-slot indexed).
         term_df_base = counts  # base postings per term (live rows)
@@ -298,11 +322,30 @@ class DeviceIndex:
 
         self.postings_slot = self._put(slot)
         self.postings_ltf = self._put(ltf)
+        # Interleaved (slot, ltf, dl) rows for the sliced executor: ONE
+        # contiguous per-term dynamic slice fetches everything a
+        # posting contributes (random gathers measured ~50 ns/element
+        # on v5e vs sequential DMA at HBM bandwidth).  Slots ride as
+        # f32 by value -- exact below 2**24, which the router gates on.
+        # Guard rows past p_pad keep dynamic_slice starts from
+        # clamping (which would silently shift the fetched window);
+        # their slot is the n_slots sentinel so clamped-tail lanes
+        # could never alias a real document even if unmasked.
+        guard = min(self.SLICE_MAX_T,
+                    max(int(counts.max()) if len(counts) else 0, 1))
+        pack = np.zeros((p_pad + guard, 3), dtype=np.float32)
+        pack[:p_pad, 0] = slot
+        pack[p_pad:, 0] = float(s_pad)
+        pack[:p_pad, 1] = ltf
+        pack[:n_post, 2] = dlen[slot[:n_post]]
+        self.postings_pack = self._put(pack)
         self.doc_len = self._put(dlen)
-        self.bmax_ltf = self._put(bmax_ltf)
-        self.bmax_bm25 = self._put(bmax_bm25)
+        self.bmax_ltf = self._put(bmax_ltf) if bmax_ltf is not None else None
+        self.bmax_bm25 = (self._put(bmax_bm25)
+                          if bmax_bm25 is not None else None)
         self.slot_perm = perm
         self._alive_cached = snap["doc_alive"].copy()
+        self._alive_all = bool(self._alive_cached.all())
         self.alive_mask = self._put(
             _pack_alive(self._alive_cached[perm], s_pad))
         self.n_slots = s_pad

@@ -102,6 +102,210 @@ def candidate_topk(
     return top_scores, agg_slot[idx]
 
 
+def _sliced_fetch(postings_pack, q_start, *, T: int):
+    """Per-(query, term) contiguous windows of the interleaved
+    (slot, ltf, dl) postings rows: [N, Qs] starts -> [N, Qs, T, 3].
+
+    Contiguity is the whole point: each window is ONE sequential HBM
+    read (lowered as a gather with slice_sizes=(T, 3)), where the
+    random per-posting gathers of the sort-based candidate path
+    measured ~50 ns/element on v5e -- the dominant cost of that
+    executor.  Guard rows in the pack (index/device.py) guarantee the
+    slice start is never clamped.
+    """
+    def one(s):
+        return lax.dynamic_slice(postings_pack, (s, 0), (T, 3))
+    return jax.vmap(jax.vmap(one))(q_start)
+
+
+def sliced_topk(
+    postings_pack,   # f32[P_pad + guard, 3]: (slot, ltf, dl) rows
+    alive_mask,      # uint32[S_pad/32]
+    doc_len,         # f32[S_pad] (hybrid dense-row scoring only)
+    q_start,         # int32[N, Qs]: CSR starts of the sliced terms
+    q_len,           # int32[N, Qs]
+    q_idf,           # float32[N, Qs]
+    adl,             # f32 scalar
+    prog_ops,        # int32[N, L]
+    prog_args,       # int32[N, L]
+    dense_rows=None,  # f32[H, S_pad]: heavy-term ltf rows
+    d_row=None,       # int32[N, D]: dense_rows row index, -1 pad
+    d_idf=None,       # float32[N, D]: idf of each dense term
+    *, T: int, k: int, algo: int, n_slots: int, use_mask: bool,
+    single: bool, alive_all: bool, use_rows: bool, depth: int = 8,
+):
+    """Sliced exact top-k: contiguous per-term fetch, one variadic
+    sort, segmented-scan aggregation.  The accelerator fast path for
+    selective queries (and, with ``use_rows``, the pure-OR hybrid for
+    queries that include dense-row head terms).
+
+    Exactness notes:
+    - Per-document sums use a segmented associative scan, so f32
+      addition happens only *within* a document's run -- matching the
+      scatter-add executors (a global prefix-sum difference trick
+      loses ~4e-4 to cancellation; measured on v5e).
+    - Presence bits aggregate by summation, which equals OR because a
+      (term, slot) pair occurs at most once in the CSR.
+    - The hybrid's merge is a scatter-max: a candidate document's
+      total (all its matching terms, dense included) dominates its
+      dense-row partial sum because contributions are non-negative,
+      and documents matched ONLY by dense-row terms are exact in the
+      dense sweep.  NOT/AND semantics cannot be evaluated on partial
+      bits, so the router keeps masked queries with dense terms on
+      the blockdense path.
+
+    Returns packed f32[N, 2, k']: scores and slot indexes by value
+    (exact: the router gates on n_slots < 2**24).
+    """
+    assert not (use_rows and use_mask), \
+        "hybrid dense-row path is pure-OR only (router invariant)"
+    n_batch, n_terms = q_start.shape
+    win = _sliced_fetch(postings_pack, q_start, T=T)   # [N, Qs, T, 3]
+    slot_f = win[..., 0]
+    ltf = win[..., 1]
+    dl = win[..., 2]
+    pos = jnp.arange(T, dtype=jnp.int32)[None, None, :]
+    valid = pos < q_len[:, :, None]
+    idf = q_idf[:, :, None]
+    if algo == ALGO_BM25:
+        contrib = bm25(ltf, dl, idf, adl)
+    else:
+        contrib = tf_idf(ltf, idf)
+    if not alive_all:
+        slot_i = slot_f.astype(jnp.int32)
+        word = jnp.minimum(slot_i >> 5, alive_mask.shape[0] - 1)
+        alive = ((alive_mask[word] >> (slot_i & 31).astype(jnp.uint32)) & 1
+                 ).astype(jnp.bool_)
+        valid_score = valid & alive
+    else:
+        valid_score = valid
+    contrib = jnp.where(valid_score, contrib, 0.0)
+
+    dsum = None
+    if use_rows:
+        # Dense-row sweep: per-slot exact sums of the heavy terms'
+        # contributions -- pure elementwise over [N, S] (rows are ltf
+        # by device slot; doc_len is slot-indexed too).
+        from .scoring import BM25_B, BM25_K1
+        c1 = jnp.float32(BM25_K1 * (1.0 - BM25_B))
+        c2 = (jnp.float32(BM25_K1 * BM25_B)
+              / jnp.maximum(adl, 1e-9)).astype(jnp.float32)
+        dsum = jnp.zeros((n_batch, n_slots), jnp.float32)
+        for j in range(d_row.shape[1]):
+            row = jnp.take(dense_rows, jnp.maximum(d_row[:, j], 0),
+                           axis=0)                      # [N, S]
+            if algo == ALGO_BM25:
+                part = row / (row + c1 + c2 * doc_len[None, :])
+            else:
+                part = row
+            part = part * d_idf[:, j: j + 1]
+            dsum = dsum + jnp.where((d_row[:, j] >= 0)[:, None], part, 0.0)
+        if not alive_all:
+            from .pallas.segsum import alive_factors
+            dsum = dsum * alive_factors(alive_mask)[None, :]
+
+    if single and not use_mask and not use_rows:
+        c = contrib[:, 0, :]
+        scores, ix = lax.top_k(c, min(k, T))
+        slots = jnp.take_along_axis(slot_f[:, 0, :], ix, axis=1)
+        slots = jnp.where(scores > 0.0, slots, 0.0)
+        return jnp.stack([scores, slots], axis=1)
+
+    flat = n_terms * T
+    key = jnp.where(valid, slot_f, jnp.float32(jnp.inf)).reshape(
+        n_batch, flat)
+    contrib_f = contrib.reshape(n_batch, flat)
+    if use_mask:
+        bit = (jnp.uint32(1) << jnp.minimum(
+            jnp.arange(n_terms, dtype=jnp.int32), 31
+        ).astype(jnp.uint32))[None, :, None]
+        bits = jnp.where(valid, bit, jnp.uint32(0)).reshape(n_batch, flat)
+        key_s, contrib_s, bits_s = lax.sort(
+            (key, contrib_f, bits), dimension=1, num_keys=1)
+    else:
+        key_s, contrib_s = lax.sort(
+            (key, contrib_f), dimension=1, num_keys=1)
+        bits_s = None
+
+    diff = key_s[:, 1:] != key_s[:, :-1]
+    ones = jnp.ones((n_batch, 1), jnp.bool_)
+    last = jnp.concatenate([diff, ones], axis=1)
+
+    # Within-segment aggregation by shifted passes: a document's run
+    # in the sorted plane is at most n_terms long (each term holds one
+    # posting per doc), so summing neighbors at offsets 1..n_terms-1
+    # whose key matches is an exact segment sum -- pure contiguous
+    # shift/compare/add, no scans, no strided relayouts.  (An
+    # associative_scan formulation compiled to stride-2 recursions
+    # that were pathologically slow to build at large widths.)
+    run = contrib_s
+    run_bits = bits_s
+    zf = jnp.zeros((n_batch, 1), jnp.float32)
+    zb = jnp.zeros((n_batch, 1), jnp.uint32) if use_mask else None
+    zk = jnp.full((n_batch, 1), jnp.float32(-jnp.inf))
+    for off in range(1, n_terms):
+        if off >= flat:
+            break
+        key_prev = jnp.concatenate(
+            [jnp.broadcast_to(zk, (n_batch, off)), key_s[:, :-off]], axis=1)
+        eq = key_prev == key_s
+        c_prev = jnp.concatenate(
+            [jnp.broadcast_to(zf, (n_batch, off)), contrib_s[:, :-off]],
+            axis=1)
+        run = run + jnp.where(eq, c_prev, 0.0)
+        if use_mask:
+            b_prev = jnp.concatenate(
+                [jnp.broadcast_to(zb, (n_batch, off)), bits_s[:, :-off]],
+                axis=1)
+            run_bits = run_bits | jnp.where(eq, b_prev, jnp.uint32(0))
+    if use_mask:
+        keep = jax.vmap(
+            lambda b, po, pa: eval_program_bits(b, po, pa, depth=depth)
+        )(run_bits, prog_ops, prog_args)
+    else:
+        keep = True
+
+    is_doc = last & jnp.isfinite(key_s)
+    segsum = jnp.where(is_doc & keep, run, 0.0)
+
+    if use_rows:
+        # Candidate totals must include the dense terms' contributions
+        # for their documents; then the dense sweep keeps the larger of
+        # (full candidate total, dense-only partial) per slot and the
+        # top-k runs over the merged [N, S] plane.
+        slot_idx = jnp.where(is_doc, key_s, jnp.float32(n_slots)
+                             ).astype(jnp.int32)
+        dense_at = jnp.take_along_axis(
+            dsum, jnp.minimum(slot_idx, n_slots - 1), axis=1)
+        cand_final = jnp.where(segsum > 0.0, segsum + dense_at, 0.0)
+        merged = dsum.at[jnp.arange(n_batch)[:, None], slot_idx].max(
+            cand_final, mode="drop")
+        scores, slots_i = lax.top_k(merged, min(k, n_slots))
+        slots = jnp.where(scores > 0.0, slots_i.astype(jnp.float32), 0.0)
+        return jnp.stack([scores, slots], axis=1)
+
+    scores, ix = lax.top_k(segsum, min(k, flat))
+    slots = jnp.take_along_axis(key_s, ix, axis=1)
+    slots = jnp.where(scores > 0.0, slots, 0.0)
+    return jnp.stack([scores, slots], axis=1)
+
+
+device_search_sliced_batch = functools.partial(
+    jax.jit,
+    static_argnames=("T", "k", "algo", "n_slots", "use_mask", "single",
+                     "alive_all", "use_rows", "depth"),
+)(sliced_topk)
+
+
+def unpack_sliced(packed):
+    """Host-side split of the packed [N, 2, k] sliced result into
+    (scores f32[N, k], slots i32[N, k]) numpy arrays."""
+    import numpy as np
+
+    arr = np.asarray(packed)
+    return arr[:, 0, :], arr[:, 1, :].astype(np.int32)
+
+
 def blockdense_topk(
     postings_slot, postings_ltf, doc_len, alive_mask,
     q_start,    # int32[N, Q]

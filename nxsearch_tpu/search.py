@@ -127,10 +127,19 @@ class _Plan:
     use_dense: bool
     budget: int
     depth: int
-    # Dense-row tier entries (blockdense only): query row + device
-    # row of up to _MAX_DENSE_PER_QUERY heavy terms; -1 padded.
+    # Dense-row tier entries (blockdense/sliced-hybrid): query row +
+    # device row of up to _MAX_DENSE_PER_QUERY heavy terms; -1 padded.
     d_qpos: np.ndarray = None  # int32[_MAX_DENSE_PER_QUERY]
     d_row: np.ndarray = None
+    d_idf: np.ndarray = None   # float32[_MAX_DENSE_PER_QUERY]
+    # Sliced-executor inputs: the non-dense (CSR) terms' ranges,
+    # compacted and padded to a power-of-two width, plus the per-term
+    # slice length bucket (>= the widest CSR term's df).
+    sl_start: np.ndarray = None  # int32[Qs_pad]
+    sl_len: np.ndarray = None
+    sl_idf: np.ndarray = None
+    sl_T: int = 0
+    single: bool = False        # exactly one term, pure-OR
 
     @property
     def use_rows(self) -> bool:
@@ -230,13 +239,40 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
                 d_row[j] = h
                 j += 1
 
+    # Sliced-executor inputs: non-dense terms compacted in token order
+    # (for masked queries no term is dense-handled on the sliced path,
+    # so column index == token row == presence-bit index).
+    d_idf = np.zeros(_MAX_DENSE_PER_QUERY, dtype=np.float32)
+    for j in range(_MAX_DENSE_PER_QUERY):
+        if d_qpos[j] >= 0:
+            d_idf[j] = q_idf[d_qpos[j]]
+    dense_set = {int(x) for x in d_qpos if x >= 0}
+    csr_cols = [i for i in range(n_tok) if i not in dense_set]
+    qs_pad = 1
+    while qs_pad < max(len(csr_cols), 1):
+        qs_pad <<= 1
+    sl_start = np.zeros(qs_pad, dtype=np.int32)
+    sl_len = np.zeros(qs_pad, dtype=np.int32)
+    sl_idf = np.zeros(qs_pad, dtype=np.float32)
+    if not sharded:
+        for col, i in enumerate(csr_cols):
+            sl_start[col] = q_start[i]
+            sl_len[col] = q_len[i]
+            sl_idf[col] = q_idf[i]
+    sl_T = 512
+    while sl_T < (int(sl_len.max()) if len(sl_len) else 0):
+        sl_T <<= 1
+
     return _Plan(q_start=q_start, q_len=q_len, q_idf=q_idf,
                  term_ids=np.asarray([t.term_id for t in tokens],
                                      dtype=np.int64),
                  prog_ops=prog_ops, prog_args=prog_args,
                  use_mask=use_mask, use_dense=use_dense,
                  budget=budget, depth=depth,
-                 d_qpos=d_qpos, d_row=d_row)
+                 d_qpos=d_qpos, d_row=d_row, d_idf=d_idf,
+                 sl_start=sl_start, sl_len=sl_len, sl_idf=sl_idf,
+                 sl_T=sl_T,
+                 single=(n_tok == 1 and not use_mask))
 
 
 def _eval_program_np(present: np.ndarray, prog_ops: np.ndarray,
@@ -318,6 +354,28 @@ def _delta_results(dev, plan: _Plan, sp: SearchParams):
 def _on_accelerator() -> bool:
     import jax
     return jax.devices()[0].platform != "cpu"
+
+
+def _use_sliced(plan: _Plan, sharded: bool, dev) -> bool:
+    """The sliced executor is the exact fast path for selective
+    queries: contiguous per-term postings windows (no random gathers),
+    one variadic sort, segmented-scan aggregation (ops/executor.py
+    sliced_topk).  With dense-row terms it becomes the pure-OR hybrid
+    (candidate plane scatter-max-merged into the dense-row sweep).
+
+    Exclusions: sharded indexes (per-shard port pending), slot counts
+    that overflow exact f32 packing, terms wider than the slice guard,
+    masked queries with dense-handled terms (partial presence bits
+    cannot evaluate NOT/AND), and very wide queries.
+    """
+    if sharded or getattr(dev, "postings_pack", None) is None:
+        return False
+    from .index.device import DeviceIndex
+    return (dev.n_slots < (1 << 24)
+            and plan.sl_T <= DeviceIndex.SLICE_MAX_T
+            and len(plan.sl_start) <= 64
+            and not (plan.use_mask and plan.use_rows)
+            and (not plan.use_mask or plan.q_start.shape[-1] <= 32))
 
 
 def _use_blockdense(plan: _Plan, sharded: bool, n_slots: int) -> bool:
@@ -456,6 +514,24 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
         # Pruning could not certify the top-k: full sweep below.
         _count("pruned_fallback")
 
+    if _use_sliced(plan, sharded, dev):
+        from .ops.executor import device_search_sliced_batch, unpack_sliced
+        packed = device_search_sliced_batch(
+            dev.postings_pack, dev.alive_mask, dev.doc_len,
+            jnp.asarray(plan.sl_start[None]), jnp.asarray(plan.sl_len[None]),
+            jnp.asarray(plan.sl_idf[None]), jnp.float32(dev.adl),
+            jnp.asarray(prog_ops[None]), jnp.asarray(prog_args[None]),
+            dev.dense_rows, jnp.asarray(plan.d_row[None]),
+            jnp.asarray(plan.d_idf[None]),
+            T=plan.sl_T, k=k, algo=sp.algo, n_slots=dev.n_slots,
+            use_mask=use_mask, single=plan.single,
+            alive_all=dev.alive_all, use_rows=plan.use_rows, depth=depth,
+        )
+        scores, slots = unpack_sliced(packed)
+        _count("sliced")
+        return _to_response(dev, scores[0], slots[0], sp.limit,
+                            delta=_delta_results(dev, plan, sp))
+
     if _use_blockdense(plan, sharded, dev.n_slots):
         from .ops.executor import (device_search_blockdense_cached,
                                    unpack_blockdense)
@@ -534,7 +610,11 @@ def execute_query_batch(dev, queries: list[Query],
     for i, plan in enumerate(plans):
         if plan is None:
             continue
-        if _use_blockdense(plan, sharded_flag, dev.n_slots):
+        if _use_sliced(plan, sharded_flag, dev):
+            key = ("sl", len(plan.sl_start), plan.sl_T,
+                   len(plan.prog_ops) if plan.use_mask else 0,
+                   plan.use_mask, plan.depth, plan.single, plan.use_rows)
+        elif _use_blockdense(plan, sharded_flag, dev.n_slots):
             # The block kernel's signature has no postings budget:
             # every budget tier shares one executable per shape.
             key = ("bd", plan.q_start.shape[-1], len(plan.prog_ops),
@@ -550,7 +630,14 @@ def execute_query_batch(dev, queries: list[Query],
     _BD_ELEMS_CAP = 1 << 28   # dense f32+u32 workspace ~2 GB
     chunked: list[tuple[tuple, list[int]]] = []
     for key, members in groups.items():
-        if key[0] == "bd":
+        if key[0] == "sl":
+            p = plans[members[0]]
+            elems = max(len(p.sl_start) * p.sl_T, 1)
+            max_n = max(1, _ELEMS_CAP // elems)
+            if p.use_rows:
+                max_n = min(max_n,
+                            max(1, _BD_ELEMS_CAP // max(dev.n_slots, 1)))
+        elif key[0] == "bd":
             max_n = max(1, _BD_ELEMS_CAP // max(dev.n_slots, 1))
         else:
             max_n = max(1, _ELEMS_CAP // max(plans[members[0]].budget, 1))
@@ -564,6 +651,46 @@ def execute_query_batch(dev, queries: list[Query],
     pending = []
     for key, members in chunked:
         sample = plans[members[0]]
+        if key[0] == "sl":
+            from .ops.executor import device_search_sliced_batch
+            n = len(members)
+            n_pad = _bucket(n, 8)
+            qs_pad = len(sample.sl_start)
+            prog_len = len(sample.prog_ops)
+            sl_start = np.zeros((n_pad, qs_pad), dtype=np.int32)
+            sl_len = np.zeros((n_pad, qs_pad), dtype=np.int32)
+            sl_idf = np.zeros((n_pad, qs_pad), dtype=np.float32)
+            prog_ops = np.zeros((n_pad, prog_len), dtype=np.int32)
+            prog_args = np.zeros((n_pad, prog_len), dtype=np.int32)
+            d_row = np.full((n_pad, _MAX_DENSE_PER_QUERY), -1,
+                            dtype=np.int32)
+            d_idf = np.zeros((n_pad, _MAX_DENSE_PER_QUERY),
+                             dtype=np.float32)
+            for row, i in enumerate(members):
+                p = plans[i]
+                sl_start[row] = p.sl_start
+                sl_len[row] = p.sl_len
+                sl_idf[row] = p.sl_idf
+                if p.use_mask:
+                    prog_ops[row] = p.prog_ops
+                    prog_args[row] = p.prog_args
+                if p.d_row is not None:
+                    d_row[row] = p.d_row
+                    d_idf[row] = p.d_idf
+            packed = device_search_sliced_batch(
+                dev.postings_pack, dev.alive_mask, dev.doc_len,
+                jnp.asarray(sl_start), jnp.asarray(sl_len),
+                jnp.asarray(sl_idf), jnp.float32(dev.adl),
+                jnp.asarray(prog_ops), jnp.asarray(prog_args),
+                dev.dense_rows, jnp.asarray(d_row), jnp.asarray(d_idf),
+                T=sample.sl_T, k=k, algo=sp.algo, n_slots=dev.n_slots,
+                use_mask=sample.use_mask, single=sample.single,
+                alive_all=dev.alive_all, use_rows=sample.use_rows,
+                depth=sample.depth,
+            )
+            _count("sliced", n)
+            pending.append((members, packed, None, "sliced"))
+            continue
         if _use_blockdense(sample, sharded, dev.n_slots):
             from .ops.executor import (device_search_blockdense_batch,
                                        device_search_pruned_batch)
@@ -727,6 +854,9 @@ def execute_query_batch(dev, queries: list[Query],
                 slots[sel] = f_slots[: len(failed)]
         elif tag == "packed":
             scores, slots = unpack_blockdense(scores)
+        elif tag == "sliced":
+            from .ops.executor import unpack_sliced
+            scores, slots = unpack_sliced(scores)
         else:
             scores = np.asarray(scores)
             slots = np.asarray(slots)

@@ -1,0 +1,151 @@
+"""Sliced-executor parity: routed results vs the candidate core.
+
+The sliced executor (ops/executor.py sliced_topk) is the fast path
+for selective queries: contiguous per-term postings windows instead
+of random gathers, one variadic sort, segmented-scan aggregation, and
+(for pure-OR queries with dense-row head terms) a scatter-max hybrid
+with the dense-row sweep.  Results must match the sort/scatter
+candidate executor document-for-document and score-for-score.
+"""
+
+import numpy as np
+import pytest
+
+from nxsearch_tpu import Nxs, Params
+from nxsearch_tpu.index.device import DeviceIndex
+
+
+def _rand_corpus(rng, n_docs, vocab, mean_len):
+    words = [f"t{i:03d}" for i in range(vocab)]
+    probs = 1.0 / (np.arange(vocab) + 3.0)
+    probs /= probs.sum()
+    docs = []
+    for i in range(n_docs):
+        n = max(3, int(rng.poisson(mean_len)))
+        docs.append((i + 1, " ".join(rng.choice(words, size=n, p=probs))))
+    return docs, words
+
+
+def _reference_scores(idx, query, sp):
+    """Force the non-sliced executors and return {doc: score}."""
+    import nxsearch_tpu.search as S
+
+    saved_sl = S._use_sliced
+    saved_bd = S._use_blockdense
+    S._use_sliced = lambda p, s, d: False
+    S._use_blockdense = lambda p, s, n: False
+    try:
+        return dict(idx.search(query, sp))
+    finally:
+        S._use_sliced = saved_sl
+        S._use_blockdense = saved_bd
+
+
+QUERIES = [
+    "t000",                       # head term (dense-row at low DIV)
+    "t042",
+    "t001 t017 t033",
+    "t000 t050 t090",             # head + tail mix (hybrid path)
+    "t003 AND t011",
+    "t004 AND NOT t001",
+    "(t002 OR t013) AND NOT t005",
+    "t000 AND t029",              # masked + would-be-dense term
+    "t077 t078 t079 t080 t081 t082 t083 t084 t085",  # > 8 terms
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_index(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    docs, _ = _rand_corpus(rng, 400, 100, 30)
+    base = tmp_path_factory.mktemp("sliced")
+    nxs = Nxs(str(base))
+    idx = nxs.index_create("c")
+    idx.add_many(docs)
+    yield idx
+    nxs.close()
+
+
+@pytest.mark.parametrize("algo", ["BM25", "TF-IDF"])
+@pytest.mark.parametrize("query", QUERIES)
+def test_sliced_matches_candidate(corpus_index, query, algo):
+    sp = Params().set_uint("limit", 25).set_str("algo", algo)
+    got = dict(corpus_index.search(query, sp))
+    want = _reference_scores(corpus_index, query, sp)
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert got[d] == pytest.approx(s, abs=1e-4), (query, d)
+
+
+def test_sliced_with_dense_rows(tmp_path):
+    """Low DENSE_DF_DIV forces head terms into dense rows so pure-OR
+    queries exercise the hybrid scatter-max merge."""
+    saved = DeviceIndex.DENSE_DF_DIV
+    DeviceIndex.DENSE_DF_DIV = 4
+    try:
+        rng = np.random.default_rng(11)
+        docs, _ = _rand_corpus(rng, 500, 60, 25)
+        nxs = Nxs(str(tmp_path))
+        idx = nxs.index_create("h")
+        idx.add_many(docs)
+        assert idx.dev is None or True
+        sp = Params().set_uint("limit", 30)
+        for query in ["t000", "t000 t001 t040", "t002 t003",
+                      "t000 t001 t002 t003 t050"]:
+            got = dict(idx.search(query, sp))
+            assert idx.dev.dense_row_of, "expected dense rows at DIV=4"
+            want = _reference_scores(idx, query, sp)
+            assert set(got) == set(want), query
+            for d, s in want.items():
+                assert got[d] == pytest.approx(s, abs=1e-4), (query, d)
+        nxs.close()
+    finally:
+        DeviceIndex.DENSE_DF_DIV = saved
+
+
+def test_sliced_after_removals(tmp_path):
+    """Removals flip the alive bitmap (alive_all False): the sliced
+    path must mask dead documents in both planes."""
+    rng = np.random.default_rng(3)
+    docs, _ = _rand_corpus(rng, 300, 50, 20)
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("r")
+    idx.add_many(docs)
+    idx.search("t001")  # build the base snapshot
+    for doc_id in range(2, 300, 7):
+        idx.remove(doc_id)
+    sp = Params().set_uint("limit", 50)
+    for query in ["t000 t004", "t001 AND t002", "t005 AND NOT t001"]:
+        got = dict(idx.search(query, sp))
+        removed = set(range(2, 300, 7))
+        assert not (set(got) & removed), query
+        want = _reference_scores(idx, query, sp)
+        assert set(got) == set(want), query
+        for d, s in want.items():
+            assert got[d] == pytest.approx(s, abs=1e-4), (query, d)
+    nxs.close()
+
+
+def test_sliced_batched_matches_sequential(corpus_index):
+    sp = Params().set_uint("limit", 10)
+    seq = [dict(corpus_index.search(q, sp)) for q in QUERIES]
+    batched = corpus_index.search_many(QUERIES, sp)
+    for q, s, b in zip(QUERIES, seq, batched):
+        got = dict(b)
+        assert set(got) == set(s), q
+        for d, v in s.items():
+            assert got[d] == pytest.approx(v, abs=1e-5), (q, d)
+
+
+def test_sliced_delta_merge(tmp_path):
+    """Post-snapshot documents (host delta) merge with sliced device
+    results exactly like the other executors."""
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("d")
+    idx.add_many([(i + 1, f"alpha beta w{i % 7}") for i in range(64)])
+    idx.search("alpha")  # snapshot
+    idx.add(1000, "alpha gamma")
+    idx.add(1001, "gamma delta")
+    got = dict(idx.search("alpha gamma", Params().set_uint("limit", 100)))
+    assert 1000 in got and 1001 in got and 1 in got
+    nxs.close()
