@@ -29,6 +29,9 @@ from ..params import Params
 from . import porter2
 from .normalize import normalize_token
 
+# Distinguishes "memoized as discarded (None)" from "not memoized".
+_MEMO_MISS = object()
+
 
 @dataclass
 class FilterOps:
@@ -89,6 +92,14 @@ class FilterPipeline:
             self.close()
             raise
         self.native = self._make_native(params)
+        # Token -> result memo for builtin-only chains (normalizer /
+        # stopwords / stemmer are pure functions of the token value).
+        # Query terms and corpus words repeat heavily; user plugin
+        # filters may be stateful, so chains containing them are never
+        # memoized.
+        builtin = {"normalizer", "stopwords", "stemmer"}
+        self._memo: dict[str, Optional[str]] | None = \
+            {} if set(self.names) <= builtin else None
 
     def _make_native(self, params: Params):
         """Native fast path when the chain is a subsequence of the
@@ -131,6 +142,17 @@ class FilterPipeline:
         Returns the final token value, or None if any filter discarded
         it.  An empty result at any stage is a discard (filters.c:208).
         """
+        memo = self._memo
+        if memo is not None:
+            hit = memo.get(value, _MEMO_MISS)
+            if hit is not _MEMO_MISS:
+                return hit
+        result = self._run_uncached(value)
+        if memo is not None and len(memo) < (1 << 17):
+            memo[value] = result
+        return result
+
+    def _run_uncached(self, value: str) -> Optional[str]:
         if self.native is not None:
             result = self.native.filter_token(value)
             if result is not NotImplemented:
