@@ -1,13 +1,18 @@
 """Benchmark driver: BM25 top-10 search QPS on a synthetic corpus.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is value / 10_000 QPS -- the north-star target from
-BASELINE.md (the reference publishes no numbers of its own; its only
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"detail"}.  ``vs_baseline`` is value / 10_000 QPS -- the north-star
+target from BASELINE.md (>= 10k QPS / p50 < 2 ms on an 8.8M-doc
+corpus; the reference publishes no numbers of its own -- its only
 timing machinery is src/utils/benchmark.c's wall-clock printer).
 
-The corpus is synthetic Zipf-distributed text (deterministic seed) so
-the benchmark is self-contained; queries mix common and rare terms,
-limit 10, BM25 -- the north-star serving shape.
+The default corpus is the 1M-doc / 200k-vocab tier (the largest that
+builds in a few minutes; --docs 8800000 --vocab 1000000 --mean-len 60
+runs the MS MARCO-shaped north-star tier).  Synthetic Zipf text with
+a deterministic seed keeps the benchmark self-contained; queries mix
+common and rare terms (damped-Zipf term draw), limit 10, BM25 -- the
+serving shape.  ``detail`` carries batched QPS, sequential p50/p99
+latency, and the corpus parameters.
 
 Usage: python bench.py [--docs N] [--queries N] [--verbose]
 """
@@ -78,8 +83,8 @@ def make_queries(n_queries: int, words, probs, rng):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=20_000)
-    ap.add_argument("--vocab", type=int, default=20_000)
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--vocab", type=int, default=200_000)
     ap.add_argument("--mean-len", type=int, default=40)
     ap.add_argument("--queries", type=int, default=2048)
     ap.add_argument("--batch", type=int, default=2048)
@@ -159,14 +164,18 @@ def main() -> None:
         log(f"batched ({args.batch}/call): {args.queries} queries in "
             f"{elapsed:.2f}s -> {qps:.0f} QPS")
 
-        n_seq = min(100, len(queries))
-        t0 = time.perf_counter()
+        n_seq = min(64, len(queries))
+        lat = []
         for q in queries[:n_seq]:
+            t0 = time.perf_counter()
             idx.search(q, sp)
-        seq_elapsed = time.perf_counter() - t0
-        log(f"sequential: {n_seq} queries in {seq_elapsed:.2f}s -> "
-            f"{n_seq / seq_elapsed:.0f} QPS, "
-            f"avg {1e3 * seq_elapsed / n_seq:.2f} ms/query")
+            lat.append(time.perf_counter() - t0)
+        lat_ms = np.sort(np.asarray(lat)) * 1e3
+        p50 = float(lat_ms[int(0.50 * (n_seq - 1))])
+        p99 = float(lat_ms[int(0.99 * (n_seq - 1))])
+        log(f"sequential: {n_seq} queries, p50 {p50:.1f} ms, "
+            f"p99 {p99:.1f} ms (single-query latency is tunnel-RTT "
+            f"bound in this environment)")
         from nxsearch_tpu.search import EXEC_STATS
         log(f"exec stats: {EXEC_STATS}")
         nxs.close()
@@ -176,6 +185,15 @@ def main() -> None:
         "value": round(qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(qps / 10_000.0, 4),
+        "detail": {
+            "docs": args.docs,
+            "vocab": args.vocab,
+            "mean_len": args.mean_len,
+            "batch": args.batch,
+            "batched_qps": round(qps, 1),
+            "seq_p50_ms": round(p50, 2),
+            "seq_p99_ms": round(p99, 2),
+        },
     }))
 
 

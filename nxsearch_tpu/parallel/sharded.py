@@ -43,7 +43,8 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.hostindex import HostIndex
-from ..ops.executor import blockdense_topk, candidate_topk, dense_topk
+from ..ops.executor import (blockdense_topk, candidate_topk, dense_topk,
+                            sliced_topk)
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
@@ -51,6 +52,77 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     """A 1-D mesh over the available devices."""
     devices = list(devices) if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis,))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "T", "k", "algo", "use_mask", "single",
+                     "alive_all", "depth"),
+)
+def sharded_search_sliced_batch(
+    postings_pack: jax.Array,   # f32[n_dev, Ps_pad+guard, 3]
+    alive_mask: jax.Array,      # uint32[n_dev, Ss/32]
+    doc_len: jax.Array,         # f32[n_dev, Ss]
+    q_start: jax.Array,         # int32[n_dev, N, Qs] per-shard starts
+    q_len: jax.Array,           # int32[n_dev, N, Qs]
+    q_idf: jax.Array,           # float32[N, Qs] (replicated)
+    adl: jax.Array,             # float32 scalar (replicated)
+    prog_ops: jax.Array,        # int32[N, L] (replicated)
+    prog_args: jax.Array,
+    *,
+    mesh: Mesh,
+    T: int,
+    k: int,
+    algo: int,
+    use_mask: bool,
+    single: bool,
+    alive_all: bool,
+    depth: int = 8,
+):
+    """Batched doc-sharded search through the sliced executor: the
+    shard-local body is ops/executor.sliced_topk (contiguous per-term
+    windows, variadic sort, shifted-pass aggregation), the cross-chip
+    traffic is one all_gather of n_dev * k candidates over ICI.
+    Returns replicated (scores f32[N, k'], global slots i32[N, k'])."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    slots_per_shard = doc_len.shape[1]
+    k_local = min(k, q_start.shape[2] * T)
+    k_final = min(k, n_dev * k_local)
+
+    def shard_body(pack, am, dlen, qs, qlen, qidf, adl_s, pops, pargs):
+        packed = sliced_topk(
+            pack[0], am[0], dlen[0], qs[0], qlen[0], qidf, adl_s,
+            pops, pargs, None, None, None,
+            T=T, k=k_local, algo=algo, n_slots=slots_per_shard,
+            use_mask=use_mask, single=single, alive_all=alive_all,
+            use_rows=False, depth=depth)
+        local_scores = packed[:, 0, :]
+        local_slots = (packed[:, 1, :].astype(jnp.int32)
+                       + lax.axis_index(axis) * slots_per_shard)
+        # Dead local results (score 0) must not alias a real global
+        # slot after the offset shift; score filtering downstream
+        # handles them, matching the other executors.
+        all_scores = lax.all_gather(local_scores, axis, axis=1)
+        all_slots = lax.all_gather(local_slots, axis, axis=1)
+        n = all_scores.shape[0]
+        all_scores = all_scores.reshape(n, -1)
+        all_slots = all_slots.reshape(n, -1)
+        m_scores, m_idx = lax.top_k(all_scores, k_final)
+        return m_scores, jnp.take_along_axis(all_slots, m_idx, axis=1)
+
+    sharded = P(mesh.axis_names[0], None)
+    sharded3 = P(mesh.axis_names[0], None, None)
+    repl = P()
+    return jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(sharded3, sharded, sharded, sharded3, sharded3,
+                  repl, repl, repl, repl),
+        out_specs=(repl, repl),
+        check_vma=False,
+    )(postings_pack, alive_mask, doc_len, q_start, q_len,
+      q_idf, adl, prog_ops, prog_args)
 
 
 def _bucket(n: int, minimum: int) -> int:
@@ -215,8 +287,10 @@ class ShardedDeviceIndex:
         self.base_nterms = 0
         self.postings_slot = None   # [n_dev, Ps_pad] device
         self.postings_ltf = None
+        self.postings_pack = None   # [n_dev, Ps_pad+guard, 3] device
         self.doc_len = None         # [n_dev, Ss] device
         self.alive_mask = None      # [n_dev, Ss/32] device
+        self._alive_all = True
         self.shard_starts = None    # host int64[n_dev, T+1]
         self._arrival_mark = 0      # host postings consumed into base
         self._slots_mark = 0        # host slot count at base build
@@ -269,9 +343,15 @@ class ShardedDeviceIndex:
         if n_newly_dead:
             self._alive_cached &= host_alive[: self._slots_mark]
             self._removed_since_base += n_newly_dead
+            self._alive_all = False
             self.alive_mask = self._put_sharded(self._packed_alive())
         self.generation = host.generation
         return n_newly_dead > 0
+
+    @property
+    def alive_all(self) -> bool:
+        """True when no base-snapshot document is tombstoned."""
+        return self._alive_all
 
     def _packed_alive(self) -> np.ndarray:
         padded = np.zeros(self.n_slots, dtype=np.bool_)
@@ -323,10 +403,26 @@ class ShardedDeviceIndex:
         flat = dlen.reshape(-1)
         flat[:n_live] = snap["doc_len"]  # slots are contiguous per shard
 
+        # Interleaved (slot, ltf, dl) rows for the sliced executor
+        # (same layout as index.device.DeviceIndex.postings_pack, per
+        # shard); guard rows keep dynamic_slice starts from clamping.
+        from ..index.device import DeviceIndex
+        guard = min(DeviceIndex.SLICE_MAX_T,
+                    max(int(per.max()) if per.size else 0, 1))
+        pack = np.zeros((self.n_dev, ps_pad + guard, 3), dtype=np.float32)
+        for d in range(self.n_dev):
+            n_d = int(sizes[d])
+            pack[d, :n_d, 0] = pslot[d, :n_d]
+            pack[d, n_d:, 0] = float(ss)
+            pack[d, :n_d, 1] = pltf[d, :n_d]
+            pack[d, :n_d, 2] = dlen[d, pslot[d, :n_d]]
+        self.postings_pack = self._put_sharded(pack)
+
         self.postings_slot = self._put_sharded(pslot)
         self.postings_ltf = self._put_sharded(pltf)
         self.doc_len = self._put_sharded(dlen)
         self._alive_cached = snap["doc_alive"].copy()
+        self._alive_all = bool(self._alive_cached.all())
         self.alive_mask = self._put_sharded(self._packed_alive())
         self._arrival_mark = self.host.p_term.n
         self._slots_mark = self.host.doc_ids.n

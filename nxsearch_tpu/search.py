@@ -251,16 +251,15 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
     qs_pad = 1
     while qs_pad < max(len(csr_cols), 1):
         qs_pad <<= 1
-    sl_start = np.zeros(qs_pad, dtype=np.int32)
-    sl_len = np.zeros(qs_pad, dtype=np.int32)
+    sl_start = np.zeros(lead + (qs_pad,), dtype=np.int32)
+    sl_len = np.zeros(lead + (qs_pad,), dtype=np.int32)
     sl_idf = np.zeros(qs_pad, dtype=np.float32)
-    if not sharded:
-        for col, i in enumerate(csr_cols):
-            sl_start[col] = q_start[i]
-            sl_len[col] = q_len[i]
-            sl_idf[col] = q_idf[i]
+    for col, i in enumerate(csr_cols):
+        sl_start[..., col] = q_start[..., i]
+        sl_len[..., col] = q_len[..., i]
+        sl_idf[col] = q_idf[i]
     sl_T = 512
-    while sl_T < (int(sl_len.max()) if len(sl_len) else 0):
+    while sl_T < int(sl_len.max() if sl_len.size else 0):
         sl_T <<= 1
 
     return _Plan(q_start=q_start, q_len=q_len, q_idf=q_idf,
@@ -442,6 +441,18 @@ def _kernel_crows(dev, plan: _Plan,
     return q_crow
 
 
+def _sharded_sliced(plan: _Plan, dev) -> bool:
+    """Run the sliced executor inside the shard_map body (the fast
+    path per shard; same exclusions as _use_sliced, per-shard slot
+    counts, no dense rows on the sharded index)."""
+    from .index.device import DeviceIndex
+    return (getattr(dev, "postings_pack", None) is not None
+            and dev.slots_per_shard < (1 << 24)
+            and plan.sl_T <= DeviceIndex.SLICE_MAX_T
+            and plan.sl_start.shape[-1] <= 64
+            and (not plan.use_mask or plan.q_start.shape[-1] <= 32))
+
+
 def _sharded_kernel(plan: _Plan, dev) -> bool:
     """Run the blockdense kernel inside the shard_map body: the fast
     path per shard on accelerators (same gating as _use_blockdense,
@@ -551,6 +562,23 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
         return _to_response(dev, scores[0], slots[0], sp.limit,
                             delta=_delta_results(dev, plan, sp))
 
+    if sharded and _sharded_sliced(plan, dev):
+        from .parallel.sharded import sharded_search_sliced_batch
+        scores, slots = sharded_search_sliced_batch(
+            dev.postings_pack, dev.alive_mask, dev.doc_len,
+            jnp.asarray(plan.sl_start[:, None, :]),
+            jnp.asarray(plan.sl_len[:, None, :]),
+            jnp.asarray(plan.sl_idf[None]), jnp.float32(dev.adl),
+            jnp.asarray(prog_ops[None]), jnp.asarray(prog_args[None]),
+            mesh=dev.mesh, T=plan.sl_T, k=k, algo=sp.algo,
+            use_mask=use_mask, single=plan.single,
+            alive_all=dev.alive_all, depth=depth,
+        )
+        _count("sharded_sliced")
+        return _to_response(dev, np.asarray(scores)[0],
+                            np.asarray(slots)[0], sp.limit,
+                            delta=_delta_results(dev, plan, sp))
+
     if sharded:
         from .parallel.sharded import sharded_search  # local: lazy import
         scores, slots = sharded_search(
@@ -614,6 +642,10 @@ def execute_query_batch(dev, queries: list[Query],
             key = ("sl", len(plan.sl_start), plan.sl_T,
                    len(plan.prog_ops) if plan.use_mask else 0,
                    plan.use_mask, plan.depth, plan.single, plan.use_rows)
+        elif sharded_flag and _sharded_sliced(plan, dev):
+            key = ("ssl", plan.sl_start.shape[-1], plan.sl_T,
+                   len(plan.prog_ops) if plan.use_mask else 0,
+                   plan.use_mask, plan.depth, plan.single)
         elif _use_blockdense(plan, sharded_flag, dev.n_slots):
             # The block kernel's signature has no postings budget:
             # every budget tier shares one executable per shape.
@@ -630,7 +662,11 @@ def execute_query_batch(dev, queries: list[Query],
     _BD_ELEMS_CAP = 1 << 28   # dense f32+u32 workspace ~2 GB
     chunked: list[tuple[tuple, list[int]]] = []
     for key, members in groups.items():
-        if key[0] == "sl":
+        if key[0] == "ssl":
+            p = plans[members[0]]
+            elems = max(p.sl_start.shape[-1] * p.sl_T, 1)
+            max_n = max(1, _ELEMS_CAP // elems)
+        elif key[0] == "sl":
             p = plans[members[0]]
             elems = max(len(p.sl_start) * p.sl_T, 1)
             max_n = max(1, _ELEMS_CAP // elems)
@@ -651,6 +687,38 @@ def execute_query_batch(dev, queries: list[Query],
     pending = []
     for key, members in chunked:
         sample = plans[members[0]]
+        if key[0] == "ssl":
+            from .parallel.sharded import sharded_search_sliced_batch
+            n = len(members)
+            n_pad = _bucket(n, 8)
+            qs_pad = sample.sl_start.shape[-1]
+            prog_len = len(sample.prog_ops)
+            n_dev = dev.n_dev
+            sl_start = np.zeros((n_dev, n_pad, qs_pad), dtype=np.int32)
+            sl_len = np.zeros((n_dev, n_pad, qs_pad), dtype=np.int32)
+            sl_idf = np.zeros((n_pad, qs_pad), dtype=np.float32)
+            prog_ops = np.zeros((n_pad, prog_len), dtype=np.int32)
+            prog_args = np.zeros((n_pad, prog_len), dtype=np.int32)
+            for row, i in enumerate(members):
+                p = plans[i]
+                sl_start[:, row] = p.sl_start
+                sl_len[:, row] = p.sl_len
+                sl_idf[row] = p.sl_idf
+                if p.use_mask:
+                    prog_ops[row] = p.prog_ops
+                    prog_args[row] = p.prog_args
+            scores, slots = sharded_search_sliced_batch(
+                dev.postings_pack, dev.alive_mask, dev.doc_len,
+                jnp.asarray(sl_start), jnp.asarray(sl_len),
+                jnp.asarray(sl_idf), jnp.float32(dev.adl),
+                jnp.asarray(prog_ops), jnp.asarray(prog_args),
+                mesh=dev.mesh, T=sample.sl_T, k=k, algo=sp.algo,
+                use_mask=sample.use_mask, single=sample.single,
+                alive_all=dev.alive_all, depth=sample.depth,
+            )
+            _count("sharded_sliced", n)
+            pending.append((members, scores, slots, None))
+            continue
         if key[0] == "sl":
             from .ops.executor import device_search_sliced_batch
             n = len(members)
