@@ -48,6 +48,22 @@ def _bucket(n: int, minimum: int) -> int:
     return size
 
 
+# Above this size, padded array growth switches from powers of two
+# (whose worst case doubles HBM -- fatal at hundreds of millions of
+# postings) to 1 MiB-element granularity: <= ~6% waste, and slot
+# counts stay multiples of the 1024-slot kernel block.
+_POW2_LIMIT = 1 << 24
+
+
+def _pad_size(n: int, minimum: int) -> int:
+    """Padded allocation size: power-of-two up to _POW2_LIMIT, then
+    the next multiple of 2**20."""
+    if n <= _POW2_LIMIT:
+        return _bucket(n, minimum)
+    grain = 1 << 20
+    return -(-n // grain) * grain
+
+
 def _pack_alive(alive: np.ndarray, s_pad: int) -> np.ndarray:
     """bool[n] -> little-bit-order uint32[s_pad/32] bitmap."""
     padded = np.zeros(s_pad, dtype=np.bool_)
@@ -122,13 +138,20 @@ class DeviceIndex:
     DELTA_MAX_REMOVALS = 65536
 
     # Dense-row tier: terms with base df > n_slots // DENSE_DF_DIV
-    # (capped at MAX_DENSE_ROWS, highest-df first).
+    # (capped at MAX_DENSE_ROWS and DENSE_ROWS_MAX_BYTES of HBM,
+    # highest-df first).
     DENSE_DF_DIV = 16
     MAX_DENSE_ROWS = 128
+    DENSE_ROWS_MAX_BYTES = 1536 << 20
 
     # Per-term bounds-cache rows (must exceed the unique kernel terms
     # of one dispatch chunk; LRU beyond that).
     BOUNDS_CACHE_ROWS = 8192
+
+    # Legacy slot/ltf device columns upload eagerly up to this many
+    # padded postings (512 MB); beyond it they upload on first use by
+    # a fallback executor (lazy, see postings_slot/postings_ltf).
+    _EAGER_POSTINGS = 1 << 26
 
     # Guard padding past the CSR postings so the sliced executor's
     # per-term dynamic slices (length <= SLICE_MAX_T, contiguous HBM
@@ -151,10 +174,17 @@ class DeviceIndex:
         self._slots_mark = 0        # host slot count at base build
         self._alive_cached = np.zeros(0, dtype=np.bool_)
         self._removed_since_base = 0
-        # Device arrays.
-        self.postings_slot = None
-        self.postings_ltf = None
-        self.postings_pack = None   # f32[P_pad + guard, 2]: (ltf, dl)
+        # Device arrays.  postings_pack is the primary postings store
+        # (the sliced executor reads only it); the legacy slot/ltf
+        # columns upload lazily above _EAGER_POSTINGS -- at hundreds of
+        # millions of postings they would double HBM for fallback paths
+        # (blockdense/candidate/dense) that large-corpus query mixes
+        # rarely touch.
+        self._slot_dev = None
+        self._ltf_dev = None
+        self._slot_host = None
+        self._ltf_host = None
+        self.postings_pack = None   # f32[P_pad + guard, 3]: (slot, ltf, dl)
         self.doc_len = None
         self.alive_mask = None
         self._alive_all = True      # no dead slot in the base snapshot
@@ -202,6 +232,20 @@ class DeviceIndex:
         return int(self.host.term_df.a[term_id - 1])
 
     @property
+    def postings_slot(self):
+        """int32[P_pad] device column (lazy above _EAGER_POSTINGS)."""
+        if self._slot_dev is None and self._slot_host is not None:
+            self._slot_dev = self._put(self._slot_host)
+        return self._slot_dev
+
+    @property
+    def postings_ltf(self):
+        """float32[P_pad] device column (lazy above _EAGER_POSTINGS)."""
+        if self._ltf_dev is None and self._ltf_host is not None:
+            self._ltf_dev = self._put(self._ltf_host)
+        return self._ltf_dev
+
+    @property
     def alive_all(self) -> bool:
         """True when no base-snapshot document is tombstoned: the
         executors may skip per-candidate alive masking entirely."""
@@ -223,7 +267,7 @@ class DeviceIndex:
         if self.generation == self.host.generation:
             return False
         host = self.host
-        if self.postings_slot is None:
+        if self.postings_pack is None:
             return self._full_rebuild()
 
         delta_postings = host.p_term.n - self._arrival_mark
@@ -256,8 +300,8 @@ class DeviceIndex:
 
         n_slots_host = len(snap["doc_ids"])
         n_post = len(snap["postings_slot"])
-        s_pad = _bucket(n_slots_host, self._MIN_SLOTS)
-        p_pad = _bucket(n_post, self._MIN_POSTINGS)
+        s_pad = _pad_size(n_slots_host, self._MIN_SLOTS)
+        p_pad = _pad_size(n_post, self._MIN_POSTINGS)
 
         # Device slots are assigned by ASCENDING doc length, not host
         # arrival order.  BM25's dominant static score factor is dl,
@@ -308,9 +352,11 @@ class DeviceIndex:
         # Dense rows for the heaviest terms (device-slot indexed).
         term_df_base = counts  # base postings per term (live rows)
         heavy = np.nonzero(term_df_base > s_pad // self.DENSE_DF_DIV)[0]
-        if len(heavy) > self.MAX_DENSE_ROWS:
+        row_cap = min(self.MAX_DENSE_ROWS,
+                      max(int(self.DENSE_ROWS_MAX_BYTES // (4 * s_pad)), 1))
+        if len(heavy) > row_cap:
             heavy = heavy[np.argsort(-term_df_base[heavy], kind="stable")
-                          [: self.MAX_DENSE_ROWS]]
+                          [: row_cap]]
         self.dense_row_of = {int(t) + 1: i for i, t in enumerate(heavy)}
         n_rows = max(len(heavy), 1)
         rows = np.zeros((n_rows, s_pad), dtype=np.float32)
@@ -320,8 +366,14 @@ class DeviceIndex:
             rows[i, slot[lo:hi]] = ltf[lo:hi]
         self.dense_rows = self._put(rows)
 
-        self.postings_slot = self._put(slot)
-        self.postings_ltf = self._put(ltf)
+        self._slot_host = slot
+        self._ltf_host = ltf
+        if p_pad <= self._EAGER_POSTINGS:
+            self._slot_dev = self._put(slot)
+            self._ltf_dev = self._put(ltf)
+        else:
+            self._slot_dev = None
+            self._ltf_dev = None
         # Interleaved (slot, ltf, dl) rows for the sliced executor: ONE
         # contiguous per-term dynamic slice fetches everything a
         # posting contributes (random gathers measured ~50 ns/element
