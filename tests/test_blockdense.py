@@ -18,6 +18,14 @@ from nxsearch_tpu.ops.executor import (device_search,
                                        device_search_blockdense)
 
 
+# Real kernels on accelerators, interpret mode on CPU: the on-TPU test
+# lane (tools/tpu_tests.sh) re-runs these against actual Mosaic
+# lowering and hardware numerics (denormal flushes etc.).
+import jax as _jax
+
+INTERPRET = _jax.devices()[0].platform == "cpu"
+
+
 def make_index(rng, n_slots=2048, n_terms=6):
     lens = [rng.randint(0, 900) for _ in range(n_terms)]
     pos = 0
@@ -81,7 +89,7 @@ def test_blockdense_matches_candidate(algo, prog_i):
         ps, pf, dlen, amask, qs, ql, qi, adl,
         jnp.asarray(ops), jnp.asarray(args),
         k=64, algo=algo, n_slots=2048, use_mask=use_mask, depth=4,
-        interpret=True)
+        interpret=INTERPRET)
 
     ref = {int(s): float(v) for v, s in
            zip(np.asarray(ref_scores), np.asarray(ref_slots)) if v > 0}
@@ -116,7 +124,7 @@ def test_blockdense_wide_query_groups():
         ps, pf, dlen, amask, jnp.asarray(qs), jnp.asarray(ql),
         jnp.asarray(qi), adl, jnp.asarray(ops), jnp.asarray(args),
         k=32, algo=0, n_slots=2048, use_mask=False, depth=4,
-        interpret=True)
+        interpret=INTERPRET)
     ref = {int(s): float(v) for v, s in
            zip(np.asarray(ref_scores), np.asarray(ref_slots)) if v > 0}
     got = {int(s): float(v) for v, s in
@@ -153,13 +161,13 @@ def test_dense_rows_match_kernel(algo, use_mask):
         ps, pf, dlen, amask, qs, ql, qi, adl,
         jnp.asarray(ops), jnp.asarray(args),
         k=64, algo=algo, n_slots=n_slots, use_mask=use_mask, depth=4,
-        interpret=True)
+        interpret=INTERPRET)
     got_s, got_sl = device_search_blockdense(
         ps, pf, dlen, amask, qs, ql, qi, adl,
         jnp.asarray(ops), jnp.asarray(args),
         jnp.asarray(rows), jnp.asarray(d_qpos), jnp.asarray(d_row),
         k=64, algo=algo, n_slots=n_slots, use_mask=use_mask, depth=4,
-        interpret=True, use_rows=True)
+        interpret=INTERPRET, use_rows=True)
     ref = {int(s): float(v) for v, s in
            zip(np.asarray(ref_s), np.asarray(ref_sl)) if v > 0}
     got = {int(s): float(v) for v, s in
@@ -191,7 +199,7 @@ def test_cached_bounds_matches_ranges():
         ps, pf, dlen, amask, qs, ql, qi, adl,
         jnp.asarray(ops), jnp.asarray(args),
         k=64, algo=0, n_slots=n_slots, use_mask=False, depth=4,
-        interpret=True)
+        interpret=INTERPRET)
 
     # Build a little bounds cache: row 0 zero, rows 1..4 per term.
     cache = np.zeros((8, n_blocks + 1), np.int32)
@@ -208,7 +216,7 @@ def test_cached_bounds_matches_ranges():
         jnp.zeros((1, n_slots), jnp.float32),
         jnp.asarray(d_qpos[None]), jnp.asarray(d_row[None]),
         k=64, algo=0, n_slots=n_slots, use_mask=False, depth=4,
-        interpret=True)
+        interpret=INTERPRET)
     got_s, got_sl = unpack_blockdense(packed)
     ref = {int(s): float(v) for v, s in
            zip(np.asarray(ref_s), np.asarray(ref_sl)) if v > 0}

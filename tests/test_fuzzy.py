@@ -20,6 +20,14 @@ from nxsearch_tpu.ops.levenshtein import (MAX_TERM_BYTES, fuzzy_best,
                                           myers_distances)
 
 
+# Real kernels on accelerators, interpret mode on CPU: the on-TPU test
+# lane (tools/tpu_tests.sh) re-runs these against actual Mosaic
+# lowering and hardware numerics (denormal flushes etc.).
+import jax as _jax
+
+INTERPRET = _jax.devices()[0].platform == "cpu"
+
+
 def pack_vocab(words):
     vb = np.zeros((len(words), MAX_TERM_BYTES), dtype=np.uint8)
     vl = np.zeros(len(words), dtype=np.int32)
@@ -134,7 +142,7 @@ def test_pallas_kernel_matches_jnp():
             jnp.asarray(vl[None, :]),
             jnp.asarray(qb.astype(np.int32)[None, :]),
             jnp.asarray([[len(e)]], np.int32),
-            interpret=True))[0]
+            interpret=INTERPRET))[0]
         assert np.array_equal(ref, out), q
 
 

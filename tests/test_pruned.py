@@ -25,6 +25,14 @@ from nxsearch_tpu.ops.executor import (device_search_blockdense,
                                        unpack_pruned)
 from nxsearch_tpu.ops.pallas.segsum import BLOCK_SLOTS
 
+# Real kernels on accelerators, interpret mode on CPU: the on-TPU test
+# lane (tools/tpu_tests.sh) re-runs these against actual Mosaic
+# lowering and hardware numerics (denormal flushes etc.).
+import jax as _jax
+
+INTERPRET = _jax.devices()[0].platform == "cpu"
+
+
 ADL = 30.0
 ADL_CAP = ADL * 1.25
 
@@ -98,7 +106,7 @@ def run_both(ix, *, n_sel, k=32, algo=0, use_mask=False, prog=None):
         jnp.asarray(ix["qi"][None]), adl,
         jnp.asarray(ops[None]), jnp.asarray(args[None]),
         k=k, algo=algo, n_slots=ix["n_slots"], n_sel=n_sel,
-        use_mask=use_mask, depth=4, interpret=True)
+        use_mask=use_mask, depth=4, interpret=INTERPRET)
     p_scores, p_slots, exact = unpack_pruned(packed)
     f_scores, f_slots = device_search_blockdense(
         ix["ps"], ix["ltf"], ix["dlen"], ix["amask"],
@@ -106,7 +114,7 @@ def run_both(ix, *, n_sel, k=32, algo=0, use_mask=False, prog=None):
         jnp.asarray(ix["qi"]), adl,
         jnp.asarray(ops), jnp.asarray(args),
         k=k, algo=algo, n_slots=ix["n_slots"], use_mask=use_mask,
-        depth=4, interpret=True)
+        depth=4, interpret=INTERPRET)
     return ((p_scores[0], p_slots[0], bool(exact[0])),
             (np.asarray(f_scores), np.asarray(f_slots)))
 

@@ -11,6 +11,14 @@ import pytest
 from nxsearch_tpu import Nxs, Params
 from nxsearch_tpu.parallel import make_mesh
 
+# Real kernels on accelerators, interpret mode on CPU: the on-TPU test
+# lane (tools/tpu_tests.sh) re-runs these against actual Mosaic
+# lowering and hardware numerics (denormal flushes etc.).
+import jax as _jax
+
+INTERPRET = _jax.devices()[0].platform == "cpu"
+
+
 DOCS = [
     (1, "The quick brown fox jumped over the lazy dog"),
     (2, "Once upon a time there were three little foxes"),
@@ -158,7 +166,7 @@ def test_sharded_kernel_body_matches_candidate(corpora):
               use_mask=plan.use_mask, depth=plan.depth)
     ref_s, ref_sl = sharded_search_batch(*args, **kw)
     got_s, got_sl = sharded_search_batch(*args, use_kernel=True,
-                                         interpret=True, **kw)
+                                         interpret=INTERPRET, **kw)
     ref = {int(s): float(v) for v, s in
            zip(np.asarray(ref_s[0]), np.asarray(ref_sl[0])) if v > 0}
     got = {int(s): float(v) for v, s in
