@@ -460,3 +460,19 @@ class ShardedDeviceIndex:
         return (host.p_term.a[mark: host.p_term.n],
                 host.p_count.a[mark: host.p_count.n],
                 host.p_slot.a[mark: host.p_slot.n])
+
+    def delta_lookup(self, term_id: int):
+        """(counts, slots) of one term's delta postings via a
+        term-sorted index (same contract as DeviceIndex.delta_lookup)."""
+        mark = self._arrival_mark
+        n = self.host.p_term.n
+        if getattr(self, "_dx_key", None) != (mark, n):
+            d_term, d_count, d_slot = self.delta_postings()
+            order = np.argsort(d_term, kind="stable")
+            self._dx_terms = d_term[order]
+            self._dx_count = d_count[order]
+            self._dx_slot = d_slot[order]
+            self._dx_key = (mark, n)
+        lo = np.searchsorted(self._dx_terms, term_id, side="left")
+        hi = np.searchsorted(self._dx_terms, term_id, side="right")
+        return self._dx_count[lo:hi], self._dx_slot[lo:hi]

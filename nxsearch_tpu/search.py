@@ -314,7 +314,6 @@ def _delta_results(dev, plan: _Plan, sp: SearchParams):
     n_new = host.doc_ids.n - slot0
     if n_new <= 0:
         return None
-    d_term, d_count, d_slot = dev.delta_postings()
 
     n_tok = len(plan.term_ids)
     acc = np.zeros(n_new, dtype=np.float32)
@@ -322,14 +321,16 @@ def _delta_results(dev, plan: _Plan, sp: SearchParams):
         else None
     adl = np.float32(dev.adl)
     for i, term_id in enumerate(plan.term_ids):
-        m = d_term == term_id
-        if not m.any():
+        # Term-sorted delta index: O(log delta + matches) per term
+        # instead of a full boolean scan of the delta per (query, term).
+        t_count, t_slot = dev.delta_lookup(int(term_id))
+        if not len(t_count):
             continue
-        rows = (d_slot[m].astype(np.int64) - slot0)
-        ltf = np.log(d_count[m].astype(np.float64) + 1.0).astype(np.float32)
+        rows = t_slot.astype(np.int64) - slot0
+        ltf = np.log(t_count.astype(np.float64) + 1.0).astype(np.float32)
         idf = np.float32(plan.q_idf[i])
         if sp.algo == ALGO_BM25:
-            dl = host.doc_len.a[d_slot[m]].astype(np.float32)
+            dl = host.doc_len.a[t_slot].astype(np.float32)
             denom = ltf + np.float32(BM25_K1) * (
                 np.float32(1.0 - BM25_B) + np.float32(BM25_B) * dl / adl)
             contrib = ltf / denom * idf
