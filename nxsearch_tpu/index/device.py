@@ -206,6 +206,10 @@ class DeviceIndex:
         # bulk of kernel work.  Exact: same ltf values, same formula.
         self.dense_rows = None          # device f32[max(H,1), S_pad]
         self.dense_row_of = {}          # term_id -> row index
+        # Guards the bounds-cache LRU against concurrent readers (the
+        # search execution phase runs under a shared lock).
+        import threading
+        self._bounds_lock = threading.Lock()
         # Per-term bounds cache: block-bounds rows depend only on the
         # base snapshot and the term, and hot terms recur every batch
         # -- the binary search (measured 10.6 ms/query at 1M docs)
@@ -416,7 +420,12 @@ class DeviceIndex:
     def bounds_crows(self, term_ids) -> dict[int, int]:
         """Cache rows for the given base terms' block-bounds; missing
         rows are computed in ONE device dispatch and scattered into
-        the cache.  Terms without base postings map to row 0."""
+        the cache.  Terms without base postings map to row 0.
+        Thread-safe: the LRU mutates under concurrent readers."""
+        with self._bounds_lock:
+            return self._bounds_crows_locked(term_ids)
+
+    def _bounds_crows_locked(self, term_ids) -> dict[int, int]:
         import jax.numpy as jnp
         from collections import OrderedDict
 

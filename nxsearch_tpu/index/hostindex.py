@@ -313,6 +313,14 @@ class HostIndex:
         """Full sync: terms then dtmap (search-path ordering)."""
         self.dtmap_sync(partial=True)
 
+    def has_pending(self) -> bool:
+        """Cheap probe: unconsumed journal bytes exist (other writers
+        published past our marks).  Reads only the published commit
+        pointers; used by the search fast path to stay on the shared
+        lock when nothing changed."""
+        return (self.terms_log.committed_len() > self._terms_consumed
+                or self.dtmap_log.committed_len() > self._dt_consumed)
+
     def dtmap_add(self, doc_id: int, tokens: TokenSet) -> None:
         """Append a document block (idx_dtmap_add).
 

@@ -25,6 +25,7 @@ from .resp import Response
 from .search import get_search_params, search, search_many
 from .text.filters import FilterPipeline, FilterRegistry
 from .text.tokenizer import TOKENSET_STAGE, tokenize
+from .utils.rwlock import RWLock
 from .utils.validate import str_isalnumdu
 
 _ALGO_IDS = {"BM25": ALGO_BM25, "TF-IDF": ALGO_TFIDF}
@@ -56,13 +57,17 @@ class Index:
         else:
             self.dev = DeviceIndex(self.host, device=device)
         self._fuzzy = None  # lazily-built fuzzy matcher
-        # Serializes journal-tail consumption and in-memory mutation
-        # across threads sharing this handle (the service shares one
-        # Index per name across request threads; without this, two
-        # concurrent sync()s could double-apply the same tail).  The
-        # reference sidesteps this by giving every nginx worker its
-        # own process-private handle.
-        self._lock = threading.RLock()
+        # Reader-writer semantics across threads sharing this handle
+        # (the service shares one Index per name across request
+        # threads): journal-tail consumption, snapshot refresh, and
+        # mutation are exclusive -- two concurrent sync()s could
+        # double-apply the same tail -- while query EXECUTION is
+        # shared, so concurrent readers proceed in parallel like the
+        # reference's mmap + flock SH readers (src/index/*.c).
+        self._rw = RWLock()
+        # Fuzzy resolution mutates shared memo/snapshot state; guard
+        # it separately so concurrent readers only serialize there.
+        self._fuzzy_guard = threading.RLock()
 
     # -- operations (nxs.c:490-566) ---------------------------------------
 
@@ -72,7 +77,7 @@ class Index:
         if doc_id == 0:
             raise NxsError(ErrorCode.INVALID,
                            "document ID must be non-zero")
-        with self._lock:
+        with self._rw.writing():
             if self.host.doc_lookup(doc_id) is not None:
                 raise NxsError(ErrorCode.EXISTS,
                                f"document {doc_id} is already indexed")
@@ -108,11 +113,11 @@ class Index:
                 raise NxsError(ErrorCode.INVALID,
                                "document ID must be non-zero")
 
-        self._lock.acquire()
+        self._rw.write_acquire()
         try:
             return self._add_many_locked(docs)
         finally:
-            self._lock.release()
+            self._rw.write_release()
 
     def _add_many_locked(self, docs):
         import numpy as np
@@ -169,20 +174,43 @@ class Index:
 
     def remove(self, doc_id: int) -> None:
         """Remove a document (nxs_index_remove -> tombstone)."""
-        with self._lock:
+        with self._rw.writing():
             self.host.dtmap_remove(doc_id)
+
+    def _read_synced(self):
+        """Acquire the read lock with the index up to date.
+
+        Fast path: nothing pending in the journals and the snapshot is
+        current -- take the shared lock directly, so concurrent
+        readers execute in parallel.  Otherwise upgrade to exclusive,
+        consume the journal tails (search.c:309-310) and refresh the
+        device snapshot, then downgrade atomically."""
+        while True:
+            self._rw.read_acquire()
+            if (not self.host.has_pending()
+                    and self.dev.generation == self.host.generation):
+                return
+            self._rw.read_release()
+            self._rw.write_acquire()
+            try:
+                self.host.sync()
+                self.dev.refresh()
+            except BaseException:
+                self._rw.write_release()
+                raise
+            self._rw.downgrade()
+            return
 
     def search(self, query: str, params: Optional[Params] = None) -> Response:
         """Search the index (nxs_index_search)."""
         sp = get_search_params(self.algo, params)
-        # Consume other writers' journal tails before the query
-        # (search.c:309-310), then refresh the device snapshot.
-        with self._lock:
-            self.host.sync()
-            self.dev.refresh()
+        self._read_synced()
+        try:
             fuzzy = self._fuzzy_lookup if sp.fuzzymatch else None
             return search(self.dev, self.pipeline, query, sp,
                           fuzzy_lookup=fuzzy)
+        finally:
+            self._rw.read_release()
 
     def search_many(self, queries: list[str],
                     params: Optional[Params] = None) -> list[Response]:
@@ -191,19 +219,20 @@ class Index:
         the high-QPS serving path (no reference equivalent -- the C
         engine is one-query-per-call)."""
         sp = get_search_params(self.algo, params)
-        with self._lock:
-            self.host.sync()
-            self.dev.refresh()
+        self._read_synced()
+        try:
             fuzzy = self._fuzzy_lookup if sp.fuzzymatch else None
             prefetch = self._fuzzy_prefetch if sp.fuzzymatch else None
             return search_many(self.dev, self.pipeline, queries, sp,
                                fuzzy_lookup=fuzzy,
                                fuzzy_prefetch=prefetch)
+        finally:
+            self._rw.read_release()
 
     def stats(self) -> dict:
         """Live index statistics (observability; counts mirror the
         reference's idx_get_doc_count/token_count internals)."""
-        with self._lock:
+        with self._rw.writing():
             self.host.sync()
         return {
             "name": self.name,
@@ -216,10 +245,12 @@ class Index:
         }
 
     def _fuzzy_lookup(self, value: str) -> Optional[int]:
-        return self._fuzzy_matcher().lookup(value)
+        with self._fuzzy_guard:
+            return self._fuzzy_matcher().lookup(value)
 
     def _fuzzy_prefetch(self, values) -> None:
-        self._fuzzy_matcher().prefetch(values)
+        with self._fuzzy_guard:
+            self._fuzzy_matcher().prefetch(values)
 
     def _fuzzy_matcher(self):
         from .fuzzy import FuzzyMatcher

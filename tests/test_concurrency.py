@@ -60,3 +60,57 @@ def test_shared_handle_search_during_ingest(tmp_path):
     finally:
         nxs.close()
         writer_nxs.close()
+
+
+def test_concurrent_readers_with_writer(tmp_path):
+    """Shared-lock readers run while a writer interleaves mutations:
+    every search must observe a consistent index (no torn state, no
+    double-applied journal tails) through the RW fast path + upgrade."""
+    import threading
+
+    from nxsearch_tpu import Nxs, Params
+
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("rw")
+    idx.add_many([(i + 1, f"alpha beta w{i % 11}") for i in range(100)])
+    idx.search("alpha")  # build the base snapshot
+
+    errors = []
+    stop = threading.Event()
+
+    def reader():
+        sp = Params().set_uint("limit", 200)
+        try:
+            while not stop.is_set():
+                r = dict(idx.search("alpha", sp))
+                if not r:
+                    errors.append("empty result")
+                r2 = dict(idx.search("alpha AND NOT beta", sp))
+                if r2:
+                    errors.append(f"NOT violated: {sorted(r2)[:3]}")
+        except Exception as e:  # pragma: no cover
+            errors.append(repr(e))
+
+    def writer():
+        try:
+            for i in range(30):
+                idx.add(1000 + i, f"alpha beta gamma w{i % 5}")
+                if i % 3 == 0:
+                    idx.remove(1 + (i % 50))
+        except Exception as e:  # pragma: no cover
+            errors.append(repr(e))
+
+    readers = [threading.Thread(target=reader) for _ in range(4)]
+    w = threading.Thread(target=writer)
+    for t in readers:
+        t.start()
+    w.start()
+    w.join()
+    stop.set()
+    for t in readers:
+        t.join()
+    assert not errors, errors[:5]
+    # Final state: all writer docs visible, removed docs absent.
+    final = dict(idx.search("gamma", Params().set_uint("limit", 200)))
+    assert all(1000 + i in final for i in range(30))
+    nxs.close()
