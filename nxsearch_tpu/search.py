@@ -885,6 +885,31 @@ def execute_query_batch(dev, queries: list[Query],
         pending.append((members, scores, slots, None))
 
     from .ops.executor import unpack_blockdense, unpack_pruned
+
+    # Consolidate the packed groups' results into ONE device->host
+    # fetch: each fetch is a full round trip (a network hop on remote
+    # setups, ~27 ms measured), so a mixed batch of a dozen signature
+    # groups would otherwise pay a dozen RTTs.  All packed results are
+    # [N_i, 2, k] with a shared k -- one tiny concat dispatch joins
+    # them, one fetch brings everything back, and rows slice out below.
+    by_shape: dict[tuple, list[int]] = {}
+    for i, p in enumerate(pending):
+        if p[3] in ("packed", "sliced"):
+            # k' can differ per group (small slice tiers cap k at the
+            # plane width): concat only groups with equal result rows.
+            by_shape.setdefault(tuple(p[1].shape[1:]), []).append(i)
+    for packed_ix in by_shape.values():
+        if len(packed_ix) < 2:
+            continue
+        big = jnp.concatenate([pending[i][1] for i in packed_ix], axis=0)
+        arr = np.asarray(big)
+        at = 0
+        for i in packed_ix:
+            members_i, packed_i, extra_i, tag_i = pending[i]
+            n_i = packed_i.shape[0]
+            pending[i] = (members_i, arr[at: at + n_i], extra_i, tag_i)
+            at += n_i
+
     for members, scores, slots, tag in pending:
         if tag == "pruned":
             group_arrays = slots
