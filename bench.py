@@ -61,6 +61,34 @@ def make_corpus(n_docs: int, vocab: int, mean_len: int, rng):
     return docs, words, probs
 
 
+def make_mixed_queries(n_queries: int, words, probs, rng):
+    """MS MARCO-trace-shaped mix (BASELINE.json config 5): ranked OR
+    queries with a fraction of explicit boolean operators and fuzzy
+    (typo) terms."""
+    qp = probs ** 0.35
+    qp /= qp.sum()
+    queries = []
+    for _ in range(n_queries):
+        n_terms = rng.integers(2, 5)
+        ids = rng.choice(len(words), size=n_terms, p=qp)
+        toks = [str(words[i]) for i in ids]
+        r = rng.random()
+        if r < 0.15:
+            q = f"{toks[0]} AND {' '.join(toks[1:])}"
+        elif r < 0.25:
+            q = f"{' '.join(toks[:-1])} AND NOT {toks[-1]}"
+        else:
+            q = " ".join(toks)
+        if rng.random() < 0.05:
+            # Typo one term: swap two adjacent characters.
+            t = toks[0]
+            if len(t) > 3:
+                p = int(rng.integers(1, len(t) - 1))
+                q = q.replace(t, t[:p - 1] + t[p] + t[p - 1] + t[p + 1:], 1)
+        queries.append(q)
+    return queries
+
+
 def make_queries(n_queries: int, words, probs, rng):
     """Queries with a realistic term distribution.
 
@@ -89,6 +117,8 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=2048)
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--limit", type=int, default=10)
+    ap.add_argument("--mixed", action="store_true",
+                    help="boolean + fuzzy trace mix instead of ranked OR")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--no-cache", action="store_true",
                     help="always rebuild the corpus index")
@@ -106,7 +136,8 @@ def main() -> None:
     probs = 1.0 / (ranks + 10.0)
     probs /= probs.sum()
     words = np.array([f"w{i:05d}" for i in range(args.vocab)])
-    queries = make_queries(args.queries, words, probs, rng)
+    queries = (make_mixed_queries if args.mixed else make_queries)(
+        args.queries, words, probs, rng)
 
     from nxsearch_tpu import Nxs, Params
 

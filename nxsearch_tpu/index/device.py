@@ -50,9 +50,13 @@ def _bucket(n: int, minimum: int) -> int:
 
 # Above this size, padded array growth switches from powers of two
 # (whose worst case doubles HBM -- fatal at hundreds of millions of
-# postings) to 1 MiB-element granularity: <= ~6% waste, and slot
-# counts stay multiples of the 1024-slot kernel block.
-_POW2_LIMIT = 1 << 24
+# postings) to 1 MiB-element granularity: <= ~25% waste at the
+# switchover, and slot counts stay multiples of the 1024-slot kernel
+# block.  Must sit WELL below 2**24: slot counts at exactly 2**24
+# lose f32 exactness and would disqualify every fast executor (an
+# 8.8M-doc corpus once bucketed to exactly 2**24 slots and fell all
+# the way to the sort-based candidate path).
+_POW2_LIMIT = 1 << 22
 
 
 def _pad_size(n: int, minimum: int) -> int:
