@@ -301,7 +301,48 @@ class DeviceIndex:
         return jax.device_put(arr, self.device) if self.device \
             else jax.device_put(arr)
 
+    # The CSR transpose (a lexsort of every live posting) dominates
+    # large-index opens -- ~15 min single-core at 8.8M docs / 500M
+    # postings -- and is fully derived state.  Indexes above this many
+    # postings persist the sorted layout beside the journals and
+    # restarts load it back keyed by generation (stale = ignored).
+    CSR_CACHE_MIN_POSTINGS = 1 << 24
+    _CSR_CACHE_VERSION = 1
+
+    @property
+    def _csr_cache_path(self) -> str:
+        return os.path.join(self.host.idxdir, "csr_cache.npz")
+
+    def _load_csr_cache(self):
+        try:
+            z = np.load(self._csr_cache_path, allow_pickle=False)
+            if (int(z["version"]) != self._CSR_CACHE_VERSION
+                    or int(z["generation"]) != self.host.generation):
+                return None
+            return z
+        except (OSError, KeyError, ValueError):
+            return None
+
+    def _save_csr_cache(self, term_starts, slot, ltf, perm,
+                        n_post: int) -> None:
+        tmp = self._csr_cache_path + ".tmp"
+        try:
+            with open(tmp, "wb") as f:
+                np.savez(f, version=np.int64(self._CSR_CACHE_VERSION),
+                         generation=np.int64(self.host.generation),
+                         term_starts=term_starts,
+                         slot=slot[:n_post], ltf=ltf[:n_post], perm=perm)
+            os.replace(tmp, self._csr_cache_path)
+        except OSError:  # pragma: no cover - best-effort cache
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
     def _full_rebuild(self) -> bool:
+        cached = self._load_csr_cache()
+        if cached is not None:
+            return self._rebuild_from_cache(cached)
         snap = self.host.build_csr()
         self.term_starts = snap["term_starts"]
         self.base_nterms = len(snap["term_starts"]) - 1
@@ -341,15 +382,63 @@ class DeviceIndex:
         dlen = np.ones(s_pad, dtype=np.float32)
         dlen[:n_slots_host] = snap["doc_len"][perm]
 
+        if n_post >= self.CSR_CACHE_MIN_POSTINGS:
+            self._save_csr_cache(snap["term_starts"], slot, ltf, perm,
+                                 n_post)
+
+        return self._finish_rebuild(
+            term_starts=snap["term_starts"], counts=counts, slot=slot,
+            ltf=ltf, dlen=dlen, perm=perm, n_post=n_post,
+            n_slots_host=n_slots_host, s_pad=s_pad, p_pad=p_pad,
+            doc_alive=snap["doc_alive"].copy(),
+            doc_count=snap["doc_count"], token_count=snap["token_count"],
+            generation=snap["generation"])
+
+    def _rebuild_from_cache(self, z) -> bool:
+        """Assemble the device snapshot from the persisted CSR layout:
+        skips build_csr's lexsort of every live posting (the dominant
+        cost of large-index opens).  The cache is generation-checked,
+        so the arrays equal what build_csr would produce."""
+        host = self.host
+        term_starts = np.asarray(z["term_starts"])
+        slot_real = np.asarray(z["slot"])
+        ltf_real = np.asarray(z["ltf"])
+        perm = np.asarray(z["perm"])
+        self.term_starts = term_starts
+        self.base_nterms = len(term_starts) - 1
+
+        n_slots_host = host.doc_ids.n
+        n_post = len(slot_real)
+        s_pad = _pad_size(n_slots_host, self._MIN_SLOTS)
+        p_pad = _pad_size(n_post, self._MIN_POSTINGS)
+        slot = np.zeros(p_pad, dtype=np.int32)
+        slot[:n_post] = slot_real
+        ltf = np.zeros(p_pad, dtype=np.float32)
+        ltf[:n_post] = ltf_real
+        dlen = np.ones(s_pad, dtype=np.float32)
+        dlen[:n_slots_host] = \
+            host.doc_len.view()[:n_slots_host].astype(np.float32)[perm]
+        counts = np.diff(term_starts)
+        return self._finish_rebuild(
+            term_starts=term_starts, counts=counts, slot=slot, ltf=ltf,
+            dlen=dlen, perm=perm, n_post=n_post,
+            n_slots_host=n_slots_host, s_pad=s_pad, p_pad=p_pad,
+            doc_alive=host.doc_alive.view()[:n_slots_host].copy(),
+            doc_count=host.doc_count, token_count=host.token_count,
+            generation=host.generation)
+
+    def _finish_rebuild(self, *, term_starts, counts, slot, ltf, dlen,
+                        perm, n_post, n_slots_host, s_pad, p_pad,
+                        doc_alive, doc_count, token_count,
+                        generation) -> bool:
         # 25% adl headroom: the BM25 bound is recomputed on every
         # rebuild, and the delta budget caps how far adl can move
         # between rebuilds -- far below this margin.
-        adl_build = (snap["token_count"] // snap["doc_count"]) \
-            if snap["doc_count"] else 1.0
+        adl_build = (token_count // doc_count) if doc_count else 1.0
         self.adl_cap = float(max(adl_build, 1.0)) * 1.25
         if os.environ.get("NXS_ENABLE_PRUNED"):
             bmax_ltf, bmax_bm25 = block_bounds_metadata(
-                snap["term_starts"], slot[:n_post], ltf,
+                term_starts, slot[:n_post], ltf,
                 dlen, s_pad, p_pad, self.adl_cap)
         else:
             # The block-max pruned executor is experimental (gated off
@@ -404,7 +493,7 @@ class DeviceIndex:
         self.bmax_bm25 = (self._put(bmax_bm25)
                           if bmax_bm25 is not None else None)
         self.slot_perm = perm
-        self._alive_cached = snap["doc_alive"].copy()
+        self._alive_cached = doc_alive
         self._alive_all = bool(self._alive_cached.all())
         self.alive_mask = self._put(
             _pack_alive(self._alive_cached[perm], s_pad))
@@ -416,7 +505,7 @@ class DeviceIndex:
         # Bounds rows are derived from the base CSR: drop them.
         self._bounds_cache = None
         self._bounds_map = None
-        self.generation = snap["generation"]
+        self.generation = generation
         return True
 
     # -- per-term bounds cache ---------------------------------------

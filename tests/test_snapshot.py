@@ -95,3 +95,36 @@ def test_search_after_snapshot_open(tmp_path):
         assert {d for d, _ in idx.search("fox dog")} == {1, 2}
     finally:
         nxs.close()
+
+
+def test_csr_cache_roundtrip(tmp_path, monkeypatch):
+    """The persisted CSR layout must reproduce the exact device
+    snapshot on reopen (generation-checked; stale caches ignored)."""
+    from nxsearch_tpu import Nxs, Params
+    from nxsearch_tpu.index.device import DeviceIndex
+
+    monkeypatch.setattr(DeviceIndex, "CSR_CACHE_MIN_POSTINGS", 0)
+    import numpy as np
+    rng = np.random.default_rng(3)
+    docs = [(i + 1, " ".join(f"t{rng.integers(0, 40)}" for _ in range(12)))
+            for i in range(120)]
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("c")
+    idx.add_many(docs)
+    sp = Params().set_uint("limit", 50)
+    want = dict(idx.search("t3 t7", sp))   # builds + saves the cache
+    import os
+    assert os.path.exists(idx.dev._csr_cache_path)
+    idx.checkpoint()
+    nxs.close()
+
+    nxs2 = Nxs(str(tmp_path))
+    idx2 = nxs2.index_open("c")
+    got = dict(idx2.search("t3 t7", sp))   # loads the cache
+    assert got == want
+    # Mutations bump the generation: the stale cache must be ignored
+    # and a later rebuild must still be correct.
+    idx2.remove(5)
+    got2 = dict(idx2.search("t3 t7", sp))
+    assert 5 not in got2
+    nxs2.close()
