@@ -111,9 +111,11 @@ def make_queries(n_queries: int, words, probs, rng):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=1_000_000)
-    ap.add_argument("--vocab", type=int, default=200_000)
-    ap.add_argument("--mean-len", type=int, default=40)
+    ap.add_argument("--docs", type=int, default=0,
+                    help="0 = auto: the 8.8M north-star tier when its "
+                         "corpus cache exists, else the 1M tier")
+    ap.add_argument("--vocab", type=int, default=0)
+    ap.add_argument("--mean-len", type=int, default=0)
     ap.add_argument("--queries", type=int, default=2048)
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--limit", type=int, default=10)
@@ -127,6 +129,20 @@ def main() -> None:
     def log(msg):
         if args.verbose:
             print(msg, file=sys.stderr)
+
+    if not args.docs:
+        # Auto tier: the full 8.8M-doc north-star corpus when its
+        # cached index exists (building it from scratch takes ~1h on
+        # one core; the cache makes it a fast-open), else the 1M tier.
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache", "d8800000-v1000000-l60-s42",
+                             "data", "bench")
+        if os.path.isdir(cache):
+            args.docs, args.vocab, args.mean_len = 8_800_000, 1_000_000, 60
+        else:
+            args.docs, args.vocab, args.mean_len = 1_000_000, 200_000, 40
+    args.vocab = args.vocab or max(args.docs // 5, 1000)
+    args.mean_len = args.mean_len or 40
 
     enable_compile_cache()
     rng = np.random.default_rng(42)
