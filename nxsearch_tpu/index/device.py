@@ -210,6 +210,10 @@ class DeviceIndex:
         # bulk of kernel work.  Exact: same ltf values, same formula.
         self.dense_rows = None          # device f32[max(H,1), S_pad]
         self.dense_row_of = {}          # term_id -> row index
+        # Vectorized twin of dense_row_of for the batch planner:
+        # int32[base_nterms + 1], row index by 1-based term id, -1
+        # for terms without a dense row (built in _finish_rebuild).
+        self.dense_row_lookup = None
         # Guards the bounds-cache LRU against concurrent readers (the
         # search execution phase runs under a shared lock).
         import threading
@@ -343,15 +347,6 @@ class DeviceIndex:
         cached = self._load_csr_cache()
         if cached is not None:
             return self._rebuild_from_cache(cached)
-        snap = self.host.build_csr()
-        self.term_starts = snap["term_starts"]
-        self.base_nterms = len(snap["term_starts"]) - 1
-
-        n_slots_host = len(snap["doc_ids"])
-        n_post = len(snap["postings_slot"])
-        s_pad = _pad_size(n_slots_host, self._MIN_SLOTS)
-        p_pad = _pad_size(n_post, self._MIN_POSTINGS)
-
         # Device slots are assigned by ASCENDING doc length, not host
         # arrival order.  BM25's dominant static score factor is dl,
         # so length-ordering concentrates each term's strongest
@@ -362,21 +357,32 @@ class DeviceIndex:
         # engines get the analogous effect from quality-ordered doc-id
         # assignment.  Host slots stay stable (the delta/alive
         # bookkeeping is host-ordered); ``slot_perm`` maps device slot
-        # -> host slot for response building.
-        perm = np.argsort(snap["doc_len"], kind="stable").astype(np.int64)
+        # -> host slot for response building.  The permutation is
+        # computed up front and handed to build_csr so the postings
+        # come out directly in (term, device-slot) order -- one
+        # composite-key sort instead of two full lexsorts (f32 doc_len
+        # keys keep the ordering identical to the prior two-pass path).
+        n_slots_host = self.host.doc_ids.n
+        dl_host = np.asarray(self.host.doc_len.view()[:n_slots_host],
+                             dtype=np.float32)
+        perm = np.argsort(dl_host, kind="stable").astype(np.int64)
         inv = np.empty(n_slots_host, dtype=np.int64)
         inv[perm] = np.arange(n_slots_host)
 
-        slots_dev = inv[snap["postings_slot"]]
+        snap = self.host.build_csr(slot_remap=inv)
+        self.term_starts = snap["term_starts"]
+        self.base_nterms = len(snap["term_starts"]) - 1
+
+        n_post = len(snap["postings_slot"])
+        s_pad = _pad_size(n_slots_host, self._MIN_SLOTS)
+        p_pad = _pad_size(n_post, self._MIN_POSTINGS)
         counts = np.diff(snap["term_starts"])
-        t_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-        order = np.lexsort((slots_dev, t_of))
 
         slot = np.zeros(p_pad, dtype=np.int32)
-        slot[:n_post] = slots_dev[order]
+        slot[:n_post] = snap["postings_slot"]
         ltf = np.zeros(p_pad, dtype=np.float32)
         ltf[:n_post] = np.log(
-            snap["postings_tf"][order].astype(np.float64) + 1.0)
+            snap["postings_tf"].astype(np.float64) + 1.0)
         # Padding doc_len with 1.0 keeps dl/adl finite for padded slots
         # (their contributions are masked out regardless).
         dlen = np.ones(s_pad, dtype=np.float32)
@@ -455,6 +461,9 @@ class DeviceIndex:
             heavy = heavy[np.argsort(-term_df_base[heavy], kind="stable")
                           [: row_cap]]
         self.dense_row_of = {int(t) + 1: i for i, t in enumerate(heavy)}
+        lookup = np.full(self.base_nterms + 1, -1, dtype=np.int32)
+        lookup[heavy + 1] = np.arange(len(heavy), dtype=np.int32)
+        self.dense_row_lookup = lookup
         n_rows = max(len(heavy), 1)
         rows = np.zeros((n_rows, s_pad), dtype=np.float32)
         for i, t in enumerate(heavy):

@@ -470,7 +470,14 @@ class HostIndex:
         counts = pairs[:, 1].astype(np.int64)
         doc_n = np.diff(doc_ptr)
         doc_of_pair = np.repeat(np.arange(n_docs, dtype=np.int64), doc_n)
-        order = np.lexsort((tids, doc_of_pair))
+        # (doc, term) pairs are unique within a doc, so one unstable
+        # composite-key argsort replaces lexsort's two mergesort
+        # passes (same win as build_csr; ingest-dominant at scale).
+        span = np.int64(len(self.term_values) + 1)
+        if n_docs * int(span) < (1 << 62):
+            order = np.argsort(doc_of_pair * span + tids)
+        else:  # pragma: no cover - >4e18 key space
+            order = np.lexsort((tids, doc_of_pair))
         tids = tids[order]
         counts = counts[order]
         blocks = np.column_stack([tids, counts]).astype("<u4")
@@ -582,12 +589,19 @@ class HostIndex:
     # Device snapshot
     # ------------------------------------------------------------------
 
-    def build_csr(self):
+    def build_csr(self, slot_remap=None):
         """Transpose arrival-ordered postings into term-grouped CSR.
+
+        ``slot_remap`` (optional int64[S]) renumbers doc slots before
+        grouping -- the device layer passes its dl-ordered slot
+        permutation so the postings come out directly in device order,
+        fusing what used to be two full sorts of every posting (the
+        dominant cost of large-index opens on one core) into one.
 
         Returns a dict of numpy arrays:
           term_starts  int32[T+1]  CSR row pointers (0-based term index)
           postings_slot int32[P]   doc slots, grouped by term
+                                   (remapped when slot_remap is given)
           postings_tf  float32[P]  occurrence counts
           doc_len      float32[S]  per-slot token counts (incl. dups)
           doc_ids      int64[S]    slot -> external doc id
@@ -601,12 +615,22 @@ class HostIndex:
         live_mask = alive[self.p_slot.view()]
         t = (p_term[live_mask] - 1).astype(np.int64)
         slots = self.p_slot.view()[live_mask]
+        if slot_remap is not None:
+            slots = slot_remap[slots]
         tf = self.p_count.view()[live_mask]
 
         # Group by term AND sort by slot within each term: slot-sorted
         # posting lists let the device executor merge query terms'
         # postings into slot runs (candidate scoring) cheaply.
-        order = np.lexsort((slots, t))
+        # (term, slot) pairs are unique, so an unstable single-pass
+        # argsort over the composite key replaces the two stable
+        # mergesort passes of np.lexsort (~3x faster at 500M postings);
+        # lexsort remains the fallback if the key could overflow.
+        span = np.int64(max(self.doc_ids.n, 1))
+        if nterms * int(span) < (1 << 62):
+            order = np.argsort(t * span + slots)
+        else:  # pragma: no cover - >4e18 key space
+            order = np.lexsort((slots, t))
         counts = np.bincount(t, minlength=nterms)
         term_starts = np.zeros(nterms + 1, dtype=np.int64)
         np.cumsum(counts, out=term_starts[1:])
