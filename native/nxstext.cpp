@@ -603,6 +603,59 @@ long nxs_text_process_batch(void* vctx, const char* texts,
   return 0;
 }
 
+long nxs_text_filter_tokens(void* vctx, const char* blob,
+                            const long* offs, long n, char* out,
+                            long out_cap, long* out_offs,
+                            signed char* status) {
+  // Batch form of nxs_text_filter_token: token i is
+  // blob[offs[i], offs[i+1]); filtered bytes are concatenated into
+  // ``out`` with out_offs[i+1] marking each token's end.  status[i]:
+  // 1 = filtered (range in out), 0 = DISCARD, -1 = non-ASCII (the
+  // caller runs the Python pipeline).  Returns 0, or -2 when ``out``
+  // is too small.  One call amortizes the FFI overhead that
+  // dominates per-token calls from the query batch path.
+  TextCtx* ctx = static_cast<TextCtx*>(vctx);
+  long w = 0;
+  out_offs[0] = 0;
+  for (long t = 0; t < n; t++) {
+    const char* value = blob + offs[t];
+    const long len = offs[t + 1] - offs[t];
+    const unsigned char* u = reinterpret_cast<const unsigned char*>(value);
+    bool ascii = true;
+    for (long i = 0; i < len; i++) {
+      if (u[i] >= 0x80) { ascii = false; break; }
+    }
+    if (!ascii) {
+      status[t] = -1;
+      out_offs[t + 1] = w;
+      continue;
+    }
+    std::string token(value, static_cast<size_t>(len));
+    if (ctx->flags & kFlagNormalizer) {
+      for (char& c : token)
+        if (c >= 'A' && c <= 'Z') c += 'a' - 'A';
+    }
+    if ((ctx->flags & kFlagStopwords) && !ctx->stopwords.empty() &&
+        ctx->stopwords.count(token)) {
+      status[t] = 0;
+      out_offs[t + 1] = w;
+      continue;
+    }
+    if (ctx->flags & kFlagStemmer) token = porter2_stem(std::move(token));
+    if (token.empty()) {
+      status[t] = 0;
+      out_offs[t + 1] = w;
+      continue;
+    }
+    if (w + static_cast<long>(token.size()) > out_cap) return -2;
+    std::memcpy(out + w, token.data(), token.size());
+    w += static_cast<long>(token.size());
+    status[t] = 1;
+    out_offs[t + 1] = w;
+  }
+  return 0;
+}
+
 long nxs_text_filter_token(void* vctx, const char* value, long len,
                            char* out, long out_cap) {
   // Run the filter chain on ONE token without segmentation -- the

@@ -99,8 +99,50 @@ class _Parser:
         return left
 
 
+# Fast path for plain term queries (the overwhelming serving
+# majority): no operator/quote/paren/NUL characters and no AND/OR/NOT
+# keywords means the grammar can only produce the left-folded
+# implicit-OR chain -- build it directly, skipping the lexer and
+# precedence climb (~10x).  Anything else falls back to the full
+# parser; Unicode whitespace that the lexer treats as token bytes is
+# preserved because the split is on the lexer's exact ASCII set.
+import re as _re
+
+_FAST_BAD_RE = _re.compile(r'[()"\'&|\x00]')
+_FAST_KEYWORDS = frozenset(("AND", "OR", "NOT",
+                            "and", "or", "not"))
+_FAST_WSP = " \t\v\f\r\n"
+_FAST_SPLIT_RE = _re.compile(f"[{_FAST_WSP}]+")
+
+
+def _parse_fast(query: str) -> Optional[Expr]:
+    if _FAST_BAD_RE.search(query):
+        return None
+    if query.isascii():
+        # ASCII str.split() splits exactly on the lexer's whitespace.
+        parts = query.split()
+    else:
+        # Unicode: split only on the lexer's ASCII whitespace set
+        # (str.split would also split on U+00A0 etc., which the lexer
+        # keeps as token bytes).
+        parts = [p for p in _FAST_SPLIT_RE.split(query) if p]
+    if not parts:
+        return None
+    root: Optional[Expr] = None
+    for value in parts:
+        if len(value) <= 3 and value.upper() in _FAST_KEYWORDS:
+            return None
+        leaf = Expr.leaf(value)
+        root = leaf if root is None else Expr.operator(
+            EXPR_OP_OR, root, leaf)
+    return root
+
+
 def parse_query(query: str) -> Expr:
     """Parse the query into an AST; raises QuerySyntaxError."""
+    fast = _parse_fast(query)
+    if fast is not None:
+        return fast
     tokens = tokenize_query(query)
     parser = _Parser(tokens, query)
     if parser.peek() is None:

@@ -36,11 +36,14 @@ def prepare(root: Expr, pipeline: FilterPipeline,
         leaf.token = tokenize_value(pipeline, q.tokens, leaf.value)
 
     flags = TOKENSET_TRIM | (TOKENSET_FUZZYMATCH if fuzzymatch else 0)
+    n_before = len(q.tokens.tokens)
     q.tokens.resolve(term_lookup, flags, fuzzy_lookup=fuzzy_lookup)
 
-    # Leaves whose token was trimmed must evaluate to the empty set.
-    resolved = {id(t) for t in q.tokens.tokens}
-    for leaf in root.walk_leaves():
-        if leaf.token is not None and id(leaf.token) not in resolved:
-            leaf.token = None
+    # Leaves whose token was trimmed must evaluate to the empty set
+    # (second walk needed only when resolve actually trimmed).
+    if len(q.tokens.tokens) != n_before:
+        resolved = {id(t) for t in q.tokens.tokens}
+        for leaf in root.walk_leaves():
+            if leaf.token is not None and id(leaf.token) not in resolved:
+                leaf.token = None
     return q

@@ -1161,6 +1161,14 @@ def search_many(dev, pipeline, query_strs: list[str],
         check_nesting(root)
         roots.append(root)
 
+    prime = getattr(pipeline, "prime", None)
+    if prime is not None:
+        # One native call filters the batch's unique leaf tokens into
+        # the pipeline memo; the per-query prepare() below then runs
+        # on memo hits.
+        prime([leaf.value for root in roots
+               for leaf in root.walk_leaves()])
+
     if fuzzy_prefetch is not None and sp.fuzzymatch:
         # Resolve every unmatched leaf token with one batched fuzzy
         # dispatch instead of a device round trip per token.

@@ -31,6 +31,7 @@ from .normalize import normalize_token
 
 # Distinguishes "memoized as discarded (None)" from "not memoized".
 _MEMO_MISS = object()
+_MEMO_CAP = 1 << 20
 
 
 @dataclass
@@ -136,6 +137,28 @@ class FilterPipeline:
                                     stopwords_set, stem)
         return native if native.available else None
 
+    def prime(self, values) -> None:
+        """Pre-fill the memo for a token batch with ONE native call;
+        non-ASCII tokens and non-memoizable chains are left to the
+        regular run() path (identical results either way)."""
+        memo = self._memo
+        if memo is None or self.native is None:
+            return
+        todo = [v for v in dict.fromkeys(values) if v not in memo]
+        if not todo:
+            return
+        out = self.native.filter_tokens(todo)
+        if out is None:
+            return
+        room = _MEMO_CAP - len(memo)
+        for v, r in zip(todo, out):
+            if r is NotImplemented:
+                continue
+            if room <= 0:
+                break
+            memo[v] = r
+            room -= 1
+
     def run(self, value: str) -> Optional[str]:
         """Run the token through the chain.
 
@@ -148,7 +171,7 @@ class FilterPipeline:
             if hit is not _MEMO_MISS:
                 return hit
         result = self._run_uncached(value)
-        if memo is not None and len(memo) < (1 << 17):
+        if memo is not None and len(memo) < _MEMO_CAP:
             memo[value] = result
         return result
 

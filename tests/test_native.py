@@ -180,3 +180,43 @@ def test_native_large_doc_growth(registry):
         assert got.count == 70000
     finally:
         pipeline.close()
+
+
+def test_filter_tokens_batch_matches_run(tmp_path):
+    """filter_tokens (one native call) must agree token-for-token with
+    pipeline.run, including discards and non-ASCII fallbacks."""
+    import numpy as np
+
+    from nxsearch_tpu import Nxs
+
+    basedir = tmp_path / "b"
+    basedir.mkdir()
+    swdir = basedir / "filters" / "stopwords"
+    swdir.mkdir(parents=True)
+    (swdir / "en").write_text("the\nand\nof\n")
+    nxs = Nxs(str(basedir))
+    idx = nxs.index_create("t")
+    pipeline = idx.pipeline
+    if pipeline.native is None:
+        nxs.close()
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(11)
+    words = ["Running", "the", "QUICKLY", "jumps", "café", "and",
+             "connection", "überaus", "x", "ponies", "of", "THE",
+             "dogs", "caresses", ""]
+    batch = [words[i] for i in rng.integers(0, len(words), 300)]
+    got = pipeline.native.filter_tokens(batch)
+    assert got is not None
+    for value, out in zip(batch, got):
+        if out is NotImplemented:
+            assert not value.isascii()
+            continue
+        assert out == pipeline.run(value), value
+    # prime() fills the memo so run() afterwards is pure dict hits.
+    pipeline.prime(batch)
+    for value in batch:
+        if value.isascii():
+            assert value in pipeline._memo
+    nxs.close()

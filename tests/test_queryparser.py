@@ -94,3 +94,35 @@ def test_lone_not_is_error():
         parse_query("a NOT b")
     with pytest.raises(QuerySyntaxError):
         parse_query("()")
+
+
+def test_fast_path_matches_full_parser():
+    """The operator-free fast path must produce byte-identical ASTs
+    to the precedence-climbing parser (left-folded implicit OR)."""
+    import numpy as np
+    from nxsearch_tpu.query import parser as P
+
+    rng = np.random.default_rng(3)
+    words = ["cat", "dog", "Fox", "i.b.m", "don", "andes", "nott",
+             "café", "über", "x", "And1", "orb"]
+    for _ in range(200):
+        n = int(rng.integers(1, 6))
+        q = " ".join(words[i] for i in rng.integers(0, len(words), n))
+        fast = P._parse_fast(q)
+        assert fast is not None, q
+        tokens = P.tokenize_query(q)
+        full = P._Parser(tokens, q).parse_binary(P._PREC_ADJ)
+        assert fast.repr_string() == full.repr_string(), q
+
+    # Gate correctness: these MUST fall back (operators, quotes,
+    # parens, keywords in any case, unicode whitespace edge).
+    for q in ["a AND b", "a and b", "(a b)", '"a b"', "a & b",
+              "a | b", "not a", "a b", "", "   "]:
+        assert P._parse_fast(q) is None or " " in q, q
+    # U+00A0 is NOT lexer whitespace: the fast path must keep it
+    # inside one token exactly like the lexer.
+    q = "a b c"
+    fast = P._parse_fast(q)
+    tokens = P.tokenize_query(q)
+    full = P._Parser(tokens, q).parse_binary(P._PREC_ADJ)
+    assert fast.repr_string() == full.repr_string() == "(OR `a b` `c`)"
