@@ -32,12 +32,16 @@ Device arrays (strings and the term dictionary never leave the host):
 from __future__ import annotations
 
 import os
+import time
 from typing import Optional
 
 import jax
 import numpy as np
 
+from ..utils.log import get_logger
 from .hostindex import HostIndex
+
+_log = get_logger(__name__)
 
 
 def _bucket(n: int, minimum: int) -> int:
@@ -73,6 +77,81 @@ def _pack_alive(alive: np.ndarray, s_pad: int) -> np.ndarray:
     padded = np.zeros(s_pad, dtype=np.bool_)
     padded[: len(alive)] = alive
     return np.packbits(padded, bitorder="little").view(np.uint32)
+
+
+import functools
+
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("from_tf",))
+def _build_pack_dev(slot, tf, dlen, *, from_tf: bool):
+    """Assemble the (slot, ltf, dl) postings pack ON DEVICE.
+
+    ``slot`` int32[P_pad + guard] (guard rows pre-set to the s_pad
+    sentinel), ``tf`` uint16 occurrence counts (or float32 ltf when
+    from_tf is False), ``dlen`` f32[s_pad].  Uploading the compact
+    columns and deriving the f32 pack device-side moves ~half the
+    bytes of shipping the pack itself -- the host->device link is the
+    dominant cost of large-index opens (measured ~10 MB/s through the
+    remote-TPU tunnel: 6.2 GB of pack took 638 s; slot+tf is 3.2 GB).
+    Inputs are donated: XLA reuses their HBM for the output.
+    """
+    slot_f = slot.astype(jnp.float32)
+    if from_tf:
+        ltf = jnp.log(tf.astype(jnp.float32) + 1.0)
+    else:
+        ltf = tf
+    dl = dlen[jnp.minimum(slot, dlen.shape[0] - 1)]
+    return jnp.stack([slot_f, ltf, dl], axis=1)
+
+
+@functools.partial(jax.jit, donate_argnums=(),
+                   static_argnames=("s_pad", "p_pad", "n_rows", "chunk"))
+def _dense_rows_dev(pack, starts, lens, *, s_pad: int, p_pad: int,
+                    n_rows: int, chunk: int):
+    """Scatter the heavy terms' (slot, ltf) postings into dense score
+    rows ON DEVICE, streaming the pack in fixed chunks.  A posting at
+    global index g belongs to heavy row r iff starts[r] <= g <
+    starts[r] + lens[r] (starts ascending: CSR order).  Replaces a
+    host-side build + ~GB upload (the tunnel uplink is ~10 MB/s)."""
+    from jax import lax
+
+    n_chunks = max((p_pad + chunk - 1) // chunk, 1)
+    # int32 throughout: postings counts and the flattened rows index
+    # (<= DENSE_ROWS_MAX_BYTES/4 elements) both stay below 2**31.
+    h_starts = starts.astype(jnp.int32)
+    h_lens = lens.astype(jnp.int32)
+
+    def body(c, rows_flat):
+        g0 = c * chunk
+        win = lax.dynamic_slice(pack, (g0, 0), (chunk, 3))
+        g = g0 + jnp.arange(chunk, dtype=jnp.int32)
+        r = jnp.searchsorted(h_starts, g, side="right") - 1
+        r_c = jnp.clip(r, 0, max(n_rows - 1, 0))
+        ok = ((r >= 0) & (g < h_starts[r_c] + h_lens[r_c])
+              & (g < p_pad))
+        slot = win[:, 0].astype(jnp.int32)
+        flat = jnp.where(ok, r_c * s_pad + slot, n_rows * s_pad)
+        return rows_flat.at[flat].add(
+            jnp.where(ok, win[:, 1], 0.0), mode="drop")
+
+    rows0 = jnp.zeros((max(n_rows, 1) * s_pad,), jnp.float32)
+    if n_rows == 0:
+        return rows0.reshape(1, s_pad)
+    out = lax.fori_loop(0, n_chunks, body, rows0)
+    return out.reshape(n_rows, s_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("p_pad",))
+def _pack_slot_column(pack, *, p_pad: int):
+    return pack[:p_pad, 0].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("p_pad",))
+def _pack_ltf_column(pack, *, p_pad: int):
+    return pack[:p_pad, 1]
 
 
 def block_bounds_metadata(term_starts: np.ndarray,
@@ -152,11 +231,6 @@ class DeviceIndex:
     # of one dispatch chunk; LRU beyond that).
     BOUNDS_CACHE_ROWS = 8192
 
-    # Legacy slot/ltf device columns upload eagerly up to this many
-    # padded postings (512 MB); beyond it they upload on first use by
-    # a fallback executor (lazy, see postings_slot/postings_ltf).
-    _EAGER_POSTINGS = 1 << 26
-
     # Guard padding past the CSR postings so the sliced executor's
     # per-term dynamic slices (length <= SLICE_MAX_T, contiguous HBM
     # reads) never clamp their start offset: XLA clamps out-of-range
@@ -179,15 +253,13 @@ class DeviceIndex:
         self._alive_cached = np.zeros(0, dtype=np.bool_)
         self._removed_since_base = 0
         # Device arrays.  postings_pack is the primary postings store
-        # (the sliced executor reads only it); the legacy slot/ltf
-        # columns upload lazily above _EAGER_POSTINGS -- at hundreds of
-        # millions of postings they would double HBM for fallback paths
-        # (blockdense/candidate/dense) that large-corpus query mixes
-        # rarely touch.
+        # (the sliced executor reads only it); the slot/ltf columns
+        # derive from it lazily on device for the fallback executors
+        # (blockdense/candidate/dense) -- at hundreds of millions of
+        # postings a standing copy would double HBM for paths that
+        # large-corpus query mixes rarely touch.
         self._slot_dev = None
         self._ltf_dev = None
-        self._slot_host = None
-        self._ltf_host = None
         self.postings_pack = None   # f32[P_pad + guard, 3]: (slot, ltf, dl)
         self.doc_len = None
         self.alive_mask = None
@@ -245,16 +317,21 @@ class DeviceIndex:
 
     @property
     def postings_slot(self):
-        """int32[P_pad] device column (lazy above _EAGER_POSTINGS)."""
-        if self._slot_dev is None and self._slot_host is not None:
-            self._slot_dev = self._put(self._slot_host)
+        """int32[P_pad] device column (derived from the pack on first
+        use: no host->device transfer, slot rides in the pack as f32,
+        exact below 2**24 which the routers gate on)."""
+        if self._slot_dev is None and self.postings_pack is not None:
+            self._slot_dev = _pack_slot_column(
+                self.postings_pack, p_pad=self.n_postings)
         return self._slot_dev
 
     @property
     def postings_ltf(self):
-        """float32[P_pad] device column (lazy above _EAGER_POSTINGS)."""
-        if self._ltf_dev is None and self._ltf_host is not None:
-            self._ltf_dev = self._put(self._ltf_host)
+        """float32[P_pad] device column (derived from the pack on
+        first use; see postings_slot)."""
+        if self._ltf_dev is None and self.postings_pack is not None:
+            self._ltf_dev = _pack_ltf_column(
+                self.postings_pack, p_pad=self.n_postings)
         return self._ltf_dev
 
     @property
@@ -311,7 +388,9 @@ class DeviceIndex:
     # postings persist the sorted layout beside the journals and
     # restarts load it back keyed by generation (stale = ignored).
     CSR_CACHE_MIN_POSTINGS = 1 << 24
-    _CSR_CACHE_VERSION = 1
+    # v1 stored f32 ltf; v2 stores raw u16 counts (25% smaller file,
+    # and the device computes ltf anyway).  Both load.
+    _CSR_CACHE_VERSIONS = (1, 2)
 
     @property
     def _csr_cache_path(self) -> str:
@@ -320,22 +399,28 @@ class DeviceIndex:
     def _load_csr_cache(self):
         try:
             z = np.load(self._csr_cache_path, allow_pickle=False)
-            if (int(z["version"]) != self._CSR_CACHE_VERSION
+            if (int(z["version"]) not in self._CSR_CACHE_VERSIONS
                     or int(z["generation"]) != self.host.generation):
                 return None
             return z
         except (OSError, KeyError, ValueError):
             return None
 
-    def _save_csr_cache(self, term_starts, slot, ltf, perm,
-                        n_post: int) -> None:
+    def _save_csr_cache(self, term_starts, slot_real, tf16, ltf_real,
+                        perm) -> None:
         tmp = self._csr_cache_path + ".tmp"
         try:
             with open(tmp, "wb") as f:
-                np.savez(f, version=np.int64(self._CSR_CACHE_VERSION),
-                         generation=np.int64(self.host.generation),
-                         term_starts=term_starts,
-                         slot=slot[:n_post], ltf=ltf[:n_post], perm=perm)
+                if tf16 is not None:
+                    np.savez(f, version=np.int64(2),
+                             generation=np.int64(self.host.generation),
+                             term_starts=term_starts,
+                             slot=slot_real, tf16=tf16, perm=perm)
+                else:  # pragma: no cover - >64k tf fallback
+                    np.savez(f, version=np.int64(1),
+                             generation=np.int64(self.host.generation),
+                             term_starts=term_starts,
+                             slot=slot_real, ltf=ltf_real, perm=perm)
             os.replace(tmp, self._csr_cache_path)
         except OSError:  # pragma: no cover - best-effort cache
             try:
@@ -362,6 +447,7 @@ class DeviceIndex:
         # come out directly in (term, device-slot) order -- one
         # composite-key sort instead of two full lexsorts (f32 doc_len
         # keys keep the ordering identical to the prior two-pass path).
+        t_phase = time.monotonic()
         n_slots_host = self.host.doc_ids.n
         dl_host = np.asarray(self.host.doc_len.view()[:n_slots_host],
                              dtype=np.float32)
@@ -370,6 +456,9 @@ class DeviceIndex:
         inv[perm] = np.arange(n_slots_host)
 
         snap = self.host.build_csr(slot_remap=inv)
+        _log.debug("rebuild: build_csr %.1fs (%d postings)",
+                   time.monotonic() - t_phase, len(snap["postings_slot"]))
+        t_phase = time.monotonic()
         self.term_starts = snap["term_starts"]
         self.base_nterms = len(snap["term_starts"]) - 1
 
@@ -378,23 +467,32 @@ class DeviceIndex:
         p_pad = _pad_size(n_post, self._MIN_POSTINGS)
         counts = np.diff(snap["term_starts"])
 
-        slot = np.zeros(p_pad, dtype=np.int32)
-        slot[:n_post] = snap["postings_slot"]
-        ltf = np.zeros(p_pad, dtype=np.float32)
-        ltf[:n_post] = np.log(
-            snap["postings_tf"].astype(np.float64) + 1.0)
+        slot_real = np.ascontiguousarray(snap["postings_slot"],
+                                         dtype=np.int32)
+        tf_f = snap["postings_tf"]
+        tf16 = ltf_real = None
+        if not len(tf_f) or tf_f.max() < 65536:
+            tf16 = tf_f.astype(np.uint16)
+        else:  # pragma: no cover - >64k occurrences of one term
+            ltf_real = np.log(tf_f.astype(np.float64) + 1.0).astype(
+                np.float32)
         # Padding doc_len with 1.0 keeps dl/adl finite for padded slots
         # (their contributions are masked out regardless).
         dlen = np.ones(s_pad, dtype=np.float32)
         dlen[:n_slots_host] = snap["doc_len"][perm]
 
+        _log.debug("rebuild: tf/pad %.1fs", time.monotonic() - t_phase)
         if n_post >= self.CSR_CACHE_MIN_POSTINGS:
-            self._save_csr_cache(snap["term_starts"], slot, ltf, perm,
-                                 n_post)
+            t_phase = time.monotonic()
+            self._save_csr_cache(snap["term_starts"], slot_real, tf16,
+                                 ltf_real, perm)
+            _log.debug("rebuild: csr cache save %.1fs",
+                       time.monotonic() - t_phase)
 
         return self._finish_rebuild(
-            term_starts=snap["term_starts"], counts=counts, slot=slot,
-            ltf=ltf, dlen=dlen, perm=perm, n_post=n_post,
+            term_starts=snap["term_starts"], counts=counts,
+            slot_real=slot_real, tf16=tf16, ltf_real=ltf_real,
+            dlen=dlen, perm=perm, n_post=n_post,
             n_slots_host=n_slots_host, s_pad=s_pad, p_pad=p_pad,
             doc_alive=snap["doc_alive"].copy(),
             doc_count=snap["doc_count"], token_count=snap["token_count"],
@@ -408,8 +506,23 @@ class DeviceIndex:
         host = self.host
         term_starts = np.asarray(z["term_starts"])
         slot_real = np.asarray(z["slot"])
-        ltf_real = np.asarray(z["ltf"])
+        # v2 stores raw u16 counts (half the bytes of v1's f32 ltf);
+        # both assemble identically via _finish_rebuild.
+        tf16 = np.asarray(z["tf16"]) if "tf16" in z else None
+        ltf_real = np.asarray(z["ltf"]) if tf16 is None else None
         perm = np.asarray(z["perm"])
+        if tf16 is None and ltf_real is not None and len(ltf_real):
+            # One-time v1 -> v2 conversion: counts are exactly
+            # recoverable from f32 ltf (round(expm1(ltf)) errs by
+            # < 0.5 up to tf ~8e6), and v2 halves the upload and the
+            # cache file.
+            tf_rec = np.rint(np.expm1(ltf_real.astype(np.float64)))
+            if len(tf_rec) and 1.0 <= tf_rec.min() \
+                    and tf_rec.max() < 65536.0:
+                tf16 = tf_rec.astype(np.uint16)
+                ltf_real = None
+                self._save_csr_cache(term_starts, slot_real, tf16,
+                                     None, perm)
         self.term_starts = term_starts
         self.base_nterms = len(term_starts) - 1
 
@@ -417,34 +530,47 @@ class DeviceIndex:
         n_post = len(slot_real)
         s_pad = _pad_size(n_slots_host, self._MIN_SLOTS)
         p_pad = _pad_size(n_post, self._MIN_POSTINGS)
-        slot = np.zeros(p_pad, dtype=np.int32)
-        slot[:n_post] = slot_real
-        ltf = np.zeros(p_pad, dtype=np.float32)
-        ltf[:n_post] = ltf_real
         dlen = np.ones(s_pad, dtype=np.float32)
         dlen[:n_slots_host] = \
             host.doc_len.view()[:n_slots_host].astype(np.float32)[perm]
         counts = np.diff(term_starts)
         return self._finish_rebuild(
-            term_starts=term_starts, counts=counts, slot=slot, ltf=ltf,
+            term_starts=term_starts, counts=counts, slot_real=slot_real,
+            tf16=tf16, ltf_real=ltf_real,
             dlen=dlen, perm=perm, n_post=n_post,
             n_slots_host=n_slots_host, s_pad=s_pad, p_pad=p_pad,
             doc_alive=host.doc_alive.view()[:n_slots_host].copy(),
             doc_count=host.doc_count, token_count=host.token_count,
             generation=host.generation)
 
-    def _finish_rebuild(self, *, term_starts, counts, slot, ltf, dlen,
-                        perm, n_post, n_slots_host, s_pad, p_pad,
-                        doc_alive, doc_count, token_count,
-                        generation) -> bool:
+    def _finish_rebuild(self, *, term_starts, counts, slot_real,
+                        dlen, perm, n_post, n_slots_host, s_pad, p_pad,
+                        doc_alive, doc_count, token_count, generation,
+                        tf16=None, ltf_real=None) -> bool:
+        """Publish the device snapshot.  Postings arrive UNPADDED as
+        ``slot_real`` int32[n_post] plus either ``tf16`` uint16 counts
+        (preferred: half the upload bytes; ltf computed on device) or
+        ``ltf_real`` float32 (when a count overflows u16, or from a
+        v1 layout cache)."""
         # 25% adl headroom: the BM25 bound is recomputed on every
         # rebuild, and the delta budget caps how far adl can move
         # between rebuilds -- far below this margin.
         adl_build = (token_count // doc_count) if doc_count else 1.0
         self.adl_cap = float(max(adl_build, 1.0)) * 1.25
+
+        def ltf_range(lo: int, hi: int) -> np.ndarray:
+            if ltf_real is not None:
+                return ltf_real[lo:hi]
+            return np.log(tf16[lo:hi].astype(np.float64) + 1.0).astype(
+                np.float32)
+
         if os.environ.get("NXS_ENABLE_PRUNED"):
+            slot_pad = np.zeros(p_pad, dtype=np.int32)
+            slot_pad[:n_post] = slot_real
+            ltf_pad = np.zeros(p_pad, dtype=np.float32)
+            ltf_pad[:n_post] = ltf_range(0, n_post)
             bmax_ltf, bmax_bm25 = block_bounds_metadata(
-                term_starts, slot[:n_post], ltf,
+                term_starts, slot_pad[:n_post], ltf_pad,
                 dlen, s_pad, p_pad, self.adl_cap)
         else:
             # The block-max pruned executor is experimental (gated off
@@ -452,7 +578,47 @@ class DeviceIndex:
             # the postings size in HBM and a host reduceat per rebuild.
             bmax_ltf = bmax_bm25 = None
 
-        # Dense rows for the heaviest terms (device-slot indexed).
+        t_phase = time.monotonic()
+        # Column device arrays derive lazily from the pack (no upload,
+        # no standing HBM until a fallback executor needs them).
+        self._slot_dev = None
+        self._ltf_dev = None
+        # Interleaved (slot, ltf, dl) rows for the sliced executor: ONE
+        # contiguous per-term dynamic slice fetches everything a
+        # posting contributes (random gathers measured ~50 ns/element
+        # on v5e vs sequential DMA at HBM bandwidth).  Slots ride as
+        # f32 by value -- exact below 2**24, which the router gates on.
+        # Guard rows past p_pad keep dynamic_slice starts from
+        # clamping (which would silently shift the fetched window);
+        # their slot is the n_slots sentinel so clamped-tail lanes
+        # could never alias a real document even if unmasked.  The f32
+        # pack itself is assembled ON DEVICE from the compact columns
+        # (_build_pack_dev): the tunnel uplink is the bottleneck.
+        guard = min(self.SLICE_MAX_T,
+                    max(int(counts.max()) if len(counts) else 0, 1))
+        slot_g = np.zeros(p_pad + guard, dtype=np.int32)
+        slot_g[:n_post] = slot_real
+        slot_g[p_pad:] = s_pad
+        if tf16 is not None:
+            vals = np.zeros(p_pad + guard, dtype=np.uint16)
+            vals[:n_post] = tf16
+            from_tf = True
+        else:
+            vals = np.zeros(p_pad + guard, dtype=np.float32)
+            vals[:n_post] = ltf_real
+            from_tf = False
+        dlen_dev = self._put(dlen)
+        self.postings_pack = _build_pack_dev(
+            self._put(slot_g), self._put(vals), dlen_dev,
+            from_tf=from_tf)
+        self.postings_pack.block_until_ready()
+        _log.debug("rebuild: pack upload+build %.1fs (%.1f GB shipped)",
+                   time.monotonic() - t_phase,
+                   (slot_g.nbytes + vals.nbytes) / 1e9)
+        t_phase = time.monotonic()
+
+        # Dense rows for the heaviest terms (device-slot indexed),
+        # scattered from the pack ON DEVICE (no host build, no upload).
         term_df_base = counts  # base postings per term (live rows)
         heavy = np.nonzero(term_df_base > s_pad // self.DENSE_DF_DIV)[0]
         row_cap = min(self.MAX_DENSE_ROWS,
@@ -464,40 +630,16 @@ class DeviceIndex:
         lookup = np.full(self.base_nterms + 1, -1, dtype=np.int32)
         lookup[heavy + 1] = np.arange(len(heavy), dtype=np.int32)
         self.dense_row_lookup = lookup
-        n_rows = max(len(heavy), 1)
-        rows = np.zeros((n_rows, s_pad), dtype=np.float32)
-        for i, t in enumerate(heavy):
-            lo = self.term_starts[t]
-            hi = self.term_starts[t + 1]
-            rows[i, slot[lo:hi]] = ltf[lo:hi]
-        self.dense_rows = self._put(rows)
-
-        self._slot_host = slot
-        self._ltf_host = ltf
-        if p_pad <= self._EAGER_POSTINGS:
-            self._slot_dev = self._put(slot)
-            self._ltf_dev = self._put(ltf)
-        else:
-            self._slot_dev = None
-            self._ltf_dev = None
-        # Interleaved (slot, ltf, dl) rows for the sliced executor: ONE
-        # contiguous per-term dynamic slice fetches everything a
-        # posting contributes (random gathers measured ~50 ns/element
-        # on v5e vs sequential DMA at HBM bandwidth).  Slots ride as
-        # f32 by value -- exact below 2**24, which the router gates on.
-        # Guard rows past p_pad keep dynamic_slice starts from
-        # clamping (which would silently shift the fetched window);
-        # their slot is the n_slots sentinel so clamped-tail lanes
-        # could never alias a real document even if unmasked.
-        guard = min(self.SLICE_MAX_T,
-                    max(int(counts.max()) if len(counts) else 0, 1))
-        pack = np.zeros((p_pad + guard, 3), dtype=np.float32)
-        pack[:p_pad, 0] = slot
-        pack[p_pad:, 0] = float(s_pad)
-        pack[:p_pad, 1] = ltf
-        pack[:n_post, 2] = dlen[slot[:n_post]]
-        self.postings_pack = self._put(pack)
-        self.doc_len = self._put(dlen)
+        h_starts = term_starts[heavy].astype(np.int64)
+        h_lens = term_df_base[heavy].astype(np.int64)
+        self.dense_rows = _dense_rows_dev(
+            self.postings_pack, self._put(h_starts), self._put(h_lens),
+            s_pad=s_pad, p_pad=p_pad, n_rows=len(heavy),
+            chunk=min(p_pad, 1 << 22))
+        _log.debug("rebuild: dense rows %.1fs (%d rows, on device)",
+                   time.monotonic() - t_phase, len(heavy))
+        t_phase = time.monotonic()
+        self.doc_len = dlen_dev
         self.bmax_ltf = self._put(bmax_ltf) if bmax_ltf is not None else None
         self.bmax_bm25 = (self._put(bmax_bm25)
                           if bmax_bm25 is not None else None)

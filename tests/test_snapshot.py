@@ -128,3 +128,47 @@ def test_csr_cache_roundtrip(tmp_path, monkeypatch):
     got2 = dict(idx2.search("t3 t7", sp))
     assert 5 not in got2
     nxs2.close()
+
+
+def test_csr_cache_v1_compat_and_upgrade(tmp_path, monkeypatch):
+    """A v1 layout cache (f32 ltf) must load, produce identical
+    results, and upgrade itself to the compact v2 (u16 tf) format."""
+    import os
+
+    import numpy as np
+
+    from nxsearch_tpu import Nxs, Params
+    from nxsearch_tpu.index.device import DeviceIndex
+
+    monkeypatch.setattr(DeviceIndex, "CSR_CACHE_MIN_POSTINGS", 0)
+    rng = np.random.default_rng(9)
+    docs = [(i + 1, " ".join(f"t{rng.integers(0, 30)}" for _ in range(10)))
+            for i in range(90)]
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("v")
+    idx.add_many(docs)
+    sp = Params().set_uint("limit", 50)
+    want = dict(idx.search("t3 t7 t11", sp))
+    path = idx.dev._csr_cache_path
+    with np.load(path, allow_pickle=False) as zf:
+        assert int(zf["version"]) == 2 and "tf16" in zf
+        z = {k: np.asarray(zf[k]) for k in zf.files}
+    # Rewrite the cache in the v1 layout.
+    ltf = np.log(z["tf16"].astype(np.float64) + 1.0).astype(np.float32)
+    with open(path, "wb") as f:
+        np.savez(f, version=np.int64(1), generation=z["generation"],
+                 term_starts=z["term_starts"], slot=z["slot"],
+                 ltf=ltf, perm=z["perm"])
+    idx.checkpoint()
+    nxs.close()
+
+    nxs2 = Nxs(str(tmp_path))
+    idx2 = nxs2.index_open("v")
+    got = dict(idx2.search("t3 t7 t11", sp))
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-4
+    with np.load(path, allow_pickle=False) as z2:
+        assert int(z2["version"]) == 2 and "tf16" in z2   # upgraded
+        np.testing.assert_array_equal(z2["slot"], z["slot"])
+    nxs2.close()
