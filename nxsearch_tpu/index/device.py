@@ -84,27 +84,42 @@ import functools
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("from_tf",))
-def _build_pack_dev(slot, tf, dlen, *, from_tf: bool):
-    """Assemble the (slot, ltf, dl) postings pack ON DEVICE.
+# Rows per pack-build chunk: 4M rows = 16 MB slot + 8 MB tf per
+# upload.  Chunking keeps the transient HBM at (pack + one chunk)
+# instead of (pack + full compact columns): a 3 GB transient at the
+# 8.8M-doc tier fragmented the heap enough to OOM later allocations.
+_PACK_CHUNK = 1 << 22
 
-    ``slot`` int32[P_pad + guard] (guard rows pre-set to the s_pad
-    sentinel), ``tf`` uint16 occurrence counts (or float32 ltf when
-    from_tf is False), ``dlen`` f32[s_pad].  Uploading the compact
-    columns and deriving the f32 pack device-side moves ~half the
-    bytes of shipping the pack itself -- the host->device link is the
-    dominant cost of large-index opens (measured ~10 MB/s through the
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _pack_init_dev(*, n: int):
+    return jnp.zeros((n, 3), jnp.float32)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("from_tf",))
+def _pack_update_dev(pack, slot_c, vals_c, dlen, off, *, from_tf: bool):
+    """Write one chunk of (slot, ltf, dl) rows into the donated pack.
+
+    ``slot_c`` int32[C] (guard rows pre-set to the s_pad sentinel),
+    ``vals_c`` uint16 occurrence counts (or float32 ltf when from_tf
+    is False), ``dlen`` f32[s_pad].  Uploading the compact columns and
+    deriving the f32 pack device-side moves ~half the bytes of
+    shipping the pack itself -- the host->device link is the dominant
+    cost of large-index opens (measured ~10 MB/s through the
     remote-TPU tunnel: 6.2 GB of pack took 638 s; slot+tf is 3.2 GB).
-    Inputs are donated: XLA reuses their HBM for the output.
+    The pack is donated: updates are in place.
     """
-    slot_f = slot.astype(jnp.float32)
+    from jax import lax
+
+    slot_f = slot_c.astype(jnp.float32)
     if from_tf:
-        ltf = jnp.log(tf.astype(jnp.float32) + 1.0)
+        ltf = jnp.log(vals_c.astype(jnp.float32) + 1.0)
     else:
-        ltf = tf
-    dl = dlen[jnp.minimum(slot, dlen.shape[0] - 1)]
-    return jnp.stack([slot_f, ltf, dl], axis=1)
+        ltf = vals_c
+    dl = dlen[jnp.minimum(slot_c, dlen.shape[0] - 1)]
+    block = jnp.stack([slot_f, ltf, dl], axis=1)
+    return lax.dynamic_update_slice(pack, block, (off, 0))
 
 
 @functools.partial(jax.jit, donate_argnums=(),
@@ -596,21 +611,30 @@ class DeviceIndex:
         # (_build_pack_dev): the tunnel uplink is the bottleneck.
         guard = min(self.SLICE_MAX_T,
                     max(int(counts.max()) if len(counts) else 0, 1))
-        slot_g = np.zeros(p_pad + guard, dtype=np.int32)
+        # Rounding the pack up to whole chunks keeps every update the
+        # same shape (one compiled executable); the extra tail rows
+        # carry the guard sentinel and are never addressed.
+        chunk = min(_PACK_CHUNK, _pad_size(p_pad + guard, 1 << 12))
+        n_round = -(-(p_pad + guard) // chunk) * chunk
+        slot_g = np.zeros(n_round, dtype=np.int32)
         slot_g[:n_post] = slot_real
         slot_g[p_pad:] = s_pad
         if tf16 is not None:
-            vals = np.zeros(p_pad + guard, dtype=np.uint16)
+            vals = np.zeros(n_round, dtype=np.uint16)
             vals[:n_post] = tf16
             from_tf = True
         else:
-            vals = np.zeros(p_pad + guard, dtype=np.float32)
+            vals = np.zeros(n_round, dtype=np.float32)
             vals[:n_post] = ltf_real
             from_tf = False
         dlen_dev = self._put(dlen)
-        self.postings_pack = _build_pack_dev(
-            self._put(slot_g), self._put(vals), dlen_dev,
-            from_tf=from_tf)
+        pack = _pack_init_dev(n=n_round)
+        for off in range(0, n_round, chunk):
+            pack = _pack_update_dev(
+                pack, self._put(slot_g[off: off + chunk]),
+                self._put(vals[off: off + chunk]),
+                dlen_dev, np.int32(off), from_tf=from_tf)
+        self.postings_pack = pack
         self.postings_pack.block_until_ready()
         _log.debug("rebuild: pack upload+build %.1fs (%.1f GB shipped)",
                    time.monotonic() - t_phase,
