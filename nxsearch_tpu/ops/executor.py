@@ -131,8 +131,14 @@ def sliced_topk(
     dense_rows=None,  # f32[H, S_pad]: heavy-term ltf rows
     d_row=None,       # int32[N, D]: dense_rows row index, -1 pad
     d_idf=None,       # float32[N, D]: idf of each dense term
+    h_start=None,     # int32[N]: head term CSR start (T_head > 0)
+    h_len=None,       # int32[N]
+    h_idf=None,       # float32[N]
+    h_row=None,       # int32[N]: head token row (mask bit position)
+    h_pass=None,      # bool[N]: program({head}) -- head-only docs pass
     *, T: int, k: int, algo: int, n_slots: int, use_mask: bool,
     single: bool, alive_all: bool, use_rows: bool, depth: int = 8,
+    T_head: int = 0,
 ):
     """Sliced exact top-k: contiguous per-term fetch, one variadic
     sort, segmented-scan aggregation.  The accelerator fast path for
@@ -154,11 +160,25 @@ def sliced_topk(
       bits, so the router keeps masked queries with dense terms on
       the blockdense path.
 
+    With ``T_head > 0`` the query's single heaviest term (the "head")
+    is kept OUT of the sort plane: its contributions merge into the
+    tail candidates by a batched binary search (both sides are
+    slot-sorted), and documents matched only by the head go through a
+    plain ``top_k`` over its slice -- ~36x cheaper per lane than sort
+    on v5e (0.1 ns vs 3.6 ns), which is where high-df query terms
+    would otherwise spend their time.  Masked queries stay exact: the
+    head's presence bit joins the candidate bits before program
+    evaluation, and ``h_pass`` (the program evaluated host-side on the
+    head-only bit pattern) decides whether head-only documents can
+    appear at all.
+
     Returns packed f32[N, 2, k']: scores and slot indexes by value
     (exact: the router gates on n_slots < 2**24).
     """
     assert not (use_rows and use_mask), \
         "hybrid dense-row path is pure-OR only (router invariant)"
+    assert not (use_rows and T_head), \
+        "dense-row and head-term hybrids are mutually exclusive (router)"
     n_batch, n_terms = q_start.shape
     win = _sliced_fetch(postings_pack, q_start, T=T)   # [N, Qs, T, 3]
     slot_f = win[..., 0]
@@ -211,14 +231,44 @@ def sliced_topk(
         slots = jnp.where(scores > 0.0, slots, 0.0)
         return jnp.stack([scores, slots], axis=1)
 
+    # Head-term slice: one contiguous window per query, scored
+    # elementwise; invalid tail positions key to +inf so the plane
+    # stays ascending for the binary-search merge below.
+    if T_head > 0:
+        hwin = _sliced_fetch(postings_pack, h_start[:, None],
+                             T=T_head)[:, 0]          # [N, T_h, 3]
+        h_valid = (jnp.arange(T_head, dtype=jnp.int32)[None, :]
+                   < h_len[:, None])
+        if algo == ALGO_BM25:
+            hc = bm25(hwin[..., 1], hwin[..., 2],
+                      h_idf[:, None], adl)
+        else:
+            hc = tf_idf(hwin[..., 1], h_idf[:, None])
+        h_key = jnp.where(h_valid, hwin[..., 0], jnp.float32(jnp.inf))
+        if not alive_all:
+            h_slot_i = h_key.astype(jnp.int32)
+            h_slot_i = jnp.where(h_valid, h_slot_i, 0)
+            word = jnp.minimum(h_slot_i >> 5, alive_mask.shape[0] - 1)
+            h_alive = ((alive_mask[word]
+                        >> (h_slot_i & 31).astype(jnp.uint32)) & 1
+                       ).astype(jnp.bool_)
+            hc = jnp.where(h_valid & h_alive, hc, 0.0)
+        else:
+            hc = jnp.where(h_valid, hc, 0.0)
+
     flat = n_terms * T
     key = jnp.where(valid, slot_f, jnp.float32(jnp.inf)).reshape(
         n_batch, flat)
     contrib_f = contrib.reshape(n_batch, flat)
     if use_mask:
-        bit = (jnp.uint32(1) << jnp.minimum(
-            jnp.arange(n_terms, dtype=jnp.int32), 31
-        ).astype(jnp.uint32))[None, :, None]
+        # Presence-bit position of CSR column c is its token row: the
+        # columns preserve token order, with the head's row (if any)
+        # skipped -- columns at or past it shift up by one.
+        rows = jnp.arange(n_terms, dtype=jnp.int32)[None, :]
+        if T_head > 0:
+            rows = rows + (rows >= h_row[:, None]).astype(jnp.int32)
+        bit = (jnp.uint32(1) << jnp.minimum(rows, 31).astype(jnp.uint32)
+               )[:, :, None]
         bits = jnp.where(valid, bit, jnp.uint32(0)).reshape(n_batch, flat)
         key_s, contrib_s, bits_s = lax.sort(
             (key, contrib_f, bits), dimension=1, num_keys=1)
@@ -258,6 +308,24 @@ def sliced_topk(
                 [jnp.broadcast_to(zb, (n_batch, off)), bits_s[:, :-off]],
                 axis=1)
             run_bits = run_bits | jnp.where(eq, b_prev, jnp.uint32(0))
+
+    # Head merge: batched binary search of the candidate slots into the
+    # (sorted) head slice -- matched candidates absorb the head's
+    # contribution (and its presence bit) before program evaluation.
+    h_add = None
+    if T_head > 0:
+        find = jax.vmap(
+            lambda a, v: jnp.searchsorted(a, v, side="left"))(h_key, key_s)
+        find_c = jnp.minimum(find, T_head - 1)
+        matched = (jnp.take_along_axis(h_key, find_c, axis=1) == key_s) \
+            & jnp.isfinite(key_s)
+        h_add = jnp.where(matched,
+                          jnp.take_along_axis(hc, find_c, axis=1), 0.0)
+        if use_mask:
+            hbit = (jnp.uint32(1)
+                    << jnp.minimum(h_row, 31).astype(jnp.uint32))
+            run_bits = run_bits | jnp.where(matched, hbit[:, None],
+                                            jnp.uint32(0))
     if use_mask:
         keep = jax.vmap(
             lambda b, po, pa: eval_program_bits(b, po, pa, depth=depth)
@@ -266,7 +334,8 @@ def sliced_topk(
         keep = True
 
     is_doc = last & jnp.isfinite(key_s)
-    segsum = jnp.where(is_doc & keep, run, 0.0)
+    total = run if h_add is None else run + h_add
+    segsum = jnp.where(is_doc & keep, total, 0.0)
 
     if use_rows:
         # Candidate totals must include the dense terms' contributions
@@ -284,6 +353,23 @@ def sliced_topk(
         slots = jnp.where(scores > 0.0, slots_i.astype(jnp.float32), 0.0)
         return jnp.stack([scores, slots], axis=1)
 
+    if T_head > 0:
+        # Head-only documents: drop head postings a tail candidate
+        # consumed (their doc's full total lives on the candidate
+        # side), gate the rest on the host-evaluated head-only program
+        # verdict, then top-k over both planes at once.
+        drop_ix = jnp.where(is_doc & matched, find_c, T_head)
+        hplane = hc.at[jnp.arange(n_batch)[:, None], drop_ix].set(
+            0.0, mode="drop")
+        if use_mask:
+            hplane = jnp.where(h_pass[:, None], hplane, 0.0)
+        scores_all = jnp.concatenate([segsum, hplane], axis=1)
+        slots_all = jnp.concatenate([key_s, h_key], axis=1)
+        scores, ix = lax.top_k(scores_all, min(k, flat + T_head))
+        slots = jnp.take_along_axis(slots_all, ix, axis=1)
+        slots = jnp.where(scores > 0.0, slots, 0.0)
+        return jnp.stack([scores, slots], axis=1)
+
     scores, ix = lax.top_k(segsum, min(k, flat))
     slots = jnp.take_along_axis(key_s, ix, axis=1)
     slots = jnp.where(scores > 0.0, slots, 0.0)
@@ -293,7 +379,7 @@ def sliced_topk(
 device_search_sliced_batch = functools.partial(
     jax.jit,
     static_argnames=("T", "k", "algo", "n_slots", "use_mask", "single",
-                     "alive_all", "use_rows", "depth"),
+                     "alive_all", "use_rows", "depth", "T_head"),
 )(sliced_topk)
 
 

@@ -52,6 +52,9 @@ _MIN_TERMS = 8
 _MIN_K = 16
 _MIN_PROG = 16
 _MIN_DEPTH = 4
+# Head-term extraction threshold (sliced path): a CSR term with df at
+# or above this leaves the sort plane for the searchsorted/top_k merge.
+_HEAD_MIN_DF = 65536
 
 
 @dataclass
@@ -140,6 +143,14 @@ class _Plan:
     sl_idf: np.ndarray = None
     sl_T: int = 0
     single: bool = False        # exactly one term, pure-OR
+    # Head-term hybrid (sliced path): the heaviest CSR term, kept out
+    # of the sort plane (ops/executor.py sliced_topk T_head).
+    h_start: int = 0
+    h_len: int = 0
+    h_idf: float = 0.0
+    h_row: int = -1             # token row (presence-bit position)
+    h_T: int = 0                # pow2 slice tier; 0 = no head
+    h_pass: bool = True         # program({head}) for head-only docs
 
     @property
     def use_rows(self) -> bool:
@@ -248,6 +259,36 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
             d_idf[j] = q_idf[d_qpos[j]]
     dense_set = {int(x) for x in d_qpos if x >= 0}
     csr_cols = [i for i in range(n_tok) if i not in dense_set]
+
+    # Head-term extraction (single-chip sliced path): the heaviest CSR
+    # term leaves the sort plane for the searchsorted + top_k merge
+    # when its df clears the tier threshold -- sort costs ~36x more
+    # per lane than top_k on v5e, and high-df terms dominate the sort.
+    h_start_v = h_len_v = 0
+    h_idf_v = 0.0
+    h_row_v = -1
+    h_T = 0
+    h_pass_v = True
+    if not sharded and not dense_set and len(csr_cols) >= 2:
+        lens = [int(q_len[c]) for c in csr_cols]
+        hmax = max(lens)
+        ht = 512
+        while ht < hmax:
+            ht <<= 1
+        if hmax >= _HEAD_MIN_DF and ht <= DeviceIndex.SLICE_MAX_T:
+            hcol = csr_cols[lens.index(hmax)]
+            h_start_v = int(q_start[hcol])
+            h_len_v = hmax
+            h_idf_v = float(q_idf[hcol])
+            h_row_v = hcol
+            h_T = ht
+            csr_cols = [c for c in csr_cols if c != hcol]
+            if use_mask:
+                present = np.zeros((EMPTY_LEAF_BIT + 1, 1), np.bool_)
+                present[min(h_row_v, EMPTY_LEAF_BIT - 1)] = True
+                h_pass_v = bool(_eval_program_np(
+                    present, prog_ops, prog_args)[0])
+
     qs_pad = 1
     while qs_pad < max(len(csr_cols), 1):
         qs_pad <<= 1
@@ -271,7 +312,9 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
                  d_qpos=d_qpos, d_row=d_row, d_idf=d_idf,
                  sl_start=sl_start, sl_len=sl_len, sl_idf=sl_idf,
                  sl_T=sl_T,
-                 single=(n_tok == 1 and not use_mask))
+                 single=(n_tok == 1 and not use_mask),
+                 h_start=h_start_v, h_len=h_len_v, h_idf=h_idf_v,
+                 h_row=h_row_v, h_T=h_T, h_pass=h_pass_v)
 
 
 # Shared read-only dummy program for unmasked plans (kept 1-op so the
@@ -376,8 +419,26 @@ def _build_plans(dev, queries: list[Query],
     else:
         iscsr = valid_m
 
+    # Head-term extraction (matches _build_plan): rows without dense
+    # terms whose heaviest CSR term clears the tier threshold move it
+    # out of the sort plane (pure-OR here, so h_pass is always True).
+    ln_csr = np.where(iscsr, ln_m, 0)
+    row_max = ln_csr.max(axis=1)
+    n_csr0 = iscsr.sum(axis=1)
+    elig = ((~take.any(axis=1)) & (n_csr0 >= 2)
+            & (row_max >= _HEAD_MIN_DF)
+            & (_pow2ceil(np.maximum(row_max, 1))
+               <= DeviceIndex.SLICE_MAX_T))
+    any_head = bool(elig.any())
+    h_col = np.argmax(ln_csr, axis=1)
+    if any_head:
+        ishead = np.zeros((ns, mp), bool)
+        er = np.nonzero(elig)[0]
+        ishead[er, h_col[er]] = True
+        iscsr = iscsr & ~ishead
+
     # CSR-column compaction (token order preserved).
-    if any_dense:
+    if any_dense or any_head:
         ccol = np.cumsum(iscsr, axis=1) - 1
         cr, cc = np.nonzero(iscsr)
         sl_start_m = np.zeros((ns, mp), np.int32)
@@ -393,6 +454,8 @@ def _build_plans(dev, queries: list[Query],
     qs_pad = _pow2ceil(n_csr)
     sl_maxlen = np.max(np.where(iscsr, ln_m, 0), axis=1)
     sl_t = np.maximum(512, _pow2ceil(sl_maxlen))
+    h_t = np.where(elig, np.maximum(512, _pow2ceil(
+        np.maximum(row_max, 1))), 0)
 
     # Per-query scalars.
     totals = ln_m.sum(axis=1, dtype=np.int64)
@@ -405,6 +468,8 @@ def _build_plans(dev, queries: list[Query],
 
     for j, i in enumerate(simple):
         qp = int(q_pad[j])
+        head = bool(elig[j])
+        hc = int(h_col[j])
         plans[i] = _Plan(
             q_start=st_m[j, :qp], q_len=ln_m[j, :qp],
             q_idf=idf_m[j, :qp],
@@ -417,7 +482,12 @@ def _build_plans(dev, queries: list[Query],
             sl_len=sl_len_m[j, : qs_pad[j]],
             sl_idf=sl_idf_m[j, : qs_pad[j]],
             sl_T=int(sl_t[j]),
-            single=bool(counts[j] == 1))
+            single=bool(counts[j] == 1),
+            h_start=int(st_m[j, hc]) if head else 0,
+            h_len=int(row_max[j]) if head else 0,
+            h_idf=float(idf_m[j, hc]) if head else 0.0,
+            h_row=hc if head else -1,
+            h_T=int(h_t[j]))
     return plans
 
 
@@ -675,6 +745,7 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
 
     if _use_sliced(plan, sharded, dev):
         from .ops.executor import device_search_sliced_batch, unpack_sliced
+        t_head = plan.h_T
         packed = device_search_sliced_batch(
             dev.postings_pack, dev.alive_mask, dev.doc_len,
             jnp.asarray(plan.sl_start[None]), jnp.asarray(plan.sl_len[None]),
@@ -682,12 +753,20 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
             jnp.asarray(prog_ops[None]), jnp.asarray(prog_args[None]),
             dev.dense_rows, jnp.asarray(plan.d_row[None]),
             jnp.asarray(plan.d_idf[None]),
+            jnp.asarray([plan.h_start], jnp.int32) if t_head else None,
+            jnp.asarray([plan.h_len], jnp.int32) if t_head else None,
+            jnp.asarray([plan.h_idf], jnp.float32) if t_head else None,
+            jnp.asarray([plan.h_row], jnp.int32) if t_head else None,
+            jnp.asarray([plan.h_pass], jnp.bool_) if t_head else None,
             T=plan.sl_T, k=k, algo=sp.algo, n_slots=dev.n_slots,
             use_mask=use_mask, single=plan.single,
             alive_all=dev.alive_all, use_rows=plan.use_rows, depth=depth,
+            T_head=t_head,
         )
         scores, slots = unpack_sliced(packed)
         _count("sliced")
+        if t_head:
+            _count("sliced_head")
         return _to_response(dev, scores[0], slots[0], sp.limit,
                             delta=_delta_results(dev, plan, sp))
 
@@ -788,7 +867,8 @@ def execute_query_batch(dev, queries: list[Query],
         if _use_sliced(plan, sharded_flag, dev):
             key = ("sl", len(plan.sl_start), plan.sl_T,
                    len(plan.prog_ops) if plan.use_mask else 0,
-                   plan.use_mask, plan.depth, plan.single, plan.use_rows)
+                   plan.use_mask, plan.depth, plan.single, plan.use_rows,
+                   plan.h_T)
         elif sharded_flag and _sharded_sliced(plan, dev):
             key = ("ssl", plan.sl_start.shape[-1], plan.sl_T,
                    len(plan.prog_ops) if plan.use_mask else 0,
@@ -815,7 +895,7 @@ def execute_query_batch(dev, queries: list[Query],
             max_n = max(1, _ELEMS_CAP // elems)
         elif key[0] == "sl":
             p = plans[members[0]]
-            elems = max(len(p.sl_start) * p.sl_T, 1)
+            elems = max(len(p.sl_start) * p.sl_T + p.h_T, 1)
             max_n = max(1, _ELEMS_CAP // elems)
             if p.use_rows:
                 max_n = min(max_n,
@@ -881,6 +961,13 @@ def execute_query_batch(dev, queries: list[Query],
                             dtype=np.int32)
             d_idf = np.zeros((n_pad, _MAX_DENSE_PER_QUERY),
                              dtype=np.float32)
+            t_head = sample.h_T
+            if t_head:
+                h_start = np.zeros(n_pad, dtype=np.int32)
+                h_len = np.zeros(n_pad, dtype=np.int32)
+                h_idf = np.zeros(n_pad, dtype=np.float32)
+                h_row = np.zeros(n_pad, dtype=np.int32)
+                h_pass = np.zeros(n_pad, dtype=np.bool_)
             for row, i in enumerate(members):
                 p = plans[i]
                 sl_start[row] = p.sl_start
@@ -892,18 +979,31 @@ def execute_query_batch(dev, queries: list[Query],
                 if p.d_row is not None:
                     d_row[row] = p.d_row
                     d_idf[row] = p.d_idf
+                if t_head:
+                    h_start[row] = p.h_start
+                    h_len[row] = p.h_len
+                    h_idf[row] = p.h_idf
+                    h_row[row] = p.h_row
+                    h_pass[row] = p.h_pass
             packed = device_search_sliced_batch(
                 dev.postings_pack, dev.alive_mask, dev.doc_len,
                 jnp.asarray(sl_start), jnp.asarray(sl_len),
                 jnp.asarray(sl_idf), jnp.float32(dev.adl),
                 jnp.asarray(prog_ops), jnp.asarray(prog_args),
                 dev.dense_rows, jnp.asarray(d_row), jnp.asarray(d_idf),
+                jnp.asarray(h_start) if t_head else None,
+                jnp.asarray(h_len) if t_head else None,
+                jnp.asarray(h_idf) if t_head else None,
+                jnp.asarray(h_row) if t_head else None,
+                jnp.asarray(h_pass) if t_head else None,
                 T=sample.sl_T, k=k, algo=sp.algo, n_slots=dev.n_slots,
                 use_mask=sample.use_mask, single=sample.single,
                 alive_all=dev.alive_all, use_rows=sample.use_rows,
-                depth=sample.depth,
+                depth=sample.depth, T_head=t_head,
             )
             _count("sliced", n)
+            if t_head:
+                _count("sliced_head", n)
             pending.append((members, packed, None, "sliced"))
             continue
         if _use_blockdense(sample, sharded, dev.n_slots):

@@ -149,3 +149,71 @@ def test_sliced_delta_merge(tmp_path):
     got = dict(idx.search("alpha gamma", Params().set_uint("limit", 100)))
     assert 1000 in got and 1001 in got and 1 in got
     nxs.close()
+
+
+def test_sliced_head_term_hybrid(tmp_path):
+    """Head-term extraction: the heaviest CSR term leaves the sort
+    plane for the searchsorted/top_k merge (T_head > 0).  Lowering
+    _HEAD_MIN_DF (and disabling dense rows with DENSE_DF_DIV=1) makes
+    the tiny corpus take that path; results must match the reference
+    executors exactly, including masked (AND/NOT) queries where
+    head-only documents are gated by the host-evaluated program."""
+    import nxsearch_tpu.search as S
+
+    saved_df = S._HEAD_MIN_DF
+    saved_div = DeviceIndex.DENSE_DF_DIV
+    S._HEAD_MIN_DF = 16
+    DeviceIndex.DENSE_DF_DIV = 1        # df > s_pad: no dense rows
+    try:
+        rng = np.random.default_rng(23)
+        docs, _ = _rand_corpus(rng, 500, 80, 25)
+        nxs = Nxs(str(tmp_path))
+        idx = nxs.index_create("hd")
+        idx.add_many(docs)
+        queries = [
+            "t000 t050",                   # head + 1 tail
+            "t000 t001 t060 t070",         # head + 3 tails
+            "t000 AND t030",               # masked: head must pass AND
+            "t031 AND NOT t000",           # masked: head is the NOT arm
+            "(t000 OR t055) AND t001",     # masked, nested
+            "t000 OR t001",                # two heavy terms: one head
+        ]
+        for algo in ("BM25", "TF-IDF"):
+            sp = Params().set_uint("limit", 60).set_str("algo", algo)
+            for query in queries:
+                S.EXEC_STATS.pop("sliced_head", None)
+                got = dict(idx.search(query, sp))
+                assert S.EXEC_STATS.get("sliced_head", 0) >= 1, \
+                    (query, algo, "head path not taken")
+                want = _reference_scores(idx, query, sp)
+                assert set(got) == set(want), (query, algo)
+                for d, s in want.items():
+                    assert got[d] == pytest.approx(s, abs=1e-4), \
+                        (query, algo, d)
+        # Batched: same plans through the vectorized planner.
+        sp = Params().set_uint("limit", 30)
+        seq = [dict(idx.search(q, sp)) for q in queries]
+        S.EXEC_STATS.pop("sliced_head", None)
+        batched = idx.search_many(queries, sp)
+        assert S.EXEC_STATS.get("sliced_head", 0) >= 1
+        for q, s, b in zip(queries, seq, batched):
+            got = dict(b)
+            assert set(got) == set(s), q
+            for d, v in s.items():
+                assert got[d] == pytest.approx(v, abs=1e-5), (q, d)
+        # Removals: alive masking applies to the head plane too.
+        for doc_id in range(3, 500, 11):
+            idx.remove(doc_id)
+        sp = Params().set_uint("limit", 50)
+        for query in ["t000 t040", "t000 AND t020"]:
+            got = dict(idx.search(query, sp))
+            removed = set(range(3, 500, 11))
+            assert not (set(got) & removed), query
+            want = _reference_scores(idx, query, sp)
+            assert set(got) == set(want), query
+            for d, s in want.items():
+                assert got[d] == pytest.approx(s, abs=1e-4), (query, d)
+        nxs.close()
+    finally:
+        S._HEAD_MIN_DF = saved_df
+        DeviceIndex.DENSE_DF_DIV = saved_div
