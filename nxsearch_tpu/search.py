@@ -9,6 +9,7 @@ doc×term scoring loop itself runs on device (ops/executor.py).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Optional
 
@@ -853,8 +854,10 @@ def execute_query_batch(dev, queries: list[Query],
     identical to per-query execution.
     """
     from .ops.executor import device_search_batch
+    from .utils.trace import phase
 
-    plans: list[Optional[_Plan]] = _build_plans(dev, queries, sp)
+    with phase("batch.plan"):
+        plans: list[Optional[_Plan]] = _build_plans(dev, queries, sp)
     responses: list[Optional[Response]] = [
         Response() if p is None else None for p in plans]
 
@@ -910,6 +913,14 @@ def execute_query_batch(dev, queries: list[Query],
     # Launch every group's device call first (dispatch is async), then
     # collect -- device work and transfers for all groups overlap.
     from .ops.executor import device_search_dense_batch
+    import os as _os
+    import time as _time
+    # NXS_PROFILE_GROUPS=1: serialize each group's device call with
+    # block_until_ready and log (key, n, ms) -- the per-signature
+    # breakdown of where batch device time goes.  Debug-only: it
+    # defeats the async dispatch overlap.
+    _prof = bool(_os.environ.get("NXS_PROFILE_GROUPS"))
+    _t_dispatch = _time.perf_counter()
     sharded = sharded_flag
     pending = []
     for key, members in chunked:
@@ -1130,8 +1141,25 @@ def execute_query_batch(dev, queries: list[Query],
             )
         pending.append((members, scores, slots, None))
 
+    if _prof:
+        # The chip executes dispatches in launch order, so blocking on
+        # each group's result in that order attributes device time per
+        # group (dispatch above was still fully async).
+        import jax as _jax
+        _plog = _trace_logger()
+        _pt = _time.perf_counter()
+        for (_key, _members), _p in zip(chunked, pending):
+            _jax.block_until_ready(
+                [x for x in (_p[1], _p[2]) if hasattr(x, "device")])
+            _now = _time.perf_counter()
+            _plog.info("group %s n=%d device %.2f ms (%.0f us/q)",
+                       _key, len(_members), (_now - _pt) * 1e3,
+                       (_now - _pt) * 1e6 / max(len(_members), 1))
+            _pt = _now
+
     from .ops.executor import unpack_blockdense, unpack_pruned
 
+    _t_fetch = _time.perf_counter()
     # Consolidate the packed groups' results into ONE device->host
     # fetch: each fetch is a full round trip (a network hop on remote
     # setups, ~27 ms measured), so a mixed batch of a dozen signature
@@ -1156,6 +1184,7 @@ def execute_query_batch(dev, queries: list[Query],
             pending[i] = (members_i, arr[at: at + n_i], extra_i, tag_i)
             at += n_i
 
+    _t_resp = _time.perf_counter()
     for members, scores, slots, tag in pending:
         if tag == "pruned":
             group_arrays = slots
@@ -1202,7 +1231,21 @@ def execute_query_batch(dev, queries: list[Query],
             slots = np.asarray(slots)
         _to_responses_group(dev, members, scores, slots, plans, sp,
                             responses)
+    _trace_log = _trace_logger()
+    if _trace_log.isEnabledFor(10):      # logging.DEBUG
+        _t_end = _time.perf_counter()
+        _trace_log.debug(
+            "batch.exec: %d groups, dispatch %.1f ms, fetch %.1f ms, "
+            "respond %.1f ms",
+            len(chunked), (_t_fetch - _t_dispatch) * 1e3,
+            (_t_resp - _t_fetch) * 1e3, (_t_end - _t_resp) * 1e3)
     return responses  # type: ignore[return-value]
+
+
+@functools.lru_cache(maxsize=1)
+def _trace_logger():
+    from .utils.log import get_logger
+    return get_logger("trace")
 
 
 def _to_responses_group(dev, members, scores, slots, plans, sp,
