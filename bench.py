@@ -116,7 +116,7 @@ def main() -> None:
                          "corpus cache exists, else the 1M tier")
     ap.add_argument("--vocab", type=int, default=0)
     ap.add_argument("--mean-len", type=int, default=0)
-    ap.add_argument("--queries", type=int, default=2048)
+    ap.add_argument("--queries", type=int, default=8192)
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--limit", type=int, default=10)
     ap.add_argument("--mixed", action="store_true",
@@ -203,13 +203,15 @@ def main() -> None:
             idx.search_many(batch, sp)
         log(f"warmup pass in {time.perf_counter() - t0:.1f}s")
 
+        # Steady-state serving shape: a continuous stream of batches,
+        # each batch's host prep overlapping the previous batch's
+        # device execution.
         t0 = time.perf_counter()
-        for batch in batches:
-            idx.search_many(batch, sp)
+        idx.search_pipelined(batches, sp)
         elapsed = time.perf_counter() - t0
         qps = args.queries / elapsed
-        log(f"batched ({args.batch}/call): {args.queries} queries in "
-            f"{elapsed:.2f}s -> {qps:.0f} QPS")
+        log(f"pipelined ({args.batch}/batch x {len(batches)}): "
+            f"{args.queries} queries in {elapsed:.2f}s -> {qps:.0f} QPS")
 
         n_seq = min(64, len(queries))
         lat = []

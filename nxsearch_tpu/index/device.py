@@ -350,6 +350,17 @@ class DeviceIndex:
         return self._ltf_dev
 
     @property
+    def slice_t_cap(self) -> int:
+        """Largest slice tier the pack's guard rows can absorb: a
+        per-term dynamic_slice window of T <= this never reads past
+        the pack (starts are <= n_postings; everything beyond carries
+        the sentinel slot).  Always >= the largest sliceable df, so
+        clamping a coarse tier to it never drops postings."""
+        if self.postings_pack is None:
+            return self.SLICE_MAX_T
+        return int(self.postings_pack.shape[0]) - self.n_postings
+
+    @property
     def alive_all(self) -> bool:
         """True when no base-snapshot document is tombstoned: the
         executors may skip per-candidate alive masking entirely."""

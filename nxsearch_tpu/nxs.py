@@ -229,6 +229,26 @@ class Index:
         finally:
             self._rw.read_release()
 
+    def search_pipelined(self, batches: list[list[str]],
+                         params: Optional[Params] = None
+                         ) -> list[list[Response]]:
+        """Streaming batched search: each batch's host prep and
+        dispatch overlap the previous batch's device execution
+        (search.search_many_pipelined).  The steady-state serving
+        shape: a continuous query stream in fixed-size batches."""
+        from .search import search_many_pipelined
+        sp = get_search_params(self.algo, params)
+        self._read_synced()
+        try:
+            fuzzy = self._fuzzy_lookup if sp.fuzzymatch else None
+            prefetch = self._fuzzy_prefetch if sp.fuzzymatch else None
+            return search_many_pipelined(self.dev, self.pipeline,
+                                         batches, sp,
+                                         fuzzy_lookup=fuzzy,
+                                         fuzzy_prefetch=prefetch)
+        finally:
+            self._rw.read_release()
+
     def stats(self) -> dict:
         """Live index statistics (observability; counts mirror the
         reference's idx_get_doc_count/token_count internals)."""

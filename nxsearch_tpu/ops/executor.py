@@ -270,6 +270,14 @@ def sliced_topk(
         bit = (jnp.uint32(1) << jnp.minimum(rows, 31).astype(jnp.uint32)
                )[:, :, None]
         bits = jnp.where(valid, bit, jnp.uint32(0)).reshape(n_batch, flat)
+    else:
+        bits = None
+    if n_terms == 1:
+        # One CSR term: its slice is already slot-ascending (CSR
+        # postings are slot-sorted; invalid tail lanes keyed +inf) --
+        # no sort, and each document occurs exactly once.
+        key_s, contrib_s, bits_s = key, contrib_f, bits
+    elif use_mask:
         key_s, contrib_s, bits_s = lax.sort(
             (key, contrib_f, bits), dimension=1, num_keys=1)
     else:

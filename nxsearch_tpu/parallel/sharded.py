@@ -320,6 +320,16 @@ class ShardedDeviceIndex:
             return 0.0
         return float(self.token_count // self.doc_count)
 
+    @property
+    def slice_t_cap(self) -> int:
+        """Largest slice tier the per-shard guard rows can absorb
+        (same contract as DeviceIndex.slice_t_cap, per shard)."""
+        from ..index.device import DeviceIndex
+        if self.postings_pack is None or self.postings_slot is None:
+            return DeviceIndex.SLICE_MAX_T
+        return (int(self.postings_pack.shape[1])
+                - int(self.postings_slot.shape[1]))
+
     # -- refresh -------------------------------------------------------
 
     def refresh(self) -> bool:

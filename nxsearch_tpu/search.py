@@ -55,7 +55,8 @@ _MIN_PROG = 16
 _MIN_DEPTH = 4
 # Head-term extraction threshold (sliced path): a CSR term with df at
 # or above this leaves the sort plane for the searchsorted/top_k merge.
-_HEAD_MIN_DF = 65536
+# Kept at the top slice tier boundary so sort planes stay <= 32k rows.
+_HEAD_MIN_DF = 32768
 
 
 @dataclass
@@ -102,6 +103,44 @@ def _bucket(n: int, minimum: int, shift: int = 1) -> int:
     while size < n:
         size <<= shift
     return size
+
+
+def _slice_tier(n: int, cap: int) -> int:
+    """Sort-plane slice tier: coarse 512 * 8**i grid with the
+    SLICE_MAX_T cap tier folded in.  Every dispatched group costs a
+    host round trip (plan uploads + launch), so tier count directly
+    multiplies per-batch dispatch overhead; the chip-side overfetch of
+    a <=8x-too-wide plane is cheaper than one extra round trip per
+    batch (measured ~12 ms/group through the tunnel, r2).
+
+    ``cap`` is the index's slice_t_cap: the widest window its pack
+    guard rows allow.  cap >= every sliceable df, so the clamp never
+    shrinks a tier below the plane's widest term."""
+    t = 512
+    while t < n:
+        t <<= 3
+    if n <= DeviceIndex.SLICE_MAX_T:
+        return min(t, DeviceIndex.SLICE_MAX_T, cap)
+    return t    # over the cap: the router rejects the sliced path
+
+
+def _head_tier(n: int, cap: int) -> int:
+    """Head-slice tier: two tiers only.  The head plane skips the sort
+    (top_k + searchsorted merge), so padding is ~0.1 ns/lane -- coarse
+    tiers are nearly free and keep the signature space tiny."""
+    return min(65536 if n <= 65536 else DeviceIndex.SLICE_MAX_T, cap)
+
+
+def _qs_pad(n: int) -> int:
+    """Sliced-plane term-count pad: 1 keeps the sort-free single-term
+    plane; everything else rounds to >= 4 (one signature covers the
+    common 2-4 term queries)."""
+    if n <= 1:
+        return 1
+    p = 4
+    while p < n:
+        p <<= 1
+    return p
 
 
 def _is_pure_or(expr: Expr) -> bool:
@@ -273,16 +312,13 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
     if not sharded and not dense_set and len(csr_cols) >= 2:
         lens = [int(q_len[c]) for c in csr_cols]
         hmax = max(lens)
-        ht = 512
-        while ht < hmax:
-            ht <<= 1
-        if hmax >= _HEAD_MIN_DF and ht <= DeviceIndex.SLICE_MAX_T:
+        if hmax >= _HEAD_MIN_DF and hmax <= DeviceIndex.SLICE_MAX_T:
             hcol = csr_cols[lens.index(hmax)]
             h_start_v = int(q_start[hcol])
             h_len_v = hmax
             h_idf_v = float(q_idf[hcol])
             h_row_v = hcol
-            h_T = ht
+            h_T = _head_tier(hmax, dev.slice_t_cap)
             csr_cols = [c for c in csr_cols if c != hcol]
             if use_mask:
                 present = np.zeros((EMPTY_LEAF_BIT + 1, 1), np.bool_)
@@ -290,9 +326,7 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
                 h_pass_v = bool(_eval_program_np(
                     present, prog_ops, prog_args)[0])
 
-    qs_pad = 1
-    while qs_pad < max(len(csr_cols), 1):
-        qs_pad <<= 1
+    qs_pad = _qs_pad(len(csr_cols))
     sl_start = np.zeros(lead + (qs_pad,), dtype=np.int32)
     sl_len = np.zeros(lead + (qs_pad,), dtype=np.int32)
     sl_idf = np.zeros(qs_pad, dtype=np.float32)
@@ -300,9 +334,8 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
         sl_start[..., col] = q_start[..., i]
         sl_len[..., col] = q_len[..., i]
         sl_idf[col] = q_idf[i]
-    sl_T = 512
-    while sl_T < int(sl_len.max() if sl_len.size else 0):
-        sl_T <<= 1
+    sl_T = _slice_tier(int(sl_len.max()) if sl_len.size else 0,
+                       dev.slice_t_cap)
 
     return _Plan(q_start=q_start, q_len=q_len, q_idf=q_idf,
                  term_ids=np.asarray([t.term_id for t in tokens],
@@ -428,8 +461,7 @@ def _build_plans(dev, queries: list[Query],
     n_csr0 = iscsr.sum(axis=1)
     elig = ((~take.any(axis=1)) & (n_csr0 >= 2)
             & (row_max >= _HEAD_MIN_DF)
-            & (_pow2ceil(np.maximum(row_max, 1))
-               <= DeviceIndex.SLICE_MAX_T))
+            & (row_max <= DeviceIndex.SLICE_MAX_T))
     any_head = bool(elig.any())
     h_col = np.argmax(ln_csr, axis=1)
     if any_head:
@@ -452,11 +484,25 @@ def _build_plans(dev, queries: list[Query],
         # No dense terms anywhere: CSR columns == token columns.
         sl_start_m, sl_len_m, sl_idf_m = st_m, ln_m, idf_m
     n_csr = iscsr.sum(axis=1)
-    qs_pad = _pow2ceil(n_csr)
+    qs_pad = np.where(n_csr <= 1, 1,
+                      np.maximum(4, _pow2ceil(n_csr)))
     sl_maxlen = np.max(np.where(iscsr, ln_m, 0), axis=1)
-    sl_t = np.maximum(512, _pow2ceil(sl_maxlen))
-    h_t = np.where(elig, np.maximum(512, _pow2ceil(
-        np.maximum(row_max, 1))), 0)
+    # Coarse 512 * 8**i sort-plane tier grid (see _slice_tier); every
+    # sliceable df stays sliceable via the SLICE_MAX_T cap tier.
+    tier_e = np.maximum(np.ceil((np.log2(np.maximum(sl_maxlen, 1)) - 9.0)
+                                / 3.0), 0).astype(np.int64)
+    sl_t_raw = 512 << (3 * tier_e)
+    # Clamp to the cap tier only when the widest term still fits it; a
+    # wider term must keep its over-cap tier so the router rejects the
+    # sliced path (the slice window would drop postings otherwise).
+    t_cap = min(DeviceIndex.SLICE_MAX_T, dev.slice_t_cap)
+    sl_t = np.where(sl_maxlen <= DeviceIndex.SLICE_MAX_T,
+                    np.minimum(sl_t_raw, t_cap),
+                    sl_t_raw)
+    h_t = np.where(elig,
+                   np.minimum(np.where(row_max <= 65536, 65536,
+                                       DeviceIndex.SLICE_MAX_T), t_cap),
+                   0)
 
     # Per-query scalars.
     totals = ln_m.sum(axis=1, dtype=np.int64)
@@ -844,6 +890,19 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
                         delta=_delta_results(dev, plan, sp))
 
 
+@dataclass
+class _PendingBatch:
+    """In-flight batch state between submit and collect: every device
+    call has been dispatched (async) but no result fetched."""
+    plans: list
+    responses: list
+    chunked: list
+    pending: list
+    k: int
+    t_dispatch: float
+    t_submitted: float
+
+
 def execute_query_batch(dev, queries: list[Query],
                         sp: SearchParams) -> list[Response]:
     """Execute many prepared queries with batched device dispatches.
@@ -853,6 +912,16 @@ def execute_query_batch(dev, queries: list[Query],
     snapshot -- amortizing dispatch and filling the chip.  Results are
     identical to per-query execution.
     """
+    return collect_query_batch(dev, submit_query_batch(dev, queries, sp),
+                               sp)
+
+
+def submit_query_batch(dev, queries: list[Query],
+                       sp: SearchParams) -> _PendingBatch:
+    """Plan, group and asynchronously dispatch every device call for a
+    query batch; pair with collect_query_batch.  Between the two calls
+    the chip crunches this batch while the host is free to prepare and
+    submit the next one (the pipelined serving path)."""
     from .ops.executor import device_search_batch
     from .utils.trace import phase
 
@@ -913,13 +982,7 @@ def execute_query_batch(dev, queries: list[Query],
     # Launch every group's device call first (dispatch is async), then
     # collect -- device work and transfers for all groups overlap.
     from .ops.executor import device_search_dense_batch
-    import os as _os
     import time as _time
-    # NXS_PROFILE_GROUPS=1: serialize each group's device call with
-    # block_until_ready and log (key, n, ms) -- the per-signature
-    # breakdown of where batch device time goes.  Debug-only: it
-    # defeats the async dispatch overlap.
-    _prof = bool(_os.environ.get("NXS_PROFILE_GROUPS"))
     _t_dispatch = _time.perf_counter()
     sharded = sharded_flag
     pending = []
@@ -1141,10 +1204,26 @@ def execute_query_batch(dev, queries: list[Query],
             )
         pending.append((members, scores, slots, None))
 
-    if _prof:
-        # The chip executes dispatches in launch order, so blocking on
-        # each group's result in that order attributes device time per
-        # group (dispatch above was still fully async).
+    return _PendingBatch(plans=plans, responses=responses,
+                         chunked=chunked, pending=pending, k=k,
+                         t_dispatch=_t_dispatch,
+                         t_submitted=_time.perf_counter())
+
+
+def collect_query_batch(dev, st: _PendingBatch,
+                        sp: SearchParams) -> list[Response]:
+    """Fetch a submitted batch's device results and build responses."""
+    import os as _os
+    import time as _time
+
+    plans, responses = st.plans, st.responses
+    chunked, pending, k = st.chunked, st.pending, st.k
+
+    # NXS_PROFILE_GROUPS=1: block on each group's result in dispatch
+    # order and log (key, n, ms) -- the chip executes dispatches in
+    # launch order, so the deltas attribute device time per signature
+    # group (the dispatch above was still fully async).
+    if _os.environ.get("NXS_PROFILE_GROUPS"):
         import jax as _jax
         _plog = _trace_logger()
         _pt = _time.perf_counter()
@@ -1237,7 +1316,7 @@ def execute_query_batch(dev, queries: list[Query],
         _trace_log.debug(
             "batch.exec: %d groups, dispatch %.1f ms, fetch %.1f ms, "
             "respond %.1f ms",
-            len(chunked), (_t_fetch - _t_dispatch) * 1e3,
+            len(chunked), (st.t_submitted - st.t_dispatch) * 1e3,
             (_t_resp - _t_fetch) * 1e3, (_t_end - _t_resp) * 1e3)
     return responses  # type: ignore[return-value]
 
@@ -1294,10 +1373,11 @@ def search(dev: DeviceIndex, pipeline, query_str: str,
     return execute_query(dev, query, sp)
 
 
-def search_many(dev, pipeline, query_strs: list[str],
-                sp: SearchParams, fuzzy_lookup=None,
-                fuzzy_prefetch=None) -> list[Response]:
-    """Batched search path: one device dispatch per signature group."""
+def _prepare_many(dev, pipeline, query_strs: list[str],
+                  sp: SearchParams, fuzzy_lookup=None,
+                  fuzzy_prefetch=None) -> list[Query]:
+    """Host query prep for a batch: parse, batched token filtering,
+    batched fuzzy resolution, prepare()."""
     roots = []
     for query_str in query_strs:
         root = parse_query(query_str)
@@ -1324,8 +1404,42 @@ def search_many(dev, pipeline, query_strs: list[str],
         if missing:
             fuzzy_prefetch(sorted(missing))
 
-    prepared = [prepare(root, pipeline, dev.host.term_lookup,
-                        fuzzy_lookup=fuzzy_lookup,
-                        fuzzymatch=sp.fuzzymatch)
-                for root in roots]
+    return [prepare(root, pipeline, dev.host.term_lookup,
+                    fuzzy_lookup=fuzzy_lookup,
+                    fuzzymatch=sp.fuzzymatch)
+            for root in roots]
+
+
+def search_many(dev, pipeline, query_strs: list[str],
+                sp: SearchParams, fuzzy_lookup=None,
+                fuzzy_prefetch=None) -> list[Response]:
+    """Batched search path: one device dispatch per signature group."""
+    prepared = _prepare_many(dev, pipeline, query_strs, sp,
+                             fuzzy_lookup, fuzzy_prefetch)
     return execute_query_batch(dev, prepared, sp)
+
+
+def search_many_pipelined(dev, pipeline, batches: list[list[str]],
+                          sp: SearchParams, fuzzy_lookup=None,
+                          fuzzy_prefetch=None) -> list[list[Response]]:
+    """Streaming serving path: overlap host work with device work.
+
+    Batch i+1 is prepared, planned and dispatched while the chip is
+    still crunching batch i (dispatch is async; only the result fetch
+    blocks), so steady-state throughput approaches
+    max(host time, device time) per batch instead of their sum.
+    Results are identical to per-batch search_many.
+    """
+    out: list[Optional[list[Response]]] = [None] * len(batches)
+    prev_st = None
+    prev_i = -1
+    for i, query_strs in enumerate(batches):
+        prepared = _prepare_many(dev, pipeline, query_strs, sp,
+                                 fuzzy_lookup, fuzzy_prefetch)
+        st = submit_query_batch(dev, prepared, sp)
+        if prev_st is not None:
+            out[prev_i] = collect_query_batch(dev, prev_st, sp)
+        prev_st, prev_i = st, i
+    if prev_st is not None:
+        out[prev_i] = collect_query_batch(dev, prev_st, sp)
+    return out  # type: ignore[return-value]

@@ -64,6 +64,22 @@ def test_sharded_batch_matches_sequential(tmp_path):
         nxs.close()
 
 
+def test_pipelined_matches_batched(index):
+    p = Params().set_str("algo", "BM25")
+    batches = [QUERIES, QUERIES[:3], QUERIES[3:]]
+    piped = index.search_pipelined(batches, p)
+    assert [len(b) for b in piped] == [len(b) for b in batches]
+    for qbatch, rbatch in zip(batches, piped):
+        expect = index.search_many(qbatch, p)
+        for query, resp, ref in zip(qbatch, rbatch, expect):
+            assert dict(resp) == pytest.approx(dict(ref), abs=1e-6), query
+
+
+def test_pipelined_empty(index):
+    assert index.search_pipelined([]) == []
+    assert index.search_pipelined([[]]) == [[]]
+
+
 def test_batch_respects_limit(index):
     responses = index.search_many(["dog fox cat"],
                                   Params().set_uint("limit", 2))
