@@ -1162,6 +1162,151 @@ def stem_pt(word: str) -> str:
     return w.replace("a~", "ã").replace("o~", "õ")
 
 # ---------------------------------------------------------------------------
+# Hindi -- Snowball's hindi stemmer implements "A Lightweight Stemmer
+# for Hindi" (Ramanathan & Rao 2003): strip the longest matching
+# suffix from the published list, keeping at least one character
+# before it.  The reference stems hi via libstemmer
+# (filters_builtin.c:206-245).
+
+_HI_SUFFIXES = sorted(
+    [
+        # 1 character (matras)
+        "ा", "ि", "ी", "ु", "ू", "ृ", "े", "ै", "ो", "ौ",
+        # 2 characters
+        "कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं",
+        "ती", "ता", "ाँ", "ां", "ों", "ें",
+        # 3 characters
+        "ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे", "ाने",
+        "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं", "ुओं", "ुएं",
+        "ुआं",
+        # 4 characters
+        "ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
+        "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ",
+        "ियों", "ियां",
+        # 5 characters
+        "ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां",
+    ],
+    key=len, reverse=True)
+
+
+def stem_hi(word: str) -> str:
+    for suf in _HI_SUFFIXES:
+        if len(word) > len(suf) and word.endswith(suf):
+            return word[: -len(suf)]
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Indonesian -- Snowball's indonesian stemmer implements the published
+# Porter-style stemmer for Bahasa Indonesia (Tala 2003): particle and
+# possessive-pronoun suffixes, then derivational prefixes/suffixes
+# with the paper's confix restrictions.  ``measure`` is the word's
+# vowel count; nothing is removed once it would drop to 2.
+
+_ID_V = "aeiou"
+
+
+def _id_measure(w: str) -> int:
+    return sum(1 for c in w if c in _ID_V)
+
+
+# Confix restrictions (Tala 2003, table of disallowed combinations):
+#   di-/meN-/ter-  may not combine with -an   (class 1)
+#   ber-/be-       may not combine with -i    (class 2)
+#   ke-/se-        may not combine with -i or -kan  (class 3)
+_ID_NO_AN = 1
+_ID_NO_I = 2
+_ID_NO_I_KAN = 3
+
+
+def _id_first_order_prefix(w: str) -> tuple[str, int, bool]:
+    """Remove one first-order derivational prefix.  Returns
+    (word, prefix_class, removed)."""
+    if w.startswith("meny") and len(w) > 4 and w[4] in _ID_V:
+        # meny+V: the stem-initial 's' elides under nasalisation.
+        return "s" + w[4:], _ID_NO_AN, True
+    if w.startswith("peny") and len(w) > 4 and w[4] in _ID_V:
+        return "s" + w[4:], 0, True
+    for p, cls in (("meng", _ID_NO_AN), ("peng", 0)):
+        if w.startswith(p):
+            return w[4:], cls, True
+    for p, cls in (("men", _ID_NO_AN), ("pen", 0),
+                   ("mem", _ID_NO_AN), ("pem", 0)):
+        if w.startswith(p):
+            return w[3:], cls, True
+    for p, cls in (("di", _ID_NO_AN), ("ter", _ID_NO_AN),
+                   ("ke", _ID_NO_I_KAN), ("se", _ID_NO_I_KAN),
+                   ("me", _ID_NO_AN), ("pe", 0)):
+        if w.startswith(p):
+            return w[len(p):], cls, True
+    return w, 0, False
+
+
+def _id_second_order_prefix(w: str) -> tuple[str, int, bool]:
+    """Remove one second-order derivational prefix."""
+    # bel-/pel- only before 'ajar' (belajar/pelajar -> ajar).
+    for p, cls in (("bel", _ID_NO_I), ("pel", 0)):
+        if w.startswith(p) and w[3:].startswith("ajar"):
+            return w[3:], cls, True
+    for p, cls in (("ber", _ID_NO_I), ("per", 0)):
+        if w.startswith(p):
+            return w[3:], cls, True
+    # be- only before consonant+'er' (bekerja -> kerja).
+    if (w.startswith("be") and len(w) > 4 and w[2] not in _ID_V
+            and w[3:5] == "er"):
+        return w[2:], _ID_NO_I, True
+    if w.startswith("pe"):
+        return w[2:], 0, True
+    return w, 0, False
+
+
+def _id_suffix(w: str, cls: int) -> str:
+    if cls != _ID_NO_I_KAN and w.endswith("kan"):
+        return w[:-3]
+    if cls != _ID_NO_AN and w.endswith("an"):
+        return w[:-2]
+    if (cls not in (_ID_NO_I, _ID_NO_I_KAN) and w.endswith("i")
+            and not w.endswith("si")):
+        # -si is protected (the published implementation's guard
+        # against stripping the -i of lexical -si endings).
+        return w[:-1]
+    return w
+
+
+def stem_id(word: str) -> str:
+    w = word
+    if _id_measure(w) <= 2:
+        return w
+    for suf in ("kah", "lah", "pun"):        # inflectional particle
+        if w.endswith(suf):
+            w = w[:-3]
+            break
+    if _id_measure(w) <= 2:
+        return w
+    for suf in ("nya", "ku", "mu"):          # possessive pronoun
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+    if _id_measure(w) <= 2:
+        return w
+    w1, cls, removed = _id_first_order_prefix(w)
+    if removed:
+        if _id_measure(w1) <= 2:
+            return w1
+        w2 = _id_suffix(w1, cls)
+        if w2 != w1 and _id_measure(w2) > 2:
+            w3, _, rem2 = _id_second_order_prefix(w2)
+            if rem2 and _id_measure(w3) > 2:
+                return w3
+        return w2
+    w1, cls, removed = _id_second_order_prefix(w)
+    if removed and _id_measure(w1) <= 2:
+        return w1
+    w2 = _id_suffix(w1, cls)
+    return w2
+
+
+# ---------------------------------------------------------------------------
 # Dispatch
 
 _STEMMERS: dict[str, Callable[[str], str]] = {
@@ -1178,6 +1323,8 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "es": stem_es,
     "it": stem_it,
     "pt": stem_pt,
+    "hi": stem_hi,
+    "id": stem_id,
 }
 
 _ALIASES = {
@@ -1185,6 +1332,7 @@ _ALIASES = {
     "russian": "ru", "english": "en", "dutch": "nl", "french": "fr",
     "spanish": "es", "italian": "it", "portuguese": "pt",
     "finnish": "fi", "hungarian": "hu", "romanian": "ro", "arabic": "ar",
+    "hindi": "hi", "indonesian": "id",
 }
 
 # Languages the reference stems via libstemmer that have no hand-rolled

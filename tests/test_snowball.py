@@ -232,3 +232,59 @@ def test_finnish_index_recall(tmp_path):
     assert 1 in dict(idx.search("kirja"))
     assert 2 not in dict(idx.search("kirja"))
     nxs.close()
+
+
+# Hindi: the lightweight suffix-strip algorithm (Ramanathan & Rao
+# 2003) that Snowball's hindi stemmer implements.
+HI = [
+    ("लड़कियाँ", "लड़क"),      # -ियाँ
+    ("लड़के", "लड़क"),         # -े
+    ("लड़का", "लड़क"),         # -ा
+    ("बच्चों", "बच्च"),        # -ों
+    ("किताबें", "किताब"),      # -ें
+    ("चलाना", "चल"),          # -ाना
+    ("खाएगी", "ख"),           # -ाएगी
+    ("राम", "राम"),           # no suffix
+]
+
+
+@pytest.mark.parametrize("word,expected", HI)
+def test_hindi(word, expected):
+    assert sb.stem_hi(word) == expected
+
+
+# Indonesian: Tala's Porter-style stemmer (the algorithm Snowball's
+# indonesian stemmer implements), vectors from the published paper's
+# derivation rules.
+ID = [
+    ("kebijakan", "bijak"),        # ke- ... -an
+    ("menghapuskan", "hapus"),     # meng- ... -kan
+    ("berlari", "lari"),           # ber-
+    ("memberikan", "beri"),        # mem- ... -kan
+    ("kemauan", "mau"),            # ke- ... -an (-kan blocked after ke-)
+    ("bukunya", "buku"),           # possessive -nya
+    ("siapakah", "siapa"),         # particle -kah
+    ("mempengaruhi", "pengaruh"),  # mem- ... -i
+    ("bekerja", "kerja"),          # be- + C+er
+    ("belajar", "ajar"),           # bel- special case
+    ("buku", "buku"),              # measure <= 2: untouched
+]
+
+
+@pytest.mark.parametrize("word,expected", ID)
+def test_indonesian(word, expected):
+    assert sb.stem_id(word) == expected
+
+
+def test_hindi_index_recall(tmp_path):
+    # The normalizer strips nonspacing marks (the reference's ICU
+    # transform does the same), so recall pairs must differ only in
+    # spacing matras that the stemmer's suffix list removes:
+    # पढ़ता/पढ़ती both normalize+stem to पढ.
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("hi", Params({"lang": "hi"}))
+    idx.add(1, "लड़का किताब पढ़ता")
+    idx.add(2, "कुछ और विषय")
+    assert 1 in dict(idx.search("पढ़ती"))
+    assert 2 not in dict(idx.search("पढ़ती"))
+    nxs.close()
