@@ -115,7 +115,11 @@ _FAST_WSP = " \t\v\f\r\n"
 _FAST_SPLIT_RE = _re.compile(f"[{_FAST_WSP}]+")
 
 
-def _parse_fast(query: str) -> Optional[Expr]:
+def parse_fast_values(query: str) -> Optional[list[str]]:
+    """The fast path's *value list*: the raw leaf values of a plain
+    term query, or None when the full grammar is needed.  Callers that
+    only need the implicit-OR term list (batched serving) skip Expr
+    construction entirely."""
     if _FAST_BAD_RE.search(query):
         return None
     if query.isascii():
@@ -128,10 +132,18 @@ def _parse_fast(query: str) -> Optional[Expr]:
         parts = [p for p in _FAST_SPLIT_RE.split(query) if p]
     if not parts:
         return None
-    root: Optional[Expr] = None
     for value in parts:
         if len(value) <= 3 and value.upper() in _FAST_KEYWORDS:
             return None
+    return parts
+
+
+def _parse_fast(query: str) -> Optional[Expr]:
+    parts = parse_fast_values(query)
+    if parts is None:
+        return None
+    root: Optional[Expr] = None
+    for value in parts:
         leaf = Expr.leaf(value)
         root = leaf if root is None else Expr.operator(
             EXPR_OP_OR, root, leaf)

@@ -25,6 +25,9 @@ class Query:
     """Parsed + prepared query (query_t equivalent)."""
     root: Optional[Expr]
     tokens: TokenSet = field(default_factory=TokenSet)
+    # Set by the batched fast path (search._prepare_many): the query is
+    # a plain implicit-OR term list, so planners may skip the AST walk.
+    pure_or: bool = False
 
 
 def prepare(root: Expr, pipeline: FilterPipeline,

@@ -18,7 +18,8 @@ import numpy as np
 
 from .errors import ErrorCode, NxsError
 from .index.device import DeviceIndex
-from .ops.boolean import EMPTY_LEAF_BIT, check_nesting, compile_program
+from .ops.boolean import (EMPTY_LEAF_BIT, QUERY_NESTING_LIMIT,
+                          check_nesting, compile_program)
 from .ops.executor import (device_search, device_search_blockdense,
                            device_search_dense)
 from .ops.scoring import ALGO_BM25, ALGO_TFIDF, host_idf
@@ -31,6 +32,12 @@ from .query.ast import EXPR_OP_OR, EXPR_VAL_TOKEN, Expr
 from .query.parser import parse_query
 from .query.prepare import Query, prepare
 from .resp import Response
+from .text.tokenizer import Token
+
+# Shared AST stand-in for batched fast-path queries (pure implicit-OR
+# term lists resolve without an Expr tree; a lone leaf is trivially
+# pure-OR for any walker that does look).
+_PURE_OR_ROOT = Expr.leaf("<batched-pure-or>")
 
 _ALGO_BY_NAME = {"BM25": ALGO_BM25, "TF-IDF": ALGO_TFIDF}
 
@@ -1373,41 +1380,137 @@ def search(dev: DeviceIndex, pipeline, query_str: str,
     return execute_query(dev, query, sp)
 
 
+# Fast-path term-count bound: a left-folded OR chain of N leaves puts
+# its deepest leaf at recursion depth N-1, so the reference's nesting
+# limit of 100 (search.c:66-75) first fires at 102 terms; the value
+# list is only taken below that (check_nesting on the built chain
+# raises for parity otherwise).
+_FAST_MAX_TERMS = QUERY_NESTING_LIMIT + 1
+
+
 def _prepare_many(dev, pipeline, query_strs: list[str],
                   sp: SearchParams, fuzzy_lookup=None,
                   fuzzy_prefetch=None) -> list[Query]:
-    """Host query prep for a batch: parse, batched token filtering,
-    batched fuzzy resolution, prepare()."""
-    roots = []
-    for query_str in query_strs:
-        root = parse_query(query_str)
-        check_nesting(root)
-        roots.append(root)
+    """Host query prep for a batch.
+
+    Work is deduplicated across the *batch*, not per query: each
+    unique raw value is filtered once (one native call primes the
+    memo), each unique filtered token is resolved against the term
+    dictionary once, and all fuzzy misses resolve in one batched
+    dispatch.  Plain term queries (the overwhelming serving majority)
+    skip AST construction entirely -- their Query carries the resolved
+    token list and a ``pure_or`` flag.  Only chains of the pure
+    builtin filters take the batched path: plugin filters may be
+    stateful, so they keep the reference's per-leaf run order.
+    """
+    from .query.parser import parse_fast_values
+    from .utils.trace import phase
+
+    if getattr(pipeline, "_memo", None) is None:
+        # Non-memoizable (stateful plugin) chain: per-query reference
+        # flow, one pipeline run per leaf occurrence.
+        out = []
+        for query_str in query_strs:
+            root = parse_query(query_str)
+            check_nesting(root)
+            out.append(prepare(root, pipeline, dev.host.term_lookup,
+                               fuzzy_lookup=(fuzzy_lookup
+                                             if sp.fuzzymatch else None),
+                               fuzzymatch=sp.fuzzymatch))
+        return out
+
+    with phase("prep.parse"):
+        fast_vals: list[Optional[list[str]]] = []
+        roots: list[Optional[Expr]] = []
+        slow_ix: list[int] = []
+        for i, query_str in enumerate(query_strs):
+            vals = parse_fast_values(query_str)
+            if vals is not None and len(vals) <= _FAST_MAX_TERMS:
+                fast_vals.append(vals)
+                roots.append(None)
+            else:
+                root = parse_query(query_str)
+                check_nesting(root)
+                fast_vals.append(None)
+                roots.append(root)
+                slow_ix.append(i)
+
+    # Unique raw values across the whole batch (insertion-ordered).
+    uniq: dict[str, None] = {}
+    for vals in fast_vals:
+        if vals:
+            for v in vals:
+                uniq[v] = None
+    for i in slow_ix:
+        for leaf in roots[i].walk_leaves():
+            uniq[leaf.value] = None
 
     prime = getattr(pipeline, "prime", None)
     if prime is not None:
-        # One native call filters the batch's unique leaf tokens into
-        # the pipeline memo; the per-query prepare() below then runs
-        # on memo hits.
-        prime([leaf.value for root in roots
-               for leaf in root.walk_leaves()])
+        # One native call filters the batch's unique values into the
+        # pipeline memo; run() below is then a small-dict hit.
+        with phase("prep.prime"):
+            prime(list(uniq))
 
-    if fuzzy_prefetch is not None and sp.fuzzymatch:
-        # Resolve every unmatched leaf token with one batched fuzzy
-        # dispatch instead of a device round trip per token.
-        missing = set()
-        for root in roots:
-            for leaf in root.walk_leaves():
-                filtered = pipeline.run(leaf.value)
-                if filtered and dev.host.term_lookup(filtered) is None:
-                    missing.add(filtered)
-        if missing:
-            fuzzy_prefetch(sorted(missing))
+    with phase("prep.resolve"):
+        run = pipeline.run
+        fmap = {v: run(v) for v in uniq}         # raw -> filtered|None
+        lookup = dev.host.term_lookup
+        tid_map: dict[str, Optional[int]] = {}   # filtered -> term id
+        missing: list[str] = []
+        for f in fmap.values():
+            if f is None or f in tid_map:
+                continue
+            t = lookup(f)
+            tid_map[f] = t
+            if t is None:
+                missing.append(f)
 
-    return [prepare(root, pipeline, dev.host.term_lookup,
-                    fuzzy_lookup=fuzzy_lookup,
-                    fuzzymatch=sp.fuzzymatch)
-            for root in roots]
+    if missing and sp.fuzzymatch and fuzzy_lookup is not None:
+        # One batched fuzzy dispatch for every miss, then per-value
+        # cache hits.
+        with phase("prep.fuzzy"):
+            if fuzzy_prefetch is not None:
+                fuzzy_prefetch(sorted(missing))
+            for f in missing:
+                tid_map[f] = fuzzy_lookup(f)
+
+    with phase("prep.prepare"):
+        out = []
+        tid_get = tid_map.get
+        for i, query_str in enumerate(query_strs):
+            vals = fast_vals[i]
+            if vals is None:
+                # Boolean/quoted query: reference prepare() over the
+                # AST; term resolution (incl. fuzzy) comes from the
+                # batch maps, so no big-dict or device work remains.
+                out.append(prepare(roots[i], pipeline, tid_get,
+                                   fuzzy_lookup=None,
+                                   fuzzymatch=sp.fuzzymatch))
+                continue
+            q = Query(root=_PURE_OR_ROOT, pure_or=True)
+            tset = q.tokens
+            tmap = tset._map
+            tlist = tset.tokens
+            for v in vals:
+                f = fmap[v]
+                if f is None:
+                    continue            # filter discarded (stopword)
+                tok = tmap.get(f)
+                if tok is not None:
+                    tok.count += 1
+                    tset.seen += 1
+                    continue
+                tid = tid_get(f)
+                if tid is None:
+                    continue            # TRIM: no matching term
+                tok = Token(value=f, count=1, term_id=tid)
+                tmap[f] = tok
+                tlist.append(tok)
+                tset.seen += 1
+                tset.data_len += len(f.encode("utf-8"))
+            out.append(q)
+        return out
 
 
 def search_many(dev, pipeline, query_strs: list[str],
@@ -1430,16 +1533,22 @@ def search_many_pipelined(dev, pipeline, batches: list[list[str]],
     max(host time, device time) per batch instead of their sum.
     Results are identical to per-batch search_many.
     """
+    from .utils.trace import phase
+
     out: list[Optional[list[Response]]] = [None] * len(batches)
     prev_st = None
     prev_i = -1
     for i, query_strs in enumerate(batches):
-        prepared = _prepare_many(dev, pipeline, query_strs, sp,
-                                 fuzzy_lookup, fuzzy_prefetch)
-        st = submit_query_batch(dev, prepared, sp)
+        with phase("pipeline.prepare"):
+            prepared = _prepare_many(dev, pipeline, query_strs, sp,
+                                     fuzzy_lookup, fuzzy_prefetch)
+        with phase("pipeline.submit"):
+            st = submit_query_batch(dev, prepared, sp)
         if prev_st is not None:
-            out[prev_i] = collect_query_batch(dev, prev_st, sp)
+            with phase("pipeline.collect"):
+                out[prev_i] = collect_query_batch(dev, prev_st, sp)
         prev_st, prev_i = st, i
     if prev_st is not None:
-        out[prev_i] = collect_query_batch(dev, prev_st, sp)
+        with phase("pipeline.collect"):
+            out[prev_i] = collect_query_batch(dev, prev_st, sp)
     return out  # type: ignore[return-value]
