@@ -34,6 +34,9 @@ import numpy as np
 def enable_compile_cache():
     """Persistent XLA compilation cache: repeated bench runs (and any
     long-lived serving process) skip recompilation entirely."""
+    from nxsearch_tpu.utils.malloc import tune_host_allocator
+    tune_host_allocator()
+
     import jax
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -59,6 +62,25 @@ def make_corpus(n_docs: int, vocab: int, mean_len: int, rng):
     docs = [" ".join(words[all_ids[bounds[i]: bounds[i + 1]]])
             for i in range(n_docs)]
     return docs, words, probs
+
+
+def zipf_range(lo: int, hi: int, vocab: int, mean_len: int):
+    """Range-deterministic Zipf documents for parallel ingest workers
+    (same distribution as make_corpus; doc texts are seeded per range,
+    so worker count does not change the corpus statistics)."""
+    rng = np.random.default_rng(42 + lo)
+    ranks = np.arange(vocab, dtype=np.float64)
+    probs = 1.0 / (ranks + 10.0)
+    probs /= probs.sum()
+    words = np.array([f"w{i:05d}" for i in range(vocab)])
+    n = hi - lo
+    lengths = rng.poisson(mean_len, n).clip(5, None)
+    all_ids = rng.choice(vocab, size=int(lengths.sum()), p=probs)
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=bounds[1:])
+    return [(lo + i + 1,
+             " ".join(words[all_ids[bounds[i]: bounds[i + 1]]]))
+            for i in range(n)]
 
 
 def make_mixed_queries(n_queries: int, words, probs, rng):
@@ -124,6 +146,9 @@ def main() -> None:
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--no-cache", action="store_true",
                     help="always rebuild the corpus index")
+    ap.add_argument("--ingest-workers", type=int, default=1,
+                    help="fresh builds: N parallel writer processes "
+                         "(nxsearch_tpu.parallel_ingest)")
     args = ap.parse_args()
 
     def log(msg):
@@ -173,20 +198,37 @@ def main() -> None:
 
     if True:
         nxs = Nxs(basedir)
+        ingest_s = None
         if fresh:
-            t0 = time.perf_counter()
-            docs, words, probs = make_corpus(args.docs, args.vocab,
-                                             args.mean_len, rng)
-            log(f"corpus generated in {time.perf_counter() - t0:.1f}s")
             idx = nxs.index_create("bench")
             t0 = time.perf_counter()
-            chunk = 2048
-            for base in range(0, len(docs), chunk):
-                idx.add_many([(base + i + 1, text) for i, text in
-                              enumerate(docs[base: base + chunk])])
+            if args.ingest_workers > 1:
+                import functools
+
+                from nxsearch_tpu import parallel_ingest
+                nxs.close()
+                parallel_ingest(
+                    basedir, "bench",
+                    functools.partial(zipf_range, vocab=args.vocab,
+                                      mean_len=args.mean_len),
+                    args.docs, workers=args.ingest_workers)
+                nxs = Nxs(basedir)
+                idx = nxs.index_open("bench")
+            else:
+                tg = time.perf_counter()
+                docs, words, probs = make_corpus(args.docs, args.vocab,
+                                                 args.mean_len, rng)
+                log(f"corpus generated in "
+                    f"{time.perf_counter() - tg:.1f}s")
+                t0 = time.perf_counter()
+                chunk = 2048
+                for base in range(0, len(docs), chunk):
+                    idx.add_many([(base + i + 1, text) for i, text in
+                                  enumerate(docs[base: base + chunk])])
             ingest_s = time.perf_counter() - t0
             log(f"indexed {args.docs} docs in {ingest_s:.1f}s "
-                f"({args.docs / ingest_s:.0f} docs/s)")
+                f"({args.docs / ingest_s:.0f} docs/s, "
+                f"{args.ingest_workers} writer(s))")
             idx.checkpoint()
         else:
             t0 = time.perf_counter()
@@ -242,6 +284,9 @@ def main() -> None:
             "batched_qps": round(qps, 1),
             "seq_p50_ms": round(p50, 2),
             "seq_p99_ms": round(p99, 2),
+            **({"ingest_docs_per_s": round(args.docs / ingest_s, 1),
+                "ingest_workers": args.ingest_workers}
+               if ingest_s else {}),
         },
     }))
 

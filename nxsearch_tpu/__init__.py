@@ -8,9 +8,11 @@ segment-summed on device, and boolean algebra runs over packed bitmaps.
 """
 
 from .errors import ErrorCode, NxsError
+from .ingest import parallel_ingest
 from .nxs import Index, Nxs
 from .params import Params
 from .resp import Response
 
-__all__ = ["Nxs", "Index", "Params", "Response", "NxsError", "ErrorCode"]
+__all__ = ["Nxs", "Index", "Params", "Response", "NxsError", "ErrorCode",
+           "parallel_ingest"]
 __version__ = "0.1.0"

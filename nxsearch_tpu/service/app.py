@@ -381,6 +381,9 @@ def main(argv=None) -> None:
     if not args.basedir:
         raise SystemExit("--basedir or NXS_BASEDIR required")
 
+    from ..utils.malloc import tune_host_allocator
+    tune_host_allocator()
+
     svc = SearchService(args.basedir)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(svc))
     print(f"nxsearch-tpu service on {args.host}:{args.port} "
