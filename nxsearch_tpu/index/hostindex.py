@@ -91,7 +91,7 @@ class _PartialStop(Exception):
 class HostIndex:
     """One open index over its journal files (nxs_index_t analogue)."""
 
-    SNAPSHOT_VERSION = 1
+    SNAPSHOT_VERSION = 2
 
     def __init__(self, idxdir: str, durable_sync: bool = False,
                  use_snapshot: bool = True):
@@ -124,7 +124,7 @@ class HostIndex:
         self.doc_n = _Grow(np.int32)
         self.doc_alive = _Grow(np.bool_)
         self.doc_off = _Grow(np.int64)          # journal payload offset
-        self.doc_map: dict[int, int] = {}       # live doc_id -> slot
+        self._doc_map: Optional[dict[int, int]] = {}  # doc_id -> slot
 
         self.doc_count = 0                      # live docs
         self.token_count = 0                    # live tokens (incl. dups)
@@ -137,6 +137,20 @@ class HostIndex:
         if use_snapshot:
             self._load_snapshot()
         self.sync()
+
+    @property
+    def doc_map(self) -> dict:
+        """live doc_id -> slot map, built lazily after a snapshot
+        open: read-only serving never pays the (multi-second at 8.8M
+        docs) dict construction; the first mutation or doc lookup
+        does."""
+        if self._doc_map is None:
+            alive = self.doc_alive.view()
+            ids = self.doc_ids.view()
+            slots = np.arange(len(ids))
+            self._doc_map = dict(zip(ids[alive].tolist(),
+                                     slots[alive].tolist()))
+        return self._doc_map
 
     # ------------------------------------------------------------------
     # Terms journal
@@ -767,13 +781,52 @@ class HostIndex:
     def _snapshot_path(self) -> str:
         return os.path.join(self.idxdir, "snapshot.npz")
 
+    def _postings_path(self, name: str) -> str:
+        return os.path.join(self.idxdir, f"snapshot_{name}.npy")
+
+    # Sidecar arrays: (name, dtype, length-group).  Lengths within a
+    # group must agree; the loader verifies them against the meta.
+    _SIDECARS = (
+        ("p_term", np.int32, "n_postings"),
+        ("p_count", np.int32, "n_postings"),
+        ("p_slot", np.int32, "n_postings"),
+        ("doc_ids", np.int64, "n_slots"),
+        ("doc_len", np.int32, "n_slots"),
+        ("doc_start", np.int64, "n_slots"),
+        ("doc_n", np.int32, "n_slots"),
+        ("doc_alive", np.bool_, "n_slots"),
+        ("doc_off", np.int64, "n_slots"),
+        ("term_total", np.int64, "n_terms"),
+        ("term_df", np.int64, "n_terms"),
+    )
+
     def save_snapshot(self) -> bool:
-        """Persist the in-memory derived state (best-effort)."""
+        """Persist the in-memory derived state (best-effort).
+
+        Format v2: every large array is a raw .npy sidecar the loader
+        memory-maps copy-on-write, so opening an index of any size
+        reads only the meta .npz (term strings + counters) and pages
+        array data in lazily as it is touched -- a read-only serving
+        process whose device pack is already cached never reads the
+        postings at all.  The meta .npz is written (and fsynced) last:
+        a crash mid-save leaves sidecars the loader rejects by length
+        check, falling back to journal replay -- the journals stay the
+        only source of truth."""
         if self.generation == self._snapshot_gen:
             return False
         if any("\x00" in v for v in self.term_values):
             return False  # NUL-separated blob cannot hold such terms
         values_blob = "\x00".join(self.term_values).encode("utf-8")
+
+        for name, _dtype, _group in self._SIDECARS:
+            g: _Grow = getattr(self, name)
+            tmp = self._postings_path(name) + ".tmp"
+            with open(tmp, "wb") as f:
+                np.save(f, g.view())
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._postings_path(name))
+
         tmp = self._snapshot_path + ".tmp"
         with open(tmp, "wb") as f:
             np.savez(
@@ -785,17 +838,8 @@ class HostIndex:
                 token_count=np.int64(self.token_count),
                 values_blob=np.frombuffer(values_blob, dtype=np.uint8),
                 n_terms=np.int64(len(self.term_values)),
-                term_total=self.term_total.view(),
-                term_df=self.term_df.view(),
-                p_term=self.p_term.view(),
-                p_count=self.p_count.view(),
-                p_slot=self.p_slot.view(),
-                doc_ids=self.doc_ids.view(),
-                doc_len=self.doc_len.view(),
-                doc_start=self.doc_start.view(),
-                doc_n=self.doc_n.view(),
-                doc_alive=self.doc_alive.view(),
-                doc_off=self.doc_off.view(),
+                n_postings=np.int64(self.p_term.n),
+                n_slots=np.int64(self.doc_ids.n),
             )
             f.flush()
             os.fsync(f.fileno())
@@ -806,7 +850,8 @@ class HostIndex:
     def _load_snapshot(self) -> bool:
         try:
             with np.load(self._snapshot_path) as z:
-                if int(z["version"]) != self.SNAPSHOT_VERSION:
+                version = int(z["version"])
+                if version not in (1, self.SNAPSHOT_VERSION):
                     return False
                 terms_consumed = int(z["terms_consumed"])
                 dt_consumed = int(z["dt_consumed"])
@@ -828,26 +873,31 @@ class HostIndex:
                     v: i + 1 for i, v in enumerate(self.term_values)}
 
                 def grow(dtype, arr):
-                    g = _Grow(dtype, max(len(arr), 1024))
-                    g.extend(arr)
+                    # Adopt the loaded array directly (no copy); the
+                    # first mutating reserve() re-allocates.
+                    g = _Grow(dtype, 0)
+                    g.a = np.ascontiguousarray(arr, dtype=dtype)
+                    g.n = len(arr)
                     return g
 
-                self.term_total = grow(np.int64, z["term_total"])
-                self.term_df = grow(np.int64, z["term_df"])
-                self.p_term = grow(np.int32, z["p_term"])
-                self.p_count = grow(np.int32, z["p_count"])
-                self.p_slot = grow(np.int32, z["p_slot"])
-                self.doc_ids = grow(np.int64, z["doc_ids"])
-                self.doc_len = grow(np.int32, z["doc_len"])
-                self.doc_start = grow(np.int64, z["doc_start"])
-                self.doc_n = grow(np.int32, z["doc_n"])
-                self.doc_alive = grow(np.bool_, z["doc_alive"])
-                self.doc_off = grow(np.int64, z["doc_off"])
-                alive = self.doc_alive.view()
-                ids = self.doc_ids.view()
-                slots = np.arange(len(ids))
-                self.doc_map = dict(zip(ids[alive].tolist(),
-                                        slots[alive].tolist()))
+                if version >= 2:
+                    # Every large array is a raw .npy sidecar,
+                    # memory-mapped copy-on-write: pages fault in only
+                    # when touched.
+                    counts = {"n_postings": int(z["n_postings"]),
+                              "n_slots": int(z["n_slots"]),
+                              "n_terms": n_terms}
+                    for name, dtype, group in self._SIDECARS:
+                        m = np.load(self._postings_path(name),
+                                    mmap_mode="c")
+                        if len(m) != counts[group] or m.dtype != dtype:
+                            raise ValueError(
+                                f"sidecar {name} mismatch")
+                        setattr(self, name, grow(dtype, m))
+                else:  # legacy v1: everything inline in the npz
+                    for name, dtype, _group in self._SIDECARS:
+                        setattr(self, name, grow(dtype, z[name]))
+                self._doc_map = None   # built lazily on first use
                 self.doc_count = int(z["doc_count"])
                 self.token_count = int(z["token_count"])
                 self._terms_consumed = terms_consumed
@@ -875,7 +925,7 @@ class HostIndex:
         self.doc_n = _Grow(np.int32)
         self.doc_alive = _Grow(np.bool_)
         self.doc_off = _Grow(np.int64)
-        self.doc_map = {}
+        self._doc_map = {}
         self.doc_count = 0
         self.token_count = 0
         self._terms_consumed = 0

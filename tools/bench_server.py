@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--queries", type=int, default=4096)
     args = ap.parse_args()
 
-    benchmod.enable_compile_cache()
+    benchmod.enable_compile_cache(args.docs, args.mean_len)
     rng = np.random.default_rng(42)
     ranks = np.arange(args.vocab, dtype=np.float64)
     probs = 1.0 / (ranks + 10.0)

@@ -23,7 +23,7 @@ def main():
     docs, vocab, mean_len = int(os.environ.get("HP_DOCS", 1_000_000)), int(os.environ.get("HP_VOCAB", 200_000)), int(os.environ.get("HP_LEN", 40))
     n_q, batch = 4096, 2048
 
-    benchmod.enable_compile_cache()
+    benchmod.enable_compile_cache(docs, mean_len)
     rng = np.random.default_rng(42)
     ranks = np.arange(vocab, dtype=np.float64)
     probs = 1.0 / (ranks + 10.0)
