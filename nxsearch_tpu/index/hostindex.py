@@ -904,10 +904,11 @@ class HostIndex:
                 self._dt_consumed = dt_consumed
                 self._snapshot_gen = self.generation
                 return True
-        except FileNotFoundError:
-            return False
         except Exception:
-            # Corrupt/unreadable snapshot: fall back to full replay.
+            # Missing/corrupt snapshot or sidecar: fall back to full
+            # replay.  State may be partially populated (e.g. the term
+            # dictionary loads before a sidecar turns out to be gone),
+            # so always reset.
             self._reset_state()
             return False
 

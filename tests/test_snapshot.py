@@ -172,3 +172,98 @@ def test_csr_cache_v1_compat_and_upgrade(tmp_path, monkeypatch):
         assert int(z2["version"]) == 2 and "tf16" in z2   # upgraded
         np.testing.assert_array_equal(z2["slot"], z["slot"])
     nxs2.close()
+
+
+def test_v2_missing_sidecar_falls_back(tmp_path):
+    """v2 meta with a deleted sidecar must fall back to journal replay."""
+    import os
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("side")
+    idx.add_many([(i, f"alpha beta gamma{i % 5}") for i in range(1, 51)])
+    nxs.close()
+    os.remove(tmp_path / "data" / "side" / "snapshot_p_term.npy")
+    h = HostIndex(str(tmp_path / "data" / "side"))
+    ref = HostIndex(str(tmp_path / "data" / "side"), use_snapshot=False)
+    try:
+        assert _state(h) == _state(ref)
+    finally:
+        h.close()
+        ref.close()
+
+
+def test_v2_truncated_sidecar_falls_back(tmp_path):
+    """A torn sidecar write (wrong length) must be rejected by the
+    length check and fall back to replay."""
+    import numpy as np
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("torn")
+    idx.add_many([(i, f"delta epsilon zeta{i % 3}") for i in range(1, 41)])
+    nxs.close()
+    side = tmp_path / "data" / "torn" / "snapshot_doc_len.npy"
+    arr = np.load(side)
+    np.save(side, arr[: len(arr) // 2])
+    h = HostIndex(str(tmp_path / "data" / "torn"))
+    ref = HostIndex(str(tmp_path / "data" / "torn"), use_snapshot=False)
+    try:
+        assert _state(h) == _state(ref)
+    finally:
+        h.close()
+        ref.close()
+
+
+def test_v1_inline_snapshot_still_loads(tmp_path):
+    """Legacy v1 snapshots (arrays inline in the npz) must keep
+    loading after the v2 format change."""
+    import numpy as np
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("leg")
+    idx.add_many([(i, f"eta theta iota{i % 4}") for i in range(1, 31)])
+    nxs.close()
+    idxdir = tmp_path / "data" / "leg"
+    ref = HostIndex(str(idxdir), use_snapshot=False)
+    # Rewrite the snapshot in the v1 inline layout from replayed state.
+    blob = "\x00".join(ref.term_values).encode("utf-8")
+    with open(idxdir / "snapshot.npz", "wb") as f:
+        np.savez(
+            f, version=np.int64(1),
+            terms_consumed=np.int64(ref._terms_consumed),
+            dt_consumed=np.int64(ref._dt_consumed),
+            doc_count=np.int64(ref.doc_count),
+            token_count=np.int64(ref.token_count),
+            values_blob=np.frombuffer(blob, dtype=np.uint8),
+            n_terms=np.int64(len(ref.term_values)),
+            **{name: getattr(ref, name).view()
+               for name, _d, _g in HostIndex._SIDECARS})
+    for name, _d, _g in HostIndex._SIDECARS:
+        (idxdir / f"snapshot_{name}.npy").unlink(missing_ok=True)
+    h = HostIndex(str(idxdir))
+    try:
+        assert h._snapshot_gen == h.generation   # snapshot path taken
+        assert _state(h) == _state(ref)
+    finally:
+        h.close()
+        ref.close()
+
+
+def test_v2_resave_while_mapped(tmp_path):
+    """os.replace of sidecars must not disturb a live reader whose
+    arrays are memory-mapped from the old inodes."""
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("live")
+    idx.add_many([(i, f"kappa lambda mu{i % 6}") for i in range(1, 61)])
+    idx.checkpoint()
+    nxs.close()
+
+    reader = HostIndex(str(tmp_path / "data" / "live"))
+    before = _state(reader)
+    # A second writer appends and re-saves the snapshot (new sidecars
+    # replace the files the reader has mapped).
+    nxs2 = Nxs(str(tmp_path))
+    nxs2.index_open("live").add(1000, "nu kappa")
+    nxs2.close()   # re-saves the snapshot over the mapped files
+    # The reader's mapped view is unchanged until it syncs...
+    assert _state(reader) == before
+    # ...and a sync brings in the tail correctly.
+    reader.sync()
+    assert 1000 in reader.doc_map
+    reader.close()
