@@ -136,9 +136,11 @@ def sliced_topk(
     h_idf=None,       # float32[N]
     h_row=None,       # int32[N]: head token row (mask bit position)
     h_pass=None,      # bool[N]: program({head}) -- head-only docs pass
+    sl_rows=None,     # int32[N, Qs]: token row per column (windowed
+                      # plans split one term over several columns)
     *, T: int, k: int, algo: int, n_slots: int, use_mask: bool,
     single: bool, alive_all: bool, use_rows: bool, depth: int = 8,
-    T_head: int = 0,
+    T_head: int = 0, n_run: int = 0,
 ):
     """Sliced exact top-k: contiguous per-term fetch, one variadic
     sort, segmented-scan aggregation.  The accelerator fast path for
@@ -180,6 +182,13 @@ def sliced_topk(
     assert not (use_rows and T_head), \
         "dense-row and head-term hybrids are mutually exclusive (router)"
     n_batch, n_terms = q_start.shape
+    # Windowed plans split a wide term over ceil(df/T) columns, so the
+    # sort plane holds ~df lanes instead of a power-of-8 tier pad.  A
+    # document still occurs at most once per LOGICAL term (windows
+    # partition a term's postings), so ``n_run`` -- the logical term
+    # count -- bounds run lengths in the sorted plane, and the shifted
+    # aggregation passes stay O(logical terms), not O(columns).
+    n_logical = n_run if n_run > 0 else n_terms
     win = _sliced_fetch(postings_pack, q_start, T=T)   # [N, Qs, T, 3]
     slot_f = win[..., 0]
     ltf = win[..., 1]
@@ -261,18 +270,22 @@ def sliced_topk(
         n_batch, flat)
     contrib_f = contrib.reshape(n_batch, flat)
     if use_mask:
-        # Presence-bit position of CSR column c is its token row: the
-        # columns preserve token order, with the head's row (if any)
-        # skipped -- columns at or past it shift up by one.
-        rows = jnp.arange(n_terms, dtype=jnp.int32)[None, :]
-        if T_head > 0:
-            rows = rows + (rows >= h_row[:, None]).astype(jnp.int32)
+        if sl_rows is not None:
+            # Windowed plans carry each column's token row explicitly.
+            rows = sl_rows
+        else:
+            # Presence-bit position of CSR column c is its token row:
+            # the columns preserve token order, with the head's row
+            # (if any) skipped -- columns at or past it shift up by one.
+            rows = jnp.arange(n_terms, dtype=jnp.int32)[None, :]
+            if T_head > 0:
+                rows = rows + (rows >= h_row[:, None]).astype(jnp.int32)
         bit = (jnp.uint32(1) << jnp.minimum(rows, 31).astype(jnp.uint32)
                )[:, :, None]
         bits = jnp.where(valid, bit, jnp.uint32(0)).reshape(n_batch, flat)
     else:
         bits = None
-    if n_terms == 1:
+    if n_logical == 1:
         # One CSR term: its slice is already slot-ascending (CSR
         # postings are slot-sorted; invalid tail lanes keyed +inf) --
         # no sort, and each document occurs exactly once.
@@ -301,7 +314,7 @@ def sliced_topk(
     zf = jnp.zeros((n_batch, 1), jnp.float32)
     zb = jnp.zeros((n_batch, 1), jnp.uint32) if use_mask else None
     zk = jnp.full((n_batch, 1), jnp.float32(-jnp.inf))
-    for off in range(1, n_terms):
+    for off in range(1, n_logical):
         if off >= flat:
             break
         key_prev = jnp.concatenate(
@@ -387,7 +400,7 @@ def sliced_topk(
 device_search_sliced_batch = functools.partial(
     jax.jit,
     static_argnames=("T", "k", "algo", "n_slots", "use_mask", "single",
-                     "alive_all", "use_rows", "depth", "T_head"),
+                     "alive_all", "use_rows", "depth", "T_head", "n_run"),
 )(sliced_topk)
 
 

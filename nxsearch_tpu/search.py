@@ -138,6 +138,27 @@ def _head_tier(n: int, cap: int) -> int:
     return min(65536 if n <= 65536 else DeviceIndex.SLICE_MAX_T, cap)
 
 
+# Windowed sliced plans: fixed sort-plane window width.  A term wider
+# than this splits into ceil(df/T0) columns, so the sort plane holds
+# ~df lanes instead of a power-of-8 tier pad (up to ~8x fewer lanes at
+# ~3.6 ns/lane), while ONE width covers every df -- fewer executable
+# signatures than the tier grid it replaces.
+_WINDOW_T = 4096
+# Column cap: wider queries (> _WINDOW_MAX_COLS * T0 sliced postings)
+# keep the legacy tiered plane / other executors.
+_WINDOW_MAX_COLS = 512
+
+
+def _window_t0(cap: int) -> int:
+    """Window width, shrunk to what the pack's guard rows can absorb
+    (window starts sit inside the real postings, so a read never
+    extends more than T0 past n_postings)."""
+    t = _WINDOW_T
+    while t > cap and t > 1:
+        t >>= 1
+    return t
+
+
 def _qs_pad(n: int) -> int:
     """Sliced-plane term-count pad: 1 keeps the sort-free single-term
     plane; everything else rounds to >= 4 (one signature covers the
@@ -189,6 +210,11 @@ class _Plan:
     sl_len: np.ndarray = None
     sl_idf: np.ndarray = None
     sl_T: int = 0
+    # Windowed plans (single-chip): token row per column and the
+    # logical CSR term count (bounds aggregation run lengths).  n_run
+    # stays 0 on legacy tiered plans (sharded / over-wide fallback).
+    sl_rows: np.ndarray = None   # int32[Qs_pad]
+    n_run: int = 0
     single: bool = False        # exactly one term, pure-OR
     # Head-term hybrid (sliced path): the heaviest CSR term, kept out
     # of the sort plane (ops/executor.py sliced_topk T_head).
@@ -333,16 +359,54 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
                 h_pass_v = bool(_eval_program_np(
                     present, prog_ops, prog_args)[0])
 
-    qs_pad = _qs_pad(len(csr_cols))
-    sl_start = np.zeros(lead + (qs_pad,), dtype=np.int32)
-    sl_len = np.zeros(lead + (qs_pad,), dtype=np.int32)
-    sl_idf = np.zeros(qs_pad, dtype=np.float32)
-    for col, i in enumerate(csr_cols):
-        sl_start[..., col] = q_start[..., i]
-        sl_len[..., col] = q_len[..., i]
-        sl_idf[col] = q_idf[i]
-    sl_T = _slice_tier(int(sl_len.max()) if sl_len.size else 0,
-                       dev.slice_t_cap)
+    # Windowed plane (single-chip): split each CSR term into
+    # ceil(df/T0) fixed-width windows so the sort plane holds ~df
+    # lanes.  Sharded plans keep the tiered plane (per-shard ranges
+    # differ, so window counts would be ragged across devices), as do
+    # queries whose windows overflow the column cap.
+    T0 = _window_t0(dev.slice_t_cap)
+    live_cols = [i for i in csr_cols if int(q_len[..., i].max()) > 0] \
+        if not sharded else csr_cols
+    n_w = sum(-(-int(q_len[i]) // T0) for i in live_cols) \
+        if not sharded else 0
+    if not sharded and n_w <= _WINDOW_MAX_COLS:
+        starts: list[int] = []
+        lens: list[int] = []
+        idfs: list[float] = []
+        rows: list[int] = []
+        for i in live_cols:
+            s, ln = int(q_start[i]), int(q_len[i])
+            for off in range(0, ln, T0):
+                starts.append(s + off)
+                lens.append(min(T0, ln - off))
+                idfs.append(float(q_idf[i]))
+                rows.append(i)
+        qs_pad = _qs_pad(len(starts))
+        sl_start = np.zeros(qs_pad, dtype=np.int32)
+        sl_len = np.zeros(qs_pad, dtype=np.int32)
+        sl_idf = np.zeros(qs_pad, dtype=np.float32)
+        sl_rows = np.zeros(qs_pad, dtype=np.int32)
+        sl_start[: len(starts)] = starts
+        sl_len[: len(starts)] = lens
+        sl_idf[: len(starts)] = idfs
+        sl_rows[: len(starts)] = rows
+        sl_T = T0
+        n_run = _bucket(len(live_cols), 1) if live_cols else 1
+        single_v = n_tok == 1 and not use_mask and len(starts) <= 1
+    else:
+        qs_pad = _qs_pad(len(csr_cols))
+        sl_start = np.zeros(lead + (qs_pad,), dtype=np.int32)
+        sl_len = np.zeros(lead + (qs_pad,), dtype=np.int32)
+        sl_idf = np.zeros(qs_pad, dtype=np.float32)
+        for col, i in enumerate(csr_cols):
+            sl_start[..., col] = q_start[..., i]
+            sl_len[..., col] = q_len[..., i]
+            sl_idf[col] = q_idf[i]
+        sl_T = _slice_tier(int(sl_len.max()) if sl_len.size else 0,
+                           dev.slice_t_cap)
+        sl_rows = None
+        n_run = 0
+        single_v = n_tok == 1 and not use_mask
 
     return _Plan(q_start=q_start, q_len=q_len, q_idf=q_idf,
                  term_ids=np.asarray([t.term_id for t in tokens],
@@ -352,8 +416,8 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
                  budget=budget, depth=depth,
                  d_qpos=d_qpos, d_row=d_row, d_idf=d_idf,
                  sl_start=sl_start, sl_len=sl_len, sl_idf=sl_idf,
-                 sl_T=sl_T,
-                 single=(n_tok == 1 and not use_mask),
+                 sl_T=sl_T, sl_rows=sl_rows, n_run=n_run,
+                 single=single_v,
                  h_start=h_start_v, h_len=h_len_v, h_idf=h_idf_v,
                  h_row=h_row_v, h_T=h_T, h_pass=h_pass_v)
 
@@ -477,35 +541,55 @@ def _build_plans(dev, queries: list[Query],
         ishead[er, h_col[er]] = True
         iscsr = iscsr & ~ishead
 
-    # CSR-column compaction (token order preserved).
-    if any_dense or any_head:
-        ccol = np.cumsum(iscsr, axis=1) - 1
-        cr, cc = np.nonzero(iscsr)
-        sl_start_m = np.zeros((ns, mp), np.int32)
-        sl_len_m = np.zeros((ns, mp), np.int32)
-        sl_idf_m = np.zeros((ns, mp), np.float32)
-        sl_start_m[cr, ccol[cr, cc]] = st_m[cr, cc]
-        sl_len_m[cr, ccol[cr, cc]] = ln_m[cr, cc]
-        sl_idf_m[cr, ccol[cr, cc]] = idf_m[cr, cc]
-    else:
-        # No dense terms anywhere: CSR columns == token columns.
-        sl_start_m, sl_len_m, sl_idf_m = st_m, ln_m, idf_m
-    n_csr = iscsr.sum(axis=1)
-    qs_pad = np.where(n_csr <= 1, 1,
-                      np.maximum(4, _pow2ceil(n_csr)))
-    sl_maxlen = np.max(np.where(iscsr, ln_m, 0), axis=1)
-    # Coarse 512 * 8**i sort-plane tier grid (see _slice_tier); every
-    # sliceable df stays sliceable via the SLICE_MAX_T cap tier.
-    tier_e = np.maximum(np.ceil((np.log2(np.maximum(sl_maxlen, 1)) - 9.0)
-                                / 3.0), 0).astype(np.int64)
-    sl_t_raw = 512 << (3 * tier_e)
-    # Clamp to the cap tier only when the widest term still fits it; a
-    # wider term must keep its over-cap tier so the router rejects the
-    # sliced path (the slice window would drop postings otherwise).
+    # Windowed plane construction: each CSR cell of length ln becomes
+    # ceil(ln/T0) fixed-width window columns (vectorized ragged
+    # expansion), so the sort plane holds ~postings lanes instead of a
+    # power-of-8 tier pad per term.
+    T0 = _window_t0(dev.slice_t_cap)
+    ln_csr = np.where(iscsr, ln_m, 0)
+    w_m = -(-ln_csr // T0)               # windows per (row, cell)
+    n_w = w_m.sum(axis=1)                # windows per query
+    n_csr = (w_m > 0).sum(axis=1)        # logical CSR terms (df > 0)
+
+    # Queries whose windows overflow the column cap keep the
+    # per-query planner's legacy tiered plane.
+    over = n_w > _WINDOW_MAX_COLS
+    if bool(over.any()):
+        for j in np.nonzero(over)[0]:
+            i = simple[j]
+            plans[i] = _build_plan(dev, queries[i], sp)
+        w_m[over] = 0
+        n_w[over] = 0
+
+    rr, cc = np.nonzero(w_m > 0)         # cells, row-major order
+    wcnt = w_m[rr, cc]
+    cell_of = np.repeat(np.arange(len(rr), dtype=np.int64), wcnt)
+    wi = (np.arange(cell_of.size, dtype=np.int64)
+          - np.repeat(np.cumsum(wcnt) - wcnt, wcnt))
+    wr = rr[cell_of]                     # query row per window
+    w_start = st_m[rr, cc][cell_of] + (wi * T0).astype(np.int32)
+    w_len = np.minimum(ln_csr[rr, cc][cell_of] - wi * T0, T0
+                       ).astype(np.int32)
+    w_idf = idf_m[rr, cc][cell_of]
+    w_row = cc[cell_of].astype(np.int32)  # token row (presence bit)
+    # Column index within each query row (windows are row-major).
+    row_first = np.zeros(ns + 1, np.int64)
+    np.cumsum(n_w, out=row_first[1:])
+    wcol = np.arange(wr.size, dtype=np.int64) - row_first[:-1][wr]
+
+    qs_pad = np.where(n_w <= 1, 1, np.maximum(4, _pow2ceil(n_w)))
+    qs_max = int(qs_pad.max()) if len(qs_pad) else 1
+    sl_start_m = np.zeros((ns, qs_max), np.int32)
+    sl_len_m = np.zeros((ns, qs_max), np.int32)
+    sl_idf_m = np.zeros((ns, qs_max), np.float32)
+    sl_rows_m = np.zeros((ns, qs_max), np.int32)
+    sl_start_m[wr, wcol] = w_start
+    sl_len_m[wr, wcol] = w_len
+    sl_idf_m[wr, wcol] = w_idf
+    sl_rows_m[wr, wcol] = w_row
+    n_run = np.where(n_csr <= 1, 1, _pow2ceil(n_csr))
+
     t_cap = min(DeviceIndex.SLICE_MAX_T, dev.slice_t_cap)
-    sl_t = np.where(sl_maxlen <= DeviceIndex.SLICE_MAX_T,
-                    np.minimum(sl_t_raw, t_cap),
-                    sl_t_raw)
     h_t = np.where(elig,
                    np.minimum(np.where(row_max <= 65536, 65536,
                                        DeviceIndex.SLICE_MAX_T), t_cap),
@@ -521,6 +605,8 @@ def _build_plans(dev, queries: list[Query],
     use_dense = budget >= max(dev.n_slots, 1)
 
     for j, i in enumerate(simple):
+        if plans[i] is not None:         # over-wide fallback above
+            continue
         qp = int(q_pad[j])
         head = bool(elig[j])
         hc = int(h_col[j])
@@ -535,8 +621,10 @@ def _build_plans(dev, queries: list[Query],
             sl_start=sl_start_m[j, : qs_pad[j]],
             sl_len=sl_len_m[j, : qs_pad[j]],
             sl_idf=sl_idf_m[j, : qs_pad[j]],
-            sl_T=int(sl_t[j]),
-            single=bool(counts[j] == 1),
+            sl_T=T0,
+            sl_rows=sl_rows_m[j, : qs_pad[j]],
+            n_run=int(n_run[j]),
+            single=bool(counts[j] == 1 and n_w[j] <= 1),
             h_start=int(st_m[j, hc]) if head else 0,
             h_len=int(row_max[j]) if head else 0,
             h_idf=float(idf_m[j, hc]) if head else 0.0,
@@ -642,9 +730,10 @@ def _use_sliced(plan: _Plan, sharded: bool, dev) -> bool:
     if sharded or getattr(dev, "postings_pack", None) is None:
         return False
     from .index.device import DeviceIndex
+    cols_cap = _WINDOW_MAX_COLS if plan.n_run else 64
     return (dev.n_slots < (1 << 24)
             and plan.sl_T <= DeviceIndex.SLICE_MAX_T
-            and len(plan.sl_start) <= 64
+            and len(plan.sl_start) <= cols_cap
             and not (plan.use_mask and plan.use_rows)
             and (not plan.use_mask or plan.q_start.shape[-1] <= 32))
 
@@ -812,10 +901,11 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
             jnp.asarray([plan.h_idf], jnp.float32) if t_head else None,
             jnp.asarray([plan.h_row], jnp.int32) if t_head else None,
             jnp.asarray([plan.h_pass], jnp.bool_) if t_head else None,
+            jnp.asarray(plan.sl_rows[None]) if plan.n_run else None,
             T=plan.sl_T, k=k, algo=sp.algo, n_slots=dev.n_slots,
             use_mask=use_mask, single=plan.single,
             alive_all=dev.alive_all, use_rows=plan.use_rows, depth=depth,
-            T_head=t_head,
+            T_head=t_head, n_run=plan.n_run,
         )
         scores, slots = unpack_sliced(packed)
         _count("sliced")
@@ -947,7 +1037,7 @@ def submit_query_batch(dev, queries: list[Query],
             key = ("sl", len(plan.sl_start), plan.sl_T,
                    len(plan.prog_ops) if plan.use_mask else 0,
                    plan.use_mask, plan.depth, plan.single, plan.use_rows,
-                   plan.h_T)
+                   plan.h_T, plan.n_run)
         elif sharded_flag and _sharded_sliced(plan, dev):
             key = ("ssl", plan.sl_start.shape[-1], plan.sl_T,
                    len(plan.prog_ops) if plan.use_mask else 0,
@@ -1036,6 +1126,8 @@ def submit_query_batch(dev, queries: list[Query],
             sl_start = np.zeros((n_pad, qs_pad), dtype=np.int32)
             sl_len = np.zeros((n_pad, qs_pad), dtype=np.int32)
             sl_idf = np.zeros((n_pad, qs_pad), dtype=np.float32)
+            sl_rows = np.zeros((n_pad, qs_pad), dtype=np.int32) \
+                if sample.n_run else None
             prog_ops = np.zeros((n_pad, prog_len), dtype=np.int32)
             prog_args = np.zeros((n_pad, prog_len), dtype=np.int32)
             d_row = np.full((n_pad, _MAX_DENSE_PER_QUERY), -1,
@@ -1054,6 +1146,8 @@ def submit_query_batch(dev, queries: list[Query],
                 sl_start[row] = p.sl_start
                 sl_len[row] = p.sl_len
                 sl_idf[row] = p.sl_idf
+                if sl_rows is not None:
+                    sl_rows[row] = p.sl_rows
                 if p.use_mask:
                     prog_ops[row] = p.prog_ops
                     prog_args[row] = p.prog_args
@@ -1077,10 +1171,11 @@ def submit_query_batch(dev, queries: list[Query],
                 jnp.asarray(h_idf) if t_head else None,
                 jnp.asarray(h_row) if t_head else None,
                 jnp.asarray(h_pass) if t_head else None,
+                jnp.asarray(sl_rows) if sl_rows is not None else None,
                 T=sample.sl_T, k=k, algo=sp.algo, n_slots=dev.n_slots,
                 use_mask=sample.use_mask, single=sample.single,
                 alive_all=dev.alive_all, use_rows=sample.use_rows,
-                depth=sample.depth, T_head=t_head,
+                depth=sample.depth, T_head=t_head, n_run=sample.n_run,
             )
             _count("sliced", n)
             if t_head:

@@ -217,3 +217,109 @@ def test_sliced_head_term_hybrid(tmp_path):
     finally:
         S._HEAD_MIN_DF = saved_df
         DeviceIndex.DENSE_DF_DIV = saved_div
+
+
+def test_sliced_window_split(tmp_path):
+    """Wide terms split into fixed-width window columns: shrinking
+    _WINDOW_T forces every df > 32 across several columns.  Results
+    (sequential and batched, pure-OR and masked) must match the
+    reference executors exactly, and multi-window plans must carry
+    n_run (the logical term count) below the column count."""
+    import nxsearch_tpu.search as S
+
+    saved_t = S._WINDOW_T
+    saved_div = DeviceIndex.DENSE_DF_DIV
+    S._WINDOW_T = 32
+    DeviceIndex.DENSE_DF_DIV = 1        # no dense rows
+    try:
+        rng = np.random.default_rng(31)
+        docs, _ = _rand_corpus(rng, 500, 80, 25)
+        nxs = Nxs(str(tmp_path))
+        idx = nxs.index_create("win")
+        idx.add_many(docs)
+        queries = [
+            "t000",                        # single wide term, many windows
+            "t000 t001",                   # two wide terms
+            "t000 t050 t060",              # wide + narrow mix
+            "t000 AND t001",               # masked across windows
+            "t002 AND NOT t000",           # NOT arm is wide
+            "(t000 OR t055) AND t001",
+            "t001 t002 t003 t004 t005",    # several mid terms
+        ]
+        # The planner must actually split: a df>32 term gets >1 column.
+        sp0 = Params().set_uint("limit", 30)
+        idx.search("t000", sp0)   # materialize the device snapshot
+        prepared = S._prepare_many(
+            idx.dev, idx.pipeline, ["t000 t001"],
+            S.get_search_params(idx.algo, sp0),
+            idx._fuzzy_lookup, idx._fuzzy_prefetch)
+        plan = S._build_plans(idx.dev, prepared,
+                              S.get_search_params(idx.algo, sp0))[0]
+        n_cols = int((plan.sl_len > 0).sum())
+        assert plan.n_run >= 2 and n_cols > 2, \
+            (plan.n_run, n_cols, "expected multi-window split")
+        assert plan.sl_T == 32
+        for algo in ("BM25", "TF-IDF"):
+            sp = Params().set_uint("limit", 60).set_str("algo", algo)
+            for query in queries:
+                got = dict(idx.search(query, sp))
+                want = _reference_scores(idx, query, sp)
+                assert set(got) == set(want), (query, algo)
+                for d, s in want.items():
+                    assert got[d] == pytest.approx(s, abs=1e-4), \
+                        (query, algo, d)
+        # Batched planner takes the same windowed shape.
+        sp = Params().set_uint("limit", 30)
+        seq = [dict(idx.search(q, sp)) for q in queries]
+        batched = idx.search_many(queries, sp)
+        for q, s, b in zip(queries, seq, batched):
+            assert dict(b) == pytest.approx(s, abs=1e-4), q
+        nxs.close()
+    finally:
+        S._WINDOW_T = saved_t
+        DeviceIndex.DENSE_DF_DIV = saved_div
+
+
+def test_sliced_window_overflow_fallback(tmp_path):
+    """Queries whose windows exceed _WINDOW_MAX_COLS keep the legacy
+    tiered plane (n_run == 0) and still return exact results."""
+    import nxsearch_tpu.search as S
+
+    saved_t = S._WINDOW_T
+    saved_cols = S._WINDOW_MAX_COLS
+    saved_div = DeviceIndex.DENSE_DF_DIV
+    S._WINDOW_T = 16
+    S._WINDOW_MAX_COLS = 8
+    DeviceIndex.DENSE_DF_DIV = 1
+    try:
+        rng = np.random.default_rng(37)
+        docs, _ = _rand_corpus(rng, 400, 60, 25)
+        nxs = Nxs(str(tmp_path))
+        idx = nxs.index_create("ovf")
+        idx.add_many(docs)
+        sp = Params().set_uint("limit", 40)
+        idx.search("t000", sp)   # materialize the device snapshot
+        spp = S.get_search_params(idx.algo, sp)
+        prepared = S._prepare_many(idx.dev, idx.pipeline,
+                                   ["t000 t001 t002"], spp,
+                                   idx._fuzzy_lookup, idx._fuzzy_prefetch)
+        plan = S._build_plans(idx.dev, prepared, spp)[0]
+        assert plan.n_run == 0, "expected legacy fallback plan"
+        for query in ["t000 t001 t002", "t000 AND t001"]:
+            got = dict(idx.search(query, sp))
+            want = _reference_scores(idx, query, sp)
+            assert set(got) == set(want), query
+            for d, s in want.items():
+                assert got[d] == pytest.approx(s, abs=1e-4), (query, d)
+        # Mixed batch: overflow rows fall back per-query, narrow rows
+        # stay windowed; results identical either way.
+        queries = ["t000 t001 t002", "t050 t051"]
+        seq = [dict(idx.search(q, sp)) for q in queries]
+        batched = idx.search_many(queries, sp)
+        for q, s, b in zip(queries, seq, batched):
+            assert dict(b) == pytest.approx(s, abs=1e-4), q
+        nxs.close()
+    finally:
+        S._WINDOW_T = saved_t
+        S._WINDOW_MAX_COLS = saved_cols
+        DeviceIndex.DENSE_DF_DIV = saved_div
