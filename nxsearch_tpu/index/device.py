@@ -374,6 +374,17 @@ class DeviceIndex:
             return 0.0
         return float(self.token_count // self.doc_count)
 
+    @property
+    def adl_dev(self):
+        """Device-resident adl scalar, cached per value: building a
+        fresh jnp scalar per dispatch is one host->device transfer
+        each, a full round trip through a tunneled device."""
+        a = self.adl
+        if getattr(self, "_adl_dev_val", None) != a:
+            self._adl_dev = jnp.asarray(a, jnp.float32)
+            self._adl_dev_val = a
+        return self._adl_dev
+
     # -- refresh -------------------------------------------------------
 
     def refresh(self) -> bool:

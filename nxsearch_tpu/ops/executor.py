@@ -404,6 +404,112 @@ device_search_sliced_batch = functools.partial(
 )(sliced_topk)
 
 
+def sliced_topk_packed(
+    postings_pack, alive_mask, doc_len,
+    buf,              # int32[n * per_row]: all per-group host inputs
+    adl,              # f32[] (device-resident scalar)
+    dense_rows=None,  # f32[H, S_pad] (use_rows only)
+    *, qs: int, L: int, D: int, T: int, k: int, algo: int, n_slots: int,
+    use_mask: bool, single: bool, alive_all: bool, use_rows: bool,
+    depth: int = 8, T_head: int = 0, n_run: int = 0,
+):
+    """One-buffer front end for sliced_topk.
+
+    Every per-group host input is packed into a single int32 buffer
+    (f32 fields bitcast), so a dispatch costs ONE host->device
+    transfer instead of up to 13.  Through a tunneled device each
+    transfer is a round trip (~7-10 ms measured), which made uploads
+    ~the whole batch budget at ~15 signature groups per 2048-query
+    batch.  The static slices below are folded away by XLA.
+
+    Buffer layout (row-major [n, ...] per field, fields concatenated):
+    sl_start[n,qs] sl_len[n,qs] sl_idf[n,qs]
+    | use_mask: prog_ops[n,L] prog_args[n,L]
+    | use_rows: d_row[n,D] d_idf[n,D]
+    | T_head:   h_start[n] h_len[n] h_idf[n] h_row[n] h_pass[n]
+    | use_mask and n_run: sl_rows[n,qs]
+    """
+    per = (3 * qs + (2 * L if use_mask else 0)
+           + (2 * D if use_rows else 0) + (5 if T_head else 0)
+           + (qs if (use_mask and n_run) else 0))
+    n = buf.shape[0] // per
+    off = 0
+
+    def take_i32(m, shape):
+        nonlocal off
+        seg = lax.slice_in_dim(buf, off, off + m * n).reshape((n,) + shape)
+        off += m * n
+        return seg
+
+    def take_f32(m, shape):
+        return lax.bitcast_convert_type(take_i32(m, shape), jnp.float32)
+
+    sl_start = take_i32(qs, (qs,))
+    sl_len = take_i32(qs, (qs,))
+    sl_idf = take_f32(qs, (qs,))
+    if use_mask:
+        prog_ops = take_i32(L, (L,))
+        prog_args = take_i32(L, (L,))
+    else:
+        prog_ops = jnp.zeros((n, L), jnp.int32)
+        prog_args = jnp.zeros((n, L), jnp.int32)
+    d_row = d_idf = None
+    if use_rows:
+        d_row = take_i32(D, (D,))
+        d_idf = take_f32(D, (D,))
+    h_start = h_len = h_idf = h_row = h_pass = None
+    if T_head:
+        h_start = take_i32(1, ())
+        h_len = take_i32(1, ())
+        h_idf = take_f32(1, ())
+        h_row = take_i32(1, ())
+        h_pass = take_i32(1, ()) != 0
+    sl_rows = None
+    if use_mask and n_run:
+        sl_rows = take_i32(qs, (qs,))
+    return sliced_topk(
+        postings_pack, alive_mask, doc_len, sl_start, sl_len, sl_idf,
+        adl, prog_ops, prog_args, dense_rows, d_row, d_idf,
+        h_start, h_len, h_idf, h_row, h_pass, sl_rows,
+        T=T, k=k, algo=algo, n_slots=n_slots, use_mask=use_mask,
+        single=single, alive_all=alive_all, use_rows=use_rows,
+        depth=depth, T_head=T_head, n_run=n_run)
+
+
+device_search_sliced_packed = functools.partial(
+    jax.jit,
+    static_argnames=("qs", "L", "D", "T", "k", "algo", "n_slots",
+                     "use_mask", "single", "alive_all", "use_rows",
+                     "depth", "T_head", "n_run"),
+)(sliced_topk_packed)
+
+
+def pack_sliced_group(sl_start, sl_len, sl_idf, prog_ops=None,
+                      prog_args=None, d_row=None, d_idf=None,
+                      h_start=None, h_len=None, h_idf=None, h_row=None,
+                      h_pass=None, sl_rows=None):
+    """Host-side packer matching sliced_topk_packed's layout.  Fields
+    must be passed exactly when their gate is on (see layout doc)."""
+    import numpy as np
+
+    def i32(p):
+        p = np.ascontiguousarray(p)
+        if p.dtype == np.float32:
+            return p.view(np.int32).ravel()
+        return p.astype(np.int32, copy=False).ravel()
+
+    parts = [sl_start, sl_len, sl_idf]
+    if prog_ops is not None:
+        parts += [prog_ops, prog_args]
+    if d_row is not None:
+        parts += [d_row, d_idf]
+    if h_start is not None:
+        parts += [h_start, h_len, h_idf, h_row, h_pass]
+    if sl_rows is not None:
+        parts.append(sl_rows)
+    return np.concatenate([i32(p) for p in parts])
+
+
 def unpack_sliced(packed):
     """Host-side split of the packed [N, 2, k] sliced result into
     (scores f32[N, k], slots i32[N, k]) numpy arrays."""

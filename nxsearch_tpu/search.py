@@ -872,7 +872,7 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
             dev.postings_slot, dev.postings_ltf, dev.doc_len,
             dev.alive_mask, _prune_bound(dev, sp.algo),
             jnp.asarray(q_start[None]), jnp.asarray(q_len[None]),
-            jnp.asarray(q_idf[None]), jnp.float32(dev.adl),
+            jnp.asarray(q_idf[None]), dev.adl_dev,
             jnp.asarray(prog_ops[None]), jnp.asarray(prog_args[None]),
             k=k, algo=sp.algo, n_slots=dev.n_slots, n_sel=_N_SEL,
             use_mask=use_mask, depth=depth,
@@ -887,21 +887,28 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
         _count("pruned_fallback")
 
     if _use_sliced(plan, sharded, dev):
-        from .ops.executor import device_search_sliced_batch, unpack_sliced
+        from .ops.executor import (device_search_sliced_packed,
+                                   pack_sliced_group, unpack_sliced)
         t_head = plan.h_T
-        packed = device_search_sliced_batch(
+        with_rows = bool(use_mask and plan.n_run)
+        buf = pack_sliced_group(
+            plan.sl_start[None], plan.sl_len[None], plan.sl_idf[None],
+            prog_ops[None] if use_mask else None,
+            prog_args[None] if use_mask else None,
+            plan.d_row[None] if plan.use_rows else None,
+            plan.d_idf[None] if plan.use_rows else None,
+            np.asarray([plan.h_start], np.int32) if t_head else None,
+            np.asarray([plan.h_len], np.int32) if t_head else None,
+            np.asarray([plan.h_idf], np.float32) if t_head else None,
+            np.asarray([plan.h_row], np.int32) if t_head else None,
+            np.asarray([plan.h_pass], np.bool_) if t_head else None,
+            plan.sl_rows[None] if with_rows else None)
+        packed = device_search_sliced_packed(
             dev.postings_pack, dev.alive_mask, dev.doc_len,
-            jnp.asarray(plan.sl_start[None]), jnp.asarray(plan.sl_len[None]),
-            jnp.asarray(plan.sl_idf[None]), jnp.float32(dev.adl),
-            jnp.asarray(prog_ops[None]), jnp.asarray(prog_args[None]),
-            dev.dense_rows, jnp.asarray(plan.d_row[None]),
-            jnp.asarray(plan.d_idf[None]),
-            jnp.asarray([plan.h_start], jnp.int32) if t_head else None,
-            jnp.asarray([plan.h_len], jnp.int32) if t_head else None,
-            jnp.asarray([plan.h_idf], jnp.float32) if t_head else None,
-            jnp.asarray([plan.h_row], jnp.int32) if t_head else None,
-            jnp.asarray([plan.h_pass], jnp.bool_) if t_head else None,
-            jnp.asarray(plan.sl_rows[None]) if plan.n_run else None,
+            jnp.asarray(buf), dev.adl_dev,
+            dev.dense_rows if plan.use_rows else None,
+            qs=len(plan.sl_start), L=len(plan.prog_ops),
+            D=_MAX_DENSE_PER_QUERY,
             T=plan.sl_T, k=k, algo=sp.algo, n_slots=dev.n_slots,
             use_mask=use_mask, single=plan.single,
             alive_all=dev.alive_all, use_rows=plan.use_rows, depth=depth,
@@ -922,7 +929,7 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
             dev.postings_slot, dev.postings_ltf, dev.doc_len,
             dev.alive_mask, dev._bounds_cache,
             jnp.asarray(q_crow[None]), jnp.asarray(q_idf[None]),
-            jnp.float32(dev.adl),
+            dev.adl_dev,
             jnp.asarray(prog_ops[None]), jnp.asarray(prog_args[None]),
             dev.dense_rows, jnp.asarray(plan.d_qpos[None]),
             jnp.asarray(plan.d_row[None]),
@@ -967,7 +974,7 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
             dev.postings_slot, dev.postings_ltf, dev.doc_len,
             dev.alive_mask,
             jnp.asarray(q_start), jnp.asarray(q_len), jnp.asarray(q_idf),
-            jnp.float32(dev.adl),
+            dev.adl_dev,
             jnp.asarray(prog_ops) if use_mask else None,
             jnp.asarray(prog_args) if use_mask else None,
             budget=budget, k=k, algo=sp.algo, n_slots=dev.n_slots,
@@ -978,7 +985,7 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
             dev.postings_slot, dev.postings_ltf, dev.doc_len,
             dev.alive_mask,
             jnp.asarray(q_start), jnp.asarray(q_len), jnp.asarray(q_idf),
-            jnp.float32(dev.adl),
+            dev.adl_dev,
             jnp.asarray(prog_ops), jnp.asarray(prog_args),
             budget=budget, k=k, algo=sp.algo,
             use_mask=use_mask, depth=depth,
@@ -1118,22 +1125,27 @@ def submit_query_batch(dev, queries: list[Query],
             pending.append((members, scores, slots, None))
             continue
         if key[0] == "sl":
-            from .ops.executor import device_search_sliced_batch
+            from .ops.executor import (device_search_sliced_packed,
+                                       pack_sliced_group)
             n = len(members)
             n_pad = _bucket(n, 8)
             qs_pad = len(sample.sl_start)
             prog_len = len(sample.prog_ops)
+            use_mask_g = sample.use_mask
+            use_rows_g = sample.use_rows
             sl_start = np.zeros((n_pad, qs_pad), dtype=np.int32)
             sl_len = np.zeros((n_pad, qs_pad), dtype=np.int32)
             sl_idf = np.zeros((n_pad, qs_pad), dtype=np.float32)
             sl_rows = np.zeros((n_pad, qs_pad), dtype=np.int32) \
-                if sample.n_run else None
-            prog_ops = np.zeros((n_pad, prog_len), dtype=np.int32)
-            prog_args = np.zeros((n_pad, prog_len), dtype=np.int32)
-            d_row = np.full((n_pad, _MAX_DENSE_PER_QUERY), -1,
-                            dtype=np.int32)
-            d_idf = np.zeros((n_pad, _MAX_DENSE_PER_QUERY),
-                             dtype=np.float32)
+                if (sample.n_run and use_mask_g) else None
+            if use_mask_g:
+                prog_ops = np.zeros((n_pad, prog_len), dtype=np.int32)
+                prog_args = np.zeros((n_pad, prog_len), dtype=np.int32)
+            if use_rows_g:
+                d_row = np.full((n_pad, _MAX_DENSE_PER_QUERY), -1,
+                                dtype=np.int32)
+                d_idf = np.zeros((n_pad, _MAX_DENSE_PER_QUERY),
+                                 dtype=np.float32)
             t_head = sample.h_T
             if t_head:
                 h_start = np.zeros(n_pad, dtype=np.int32)
@@ -1148,10 +1160,10 @@ def submit_query_batch(dev, queries: list[Query],
                 sl_idf[row] = p.sl_idf
                 if sl_rows is not None:
                     sl_rows[row] = p.sl_rows
-                if p.use_mask:
+                if use_mask_g:
                     prog_ops[row] = p.prog_ops
                     prog_args[row] = p.prog_args
-                if p.d_row is not None:
+                if use_rows_g and p.d_row is not None:
                     d_row[row] = p.d_row
                     d_idf[row] = p.d_idf
                 if t_head:
@@ -1160,21 +1172,26 @@ def submit_query_batch(dev, queries: list[Query],
                     h_idf[row] = p.h_idf
                     h_row[row] = p.h_row
                     h_pass[row] = p.h_pass
-            packed = device_search_sliced_batch(
+            buf = pack_sliced_group(
+                sl_start, sl_len, sl_idf,
+                prog_ops if use_mask_g else None,
+                prog_args if use_mask_g else None,
+                d_row if use_rows_g else None,
+                d_idf if use_rows_g else None,
+                h_start if t_head else None,
+                h_len if t_head else None,
+                h_idf if t_head else None,
+                h_row if t_head else None,
+                h_pass if t_head else None,
+                sl_rows)
+            packed = device_search_sliced_packed(
                 dev.postings_pack, dev.alive_mask, dev.doc_len,
-                jnp.asarray(sl_start), jnp.asarray(sl_len),
-                jnp.asarray(sl_idf), jnp.float32(dev.adl),
-                jnp.asarray(prog_ops), jnp.asarray(prog_args),
-                dev.dense_rows, jnp.asarray(d_row), jnp.asarray(d_idf),
-                jnp.asarray(h_start) if t_head else None,
-                jnp.asarray(h_len) if t_head else None,
-                jnp.asarray(h_idf) if t_head else None,
-                jnp.asarray(h_row) if t_head else None,
-                jnp.asarray(h_pass) if t_head else None,
-                jnp.asarray(sl_rows) if sl_rows is not None else None,
+                jnp.asarray(buf), dev.adl_dev,
+                dev.dense_rows if use_rows_g else None,
+                qs=qs_pad, L=prog_len, D=_MAX_DENSE_PER_QUERY,
                 T=sample.sl_T, k=k, algo=sp.algo, n_slots=dev.n_slots,
-                use_mask=sample.use_mask, single=sample.single,
-                alive_all=dev.alive_all, use_rows=sample.use_rows,
+                use_mask=use_mask_g, single=sample.single,
+                alive_all=dev.alive_all, use_rows=use_rows_g,
                 depth=sample.depth, T_head=t_head, n_run=sample.n_run,
             )
             _count("sliced", n)
@@ -1213,7 +1230,7 @@ def submit_query_batch(dev, queries: list[Query],
                     dev.postings_slot, dev.postings_ltf, dev.doc_len,
                     dev.alive_mask, _prune_bound(dev, sp.algo),
                     jnp.asarray(q_start), jnp.asarray(q_len),
-                    jnp.asarray(q_idf), jnp.float32(dev.adl),
+                    jnp.asarray(q_idf), dev.adl_dev,
                     jnp.asarray(prog_ops), jnp.asarray(prog_args),
                     k=k, algo=sp.algo, n_slots=dev.n_slots,
                     n_sel=_N_SEL, use_mask=sample.use_mask,
@@ -1239,7 +1256,7 @@ def submit_query_batch(dev, queries: list[Query],
                 dev.postings_slot, dev.postings_ltf, dev.doc_len,
                 dev.alive_mask, dev._bounds_cache,
                 jnp.asarray(q_crow),
-                jnp.asarray(q_idf), jnp.float32(dev.adl),
+                jnp.asarray(q_idf), dev.adl_dev,
                 jnp.asarray(prog_ops), jnp.asarray(prog_args),
                 dev.dense_rows, jnp.asarray(d_qpos), jnp.asarray(d_row),
                 k=k, algo=sp.algo, n_slots=dev.n_slots,
@@ -1288,7 +1305,7 @@ def submit_query_batch(dev, queries: list[Query],
                 dev.postings_slot, dev.postings_ltf, dev.doc_len,
                 dev.alive_mask,
                 jnp.asarray(q_start), jnp.asarray(q_len),
-                jnp.asarray(q_idf), jnp.float32(dev.adl),
+                jnp.asarray(q_idf), dev.adl_dev,
                 jnp.asarray(prog_ops), jnp.asarray(prog_args),
                 budget=sample.budget, k=k, algo=sp.algo,
                 n_slots=dev.n_slots,
@@ -1299,7 +1316,7 @@ def submit_query_batch(dev, queries: list[Query],
                 dev.postings_slot, dev.postings_ltf, dev.doc_len,
                 dev.alive_mask,
                 jnp.asarray(q_start), jnp.asarray(q_len),
-                jnp.asarray(q_idf), jnp.float32(dev.adl),
+                jnp.asarray(q_idf), dev.adl_dev,
                 jnp.asarray(prog_ops), jnp.asarray(prog_args),
                 budget=sample.budget, k=k, algo=sp.algo,
                 use_mask=sample.use_mask, depth=sample.depth,
@@ -1393,7 +1410,7 @@ def collect_query_batch(dev, st: _PendingBatch,
                     dev.postings_slot, dev.postings_ltf, dev.doc_len,
                     dev.alive_mask,
                     jnp.asarray(q_start[rows]), jnp.asarray(q_len[rows]),
-                    jnp.asarray(q_idf[rows]), jnp.float32(dev.adl),
+                    jnp.asarray(q_idf[rows]), dev.adl_dev,
                     jnp.asarray(prog_ops[rows]),
                     jnp.asarray(prog_args[rows]),
                     k=k, algo=sp.algo, n_slots=dev.n_slots,
