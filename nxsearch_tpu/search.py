@@ -1020,6 +1020,59 @@ def execute_query_batch(dev, queries: list[Query],
                                sp)
 
 
+# Group coalescing: a 2048-query mixed batch shatters into ~19 fine
+# signature groups (measured, 8.8M-doc tier), most holding < 64 rows
+# but each costing a dispatch + upload round trip (~7-12 ms through a
+# tunneled device -- more than the whole sort work of the batch).
+# Small sliced groups that differ only in the cheap static dimensions
+# (head tier, run count, single flag, column pad) merge into one
+# widened group: rows re-pad to the group maxima, which is exact --
+# zero-length window columns score nothing, n_run beyond a row's run
+# length adds no-op aggregation passes, and a 1M-wide head plane is
+# ~0.1 ns/lane top_k work.  Headless rows joining a head group carry
+# h_len = 0 (their head plane is all-invalid).  Groups at or above
+# the row threshold keep their fine signature: wasted lanes scale
+# with row count, dispatch overhead does not.
+_COALESCE_MIN_ROWS = 64
+_COALESCE_MAX_COLS = 64
+
+
+def _coalesce_sliced_groups(groups: dict, plans: list) -> dict:
+    small = [key for key, members in groups.items()
+             if key[0] == "sl" and len(members) < _COALESCE_MIN_ROWS
+             and key[9] > 0              # windowed plans only
+             and key[1] <= _COALESCE_MAX_COLS]
+    if len(small) < 2:
+        return groups
+    # Bucket by the dimensions that genuinely split executables:
+    # (plane width class is folded; mask/use_rows/head-presence kept
+    # -- merging headless rows into a head group would hand EVERY row
+    # a T_head plane fetch).
+    buckets: dict[tuple, list[tuple]] = {}
+    for key in small:
+        ck = (key[2], key[4], key[7], key[8] > 0)   # T, mask, rows, head
+        buckets.setdefault(ck, []).append(key)
+    for ck, keys in buckets.items():
+        if len(keys) < 2:
+            continue
+        T, use_mask, use_rows, _ = ck
+        members: list[int] = []
+        for key in keys:
+            members.extend(groups.pop(key))
+        qs_g = max(len(plans[i].sl_start) for i in members)
+        qs_g = _qs_pad(qs_g)
+        L_g = max(len(plans[i].prog_ops) for i in members) \
+            if use_mask else 0
+        depth_g = max(plans[i].depth for i in members)
+        h_g = max(plans[i].h_T for i in members)
+        n_run_g = max(plans[i].n_run for i in members)
+        merged = ("sl", qs_g, T, L_g, use_mask, depth_g, False,
+                  use_rows, h_g, n_run_g)
+        groups.setdefault(merged, []).extend(members)
+        _count("coalesced", len(members))
+    return groups
+
+
 def submit_query_batch(dev, queries: list[Query],
                        sp: SearchParams) -> _PendingBatch:
     """Plan, group and asynchronously dispatch every device call for a
@@ -1058,6 +1111,8 @@ def submit_query_batch(dev, queries: list[Query],
             key = plan.batch_key
         groups.setdefault(key, []).append(i)
 
+    groups = _coalesce_sliced_groups(groups, plans)
+
     # Cap per-dispatch working-set: the batched executors materialize
     # O(N * budget) temporaries (or N * n_slots dense arrays for the
     # block kernel), so groups are chunked to bound device memory.
@@ -1070,10 +1125,9 @@ def submit_query_batch(dev, queries: list[Query],
             elems = max(p.sl_start.shape[-1] * p.sl_T, 1)
             max_n = max(1, _ELEMS_CAP // elems)
         elif key[0] == "sl":
-            p = plans[members[0]]
-            elems = max(len(p.sl_start) * p.sl_T + p.h_T, 1)
+            elems = max(key[1] * key[2] + key[8], 1)
             max_n = max(1, _ELEMS_CAP // elems)
-            if p.use_rows:
+            if key[7]:                   # use_rows
                 max_n = min(max_n,
                             max(1, _BD_ELEMS_CAP // max(dev.n_slots, 1)))
         elif key[0] == "bd":
@@ -1127,17 +1181,18 @@ def submit_query_batch(dev, queries: list[Query],
         if key[0] == "sl":
             from .ops.executor import (device_search_sliced_packed,
                                        pack_sliced_group)
+            # Group params come from the KEY: coalesced groups carry
+            # widened maxima there, and member rows re-pad below.
+            (_, qs_pad, T_g, L_key, use_mask_g, depth_g, single_g,
+             use_rows_g, t_head, n_run_g) = key
+            prog_len = L_key or 1
             n = len(members)
             n_pad = _bucket(n, 8)
-            qs_pad = len(sample.sl_start)
-            prog_len = len(sample.prog_ops)
-            use_mask_g = sample.use_mask
-            use_rows_g = sample.use_rows
             sl_start = np.zeros((n_pad, qs_pad), dtype=np.int32)
             sl_len = np.zeros((n_pad, qs_pad), dtype=np.int32)
             sl_idf = np.zeros((n_pad, qs_pad), dtype=np.float32)
             sl_rows = np.zeros((n_pad, qs_pad), dtype=np.int32) \
-                if (sample.n_run and use_mask_g) else None
+                if (n_run_g and use_mask_g) else None
             if use_mask_g:
                 prog_ops = np.zeros((n_pad, prog_len), dtype=np.int32)
                 prog_args = np.zeros((n_pad, prog_len), dtype=np.int32)
@@ -1146,7 +1201,6 @@ def submit_query_batch(dev, queries: list[Query],
                                 dtype=np.int32)
                 d_idf = np.zeros((n_pad, _MAX_DENSE_PER_QUERY),
                                  dtype=np.float32)
-            t_head = sample.h_T
             if t_head:
                 h_start = np.zeros(n_pad, dtype=np.int32)
                 h_len = np.zeros(n_pad, dtype=np.int32)
@@ -1155,18 +1209,20 @@ def submit_query_batch(dev, queries: list[Query],
                 h_pass = np.zeros(n_pad, dtype=np.bool_)
             for row, i in enumerate(members):
                 p = plans[i]
-                sl_start[row] = p.sl_start
-                sl_len[row] = p.sl_len
-                sl_idf[row] = p.sl_idf
+                w = len(p.sl_start)
+                sl_start[row, :w] = p.sl_start
+                sl_len[row, :w] = p.sl_len
+                sl_idf[row, :w] = p.sl_idf
                 if sl_rows is not None:
-                    sl_rows[row] = p.sl_rows
+                    sl_rows[row, :w] = p.sl_rows
                 if use_mask_g:
-                    prog_ops[row] = p.prog_ops
-                    prog_args[row] = p.prog_args
+                    lp = len(p.prog_ops)
+                    prog_ops[row, :lp] = p.prog_ops
+                    prog_args[row, :lp] = p.prog_args
                 if use_rows_g and p.d_row is not None:
                     d_row[row] = p.d_row
                     d_idf[row] = p.d_idf
-                if t_head:
+                if t_head and p.h_T:
                     h_start[row] = p.h_start
                     h_len[row] = p.h_len
                     h_idf[row] = p.h_idf
@@ -1189,10 +1245,10 @@ def submit_query_batch(dev, queries: list[Query],
                 jnp.asarray(buf), dev.adl_dev,
                 dev.dense_rows if use_rows_g else None,
                 qs=qs_pad, L=prog_len, D=_MAX_DENSE_PER_QUERY,
-                T=sample.sl_T, k=k, algo=sp.algo, n_slots=dev.n_slots,
-                use_mask=use_mask_g, single=sample.single,
+                T=T_g, k=k, algo=sp.algo, n_slots=dev.n_slots,
+                use_mask=use_mask_g, single=single_g,
                 alive_all=dev.alive_all, use_rows=use_rows_g,
-                depth=sample.depth, T_head=t_head, n_run=sample.n_run,
+                depth=depth_g, T_head=t_head, n_run=n_run_g,
             )
             _count("sliced", n)
             if t_head:
@@ -1470,16 +1526,13 @@ def _to_responses_group(dev, members, scores, slots, plans, sp,
     if perm is not None:
         safe = perm[safe]
     ids = np.asarray(dev.doc_ids)[safe]
-    limit = sp.limit
-    ids_l = ids.tolist()
-    sc_l = scores.tolist()
-    m_l = matched.tolist()
+    # top_k scores are descending, so the matched mask is a prefix:
+    # each row's results are a SLICE, and Response keeps the numpy
+    # rows, materializing (doc_id, score) tuples only on demand.
+    counts = np.minimum(matched.sum(axis=1), sp.limit).tolist()
     for row, i in enumerate(members):
-        mrow = m_l[row]
-        irow = ids_l[row]
-        srow = sc_l[row]
-        res = [(irow[j], srow[j]) for j in range(k) if mrow[j]]
-        responses[i] = Response(res[:limit] if len(res) > limit else res)
+        c = counts[row]
+        responses[i] = Response.from_arrays(ids[row, :c], scores[row, :c])
 
 
 def search(dev: DeviceIndex, pipeline, query_str: str,

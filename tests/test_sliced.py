@@ -323,3 +323,64 @@ def test_sliced_window_overflow_fallback(tmp_path):
         S._WINDOW_T = saved_t
         S._WINDOW_MAX_COLS = saved_cols
         DeviceIndex.DENSE_DF_DIV = saved_div
+
+
+def test_sliced_group_coalescing(tmp_path):
+    """Small fine-signature groups merge into widened coarse groups
+    (search.py _coalesce_sliced_groups): a heterogeneous batch --
+    different column pads, head/no-head tiers, run counts, masked and
+    single-term rows -- must dispatch FEWER groups than fine keys
+    while matching sequential results score-for-score."""
+    import nxsearch_tpu.search as S
+
+    saved_df = S._HEAD_MIN_DF
+    saved_div = DeviceIndex.DENSE_DF_DIV
+    S._HEAD_MIN_DF = 16
+    DeviceIndex.DENSE_DF_DIV = 1        # no dense rows
+    try:
+        rng = np.random.default_rng(41)
+        docs, _ = _rand_corpus(rng, 500, 90, 25)
+        nxs = Nxs(str(tmp_path))
+        idx = nxs.index_create("co")
+        idx.add_many(docs)
+        queries = [
+            "t042",                          # single, no head
+            "t000",                          # single, head-df term
+            "t000 t050",                     # head + tail, qs small
+            "t001 t060 t070 t075 t080",      # head + several tails
+            "t051 t061",                     # tails only
+            "t052 t062 t071 t076 t081 t082 t083",  # wider qs
+            "t000 AND t030",                 # masked with head
+            "t031 AND NOT t053",             # masked, no head
+            "(t054 OR t055) AND t056",       # masked, nested
+        ]
+        sp = Params().set_uint("limit", 50)
+        seq = [dict(idx.search(q, sp)) for q in queries]
+
+        # Count dispatched groups via the chunked plan list.
+        spp = S.get_search_params(idx.algo, sp)
+        idx._read_synced()
+        idx._rw.read_release()
+        prepared = S._prepare_many(idx.dev, idx.pipeline, queries, spp,
+                                   idx._fuzzy_lookup, idx._fuzzy_prefetch)
+        plans = [S._build_plan(idx.dev, q, spp) for q in prepared]
+        fine = {}
+        for p in plans:
+            if p is None:
+                continue
+            fine.setdefault((len(p.sl_start), p.h_T, p.n_run, p.single,
+                             p.use_mask, len(p.prog_ops)), 0)
+        st = S.submit_query_batch(idx.dev, prepared, spp)
+        n_groups = len(st.chunked)
+        assert n_groups < len(fine), (n_groups, len(fine))
+        batched = S.collect_query_batch(idx.dev, st, spp)
+
+        for q, s, b in zip(queries, seq, batched):
+            got = dict(b)
+            assert set(got) == set(s), q
+            for d, v in s.items():
+                assert got[d] == pytest.approx(v, abs=1e-5), (q, d)
+        nxs.close()
+    finally:
+        S._HEAD_MIN_DF = saved_df
+        DeviceIndex.DENSE_DF_DIV = saved_div
