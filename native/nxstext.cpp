@@ -21,6 +21,7 @@
 // in out_tokens, per-token counts in out_counts, total surviving token
 // count in *out_seen), -1 for non-ASCII input, -2 if a buffer is small.
 
+#include <cstdint>
 #include <cstring>
 #include <string>
 #include <unordered_map>
@@ -373,16 +374,163 @@ std::string porter2_stem(std::string word) {
 }
 
 // ---------------------------------------------------------------------
+// FastMap: open-addressing byte-string map with a flat arena.
+//
+// std::unordered_map<std::string, size_t> was measured at ~500 ns per
+// lookup in the ingest hot loop (node allocations + pointer-chased
+// string compares); this table keeps keys contiguous in one arena and
+// probes linearly over two flat vectors, and is the backbone of the
+// token memo that makes repeated tokens cost one lookup total.
+// ---------------------------------------------------------------------
+struct FastMap {
+  struct Entry {
+    uint32_t off;
+    uint32_t len;
+    int32_t val;
+  };
+  std::vector<uint64_t> slot_hash;  // 0 = empty slot
+  std::vector<int32_t> slot_entry;
+  std::vector<Entry> entries;
+  std::string arena;
+  size_t mask = 0;
+
+  FastMap() { reset(); }
+
+  void reset() {
+    slot_hash.assign(1 << 12, 0);
+    slot_entry.assign(1 << 12, -1);
+    entries.clear();
+    arena.clear();
+    mask = (1 << 12) - 1;
+  }
+
+  static uint64_t hash_bytes(const char* s, size_t n) {
+    uint64_t h = 1469598103934665603ull;  // FNV-1a 64
+    for (size_t i = 0; i < n; i++) {
+      h ^= static_cast<unsigned char>(s[i]);
+      h *= 1099511628211ull;
+    }
+    return h | 1;  // nonzero: 0 marks an empty slot
+  }
+
+  void grow() {
+    size_t ncap = (mask + 1) * 2;
+    std::vector<uint64_t> nh(ncap, 0);
+    std::vector<int32_t> ne(ncap, -1);
+    size_t nmask = ncap - 1;
+    for (size_t i = 0; i <= mask; i++) {
+      if (!slot_hash[i]) continue;
+      size_t j = slot_hash[i] & nmask;
+      while (nh[j]) j = (j + 1) & nmask;
+      nh[j] = slot_hash[i];
+      ne[j] = slot_entry[i];
+    }
+    slot_hash.swap(nh);
+    slot_entry.swap(ne);
+    mask = nmask;
+  }
+
+  // Entry index for the key, inserting (val = -2) when absent.
+  int32_t find_or_add(const char* s, size_t n, bool* created) {
+    if (entries.size() * 2 >= mask + 1) grow();
+    uint64_t h = hash_bytes(s, n);
+    size_t j = h & mask;
+    while (slot_hash[j]) {
+      if (slot_hash[j] == h) {
+        const Entry& e = entries[static_cast<size_t>(slot_entry[j])];
+        if (e.len == n && std::memcmp(arena.data() + e.off, s, n) == 0) {
+          *created = false;
+          return slot_entry[j];
+        }
+      }
+      j = (j + 1) & mask;
+    }
+    Entry e{static_cast<uint32_t>(arena.size()),
+            static_cast<uint32_t>(n), -2};
+    arena.append(s, n);
+    int32_t idx = static_cast<int32_t>(entries.size());
+    entries.push_back(e);
+    slot_hash[j] = h;
+    slot_entry[j] = idx;
+    *created = true;
+    return idx;
+  }
+
+  const char* str(int32_t idx, uint32_t* len) const {
+    const Entry& e = entries[static_cast<size_t>(idx)];
+    *len = e.len;
+    return arena.data() + e.off;
+  }
+};
+
+// ---------------------------------------------------------------------
 // Pipeline context.
 // ---------------------------------------------------------------------
 constexpr int kFlagNormalizer = 1;
 constexpr int kFlagStopwords = 2;
 constexpr int kFlagStemmer = 4;
 
+// Clear the memo/intern tables past this many entries (correctness-
+// neutral: they are pure caches of a deterministic filter chain).
+constexpr size_t kMemoCapEntries = size_t(1) << 23;
+
 struct TextCtx {
   int flags;
   std::unordered_set<std::string> stopwords;
+
+  // Token memo: post-normalization token bytes -> resolved result.
+  // val >= 0: id in `terms` of the filtered output; -1: DISCARD
+  // (stopword or empty stem).  Persists across calls, so the full
+  // filter chain (stopword probe + Porter2) runs once per unique
+  // token ever seen by this context.
+  FastMap memo;
+  // Final-term interner: filtered term bytes -> stable id (the entry
+  // index).  Output strings are copied out of its arena.
+  FastMap terms;
+
+  // Reusable per-call scratch (callers serialize calls per ctx).
+  std::vector<int32_t> batch_idx;      // term id -> batch table index
+  std::vector<int32_t> batch_touched;  // term ids stamped this call
+  std::vector<int32_t> local_pos;      // batch index -> doc pair slot
+  std::vector<int32_t> local_touched;  // batch indexes stamped per doc
+  std::string token;                   // normalized-token scratch
+
+  void maybe_trim_caches() {
+    if (memo.entries.size() > kMemoCapEntries ||
+        terms.entries.size() > kMemoCapEntries) {
+      memo.reset();
+      terms.reset();
+      batch_idx.clear();
+    }
+  }
 };
+
+// Run the filter chain on one segmented token (already in ctx->token,
+// pre-normalization) through the memo.  Returns the `terms` id of the
+// filtered output, or -1 for DISCARD.
+inline int32_t resolve_token(TextCtx* ctx) {
+  std::string& token = ctx->token;
+  if (ctx->flags & kFlagNormalizer) {
+    for (char& c : token)
+      if (c >= 'A' && c <= 'Z') c += 'a' - 'A';
+  }
+  bool created;
+  int32_t mi = ctx->memo.find_or_add(token.data(), token.size(), &created);
+  if (!created) return ctx->memo.entries[static_cast<size_t>(mi)].val;
+
+  int32_t val = -1;
+  if (!((ctx->flags & kFlagStopwords) && !ctx->stopwords.empty() &&
+        ctx->stopwords.count(token))) {
+    std::string out = token;
+    if (ctx->flags & kFlagStemmer) out = porter2_stem(std::move(out));
+    if (!out.empty()) {
+      bool created2;
+      val = ctx->terms.find_or_add(out.data(), out.size(), &created2);
+    }
+  }
+  ctx->memo.entries[static_cast<size_t>(mi)].val = val;
+  return val;
+}
 
 }  // namespace
 
@@ -423,12 +571,14 @@ long nxs_text_process(void* vctx, const char* text, long len,
   for (long i = 0; i < len; i++) cls[static_cast<size_t>(i)] =
       kClasses.cls[u[i]];
 
-  std::unordered_map<std::string, size_t> index;
-  std::vector<std::string> uniq;
+  ctx->maybe_trim_caches();
+  // uniq[i] = terms id of the i-th first-seen unique token; counts
+  // parallel.  ctx->batch_idx (terms id -> uniq position) is stamped
+  // through batch_touched and reset before returning.
+  std::vector<int32_t> uniq;
   std::vector<int> counts;
   long seen = 0;
 
-  std::string token;
   auto emit = [&](long s, long e) {
     // Segment "is word" check: contains a letter or digit.
     bool wordy = false;
@@ -437,24 +587,21 @@ long nxs_text_process(void* vctx, const char* text, long len,
       if (c == ALETTER || c == NUMERIC) { wordy = true; break; }
     }
     if (!wordy) return;
-    token.assign(text + s, static_cast<size_t>(e - s));
-    if (ctx->flags & kFlagNormalizer) {
-      for (char& c : token)
-        if (c >= 'A' && c <= 'Z') c += 'a' - 'A';
-    }
-    if ((ctx->flags & kFlagStopwords) && !ctx->stopwords.empty() &&
-        ctx->stopwords.count(token))
-      return;
-    if (ctx->flags & kFlagStemmer) token = porter2_stem(std::move(token));
-    if (token.empty()) return;
+    ctx->token.assign(text + s, static_cast<size_t>(e - s));
+    int32_t tid = resolve_token(ctx);
+    if (tid < 0) return;
     seen++;
-    auto it = index.find(token);
-    if (it != index.end()) {
-      counts[it->second]++;
-    } else {
-      index.emplace(token, uniq.size());
-      uniq.push_back(token);
+    if (static_cast<size_t>(tid) >= ctx->batch_idx.size())
+      ctx->batch_idx.resize(ctx->terms.entries.size(), -1);
+    int32_t pos = ctx->batch_idx[static_cast<size_t>(tid)];
+    if (pos < 0) {
+      pos = static_cast<int32_t>(uniq.size());
+      ctx->batch_idx[static_cast<size_t>(tid)] = pos;
+      ctx->batch_touched.push_back(tid);
+      uniq.push_back(tid);
       counts.push_back(1);
+    } else {
+      counts[static_cast<size_t>(pos)]++;
     }
   };
 
@@ -468,16 +615,25 @@ long nxs_text_process(void* vctx, const char* text, long len,
     }
     emit(start, len);
   }
+  for (int32_t tid : ctx->batch_touched)
+    ctx->batch_idx[static_cast<size_t>(tid)] = -1;
+  ctx->batch_touched.clear();
 
   // Serialize.
   long need = 0;
-  for (const std::string& t : uniq) need += static_cast<long>(t.size()) + 1;
+  for (int32_t tid : uniq) {
+    uint32_t tl;
+    ctx->terms.str(tid, &tl);
+    need += static_cast<long>(tl) + 1;
+  }
   if (need > out_cap || static_cast<long>(uniq.size()) > counts_cap)
     return -2;
   char* w = out_tokens;
-  for (const std::string& t : uniq) {
-    std::memcpy(w, t.data(), t.size());
-    w += t.size();
+  for (int32_t tid : uniq) {
+    uint32_t tl;
+    const char* ts = ctx->terms.str(tid, &tl);
+    std::memcpy(w, ts, tl);
+    w += tl;
     *w++ = '\0';
   }
   for (size_t i = 0; i < counts.size(); i++) out_counts[i] = counts[i];
@@ -502,15 +658,18 @@ long nxs_text_process_batch(void* vctx, const char* texts,
   // caller reprocesses just those through the Python pipeline.
   // Returns 0, or -2 when a buffer is too small (caller grows+retries).
   TextCtx* ctx = static_cast<TextCtx*>(vctx);
+  ctx->maybe_trim_caches();
 
-  std::unordered_map<std::string, size_t> table;
-  std::vector<std::string> table_order;
-  std::vector<unsigned> pairs;     // (table_idx, count) flattened
-  // Per-doc scratch: table_idx -> local position.
-  std::unordered_map<size_t, size_t> local;
+  // table_order[i] = terms id of the i-th first-seen unique token of
+  // the batch; ctx->batch_idx maps terms id -> batch table index and
+  // ctx->local_pos maps batch table index -> the doc's pair slot, both
+  // stamped through touched lists and reset on the way out.
+  std::vector<int32_t> table_order;
+  std::vector<unsigned> pairs;  // (table_idx, count) flattened
+  ctx->local_pos.clear();
+  std::vector<unsigned char> cls;
 
   long pair_ptr = 0;
-  std::string token;
   for (long d = 0; d < n_docs; d++) {
     out_doc_ptr[d] = pair_ptr;
     const char* text = texts + doc_off[d];
@@ -525,12 +684,10 @@ long nxs_text_process_batch(void* vctx, const char* texts,
       continue;
     }
 
-    std::vector<unsigned char> cls(static_cast<size_t>(len));
+    cls.resize(static_cast<size_t>(len));
     for (long i = 0; i < len; i++)
       cls[static_cast<size_t>(i)] = kClasses.cls[u[i]];
 
-    local.clear();
-    size_t doc_pairs_start = pairs.size();
     unsigned seen = 0;
     auto emit = [&](long s, long e) {
       bool wordy = false;
@@ -539,33 +696,29 @@ long nxs_text_process_batch(void* vctx, const char* texts,
         if (c == ALETTER || c == NUMERIC) { wordy = true; break; }
       }
       if (!wordy) return;
-      token.assign(text + s, static_cast<size_t>(e - s));
-      if (ctx->flags & kFlagNormalizer) {
-        for (char& c : token)
-          if (c >= 'A' && c <= 'Z') c += 'a' - 'A';
-      }
-      if ((ctx->flags & kFlagStopwords) && !ctx->stopwords.empty() &&
-          ctx->stopwords.count(token))
-        return;
-      if (ctx->flags & kFlagStemmer) token = porter2_stem(std::move(token));
-      if (token.empty()) return;
+      ctx->token.assign(text + s, static_cast<size_t>(e - s));
+      int32_t tid = resolve_token(ctx);
+      if (tid < 0) return;
       seen++;
-      size_t tix;
-      auto it = table.find(token);
-      if (it != table.end()) {
-        tix = it->second;
-      } else {
-        tix = table_order.size();
-        table.emplace(token, tix);
-        table_order.push_back(token);
+      if (static_cast<size_t>(tid) >= ctx->batch_idx.size())
+        ctx->batch_idx.resize(ctx->terms.entries.size(), -1);
+      int32_t tix = ctx->batch_idx[static_cast<size_t>(tid)];
+      if (tix < 0) {
+        tix = static_cast<int32_t>(table_order.size());
+        ctx->batch_idx[static_cast<size_t>(tid)] = tix;
+        ctx->batch_touched.push_back(tid);
+        table_order.push_back(tid);
+        ctx->local_pos.push_back(-1);
       }
-      auto lit = local.find(tix);
-      if (lit != local.end()) {
-        pairs[lit->second * 2 + 1]++;
-      } else {
-        local.emplace(tix, pairs.size() / 2);
+      int32_t lp = ctx->local_pos[static_cast<size_t>(tix)];
+      if (lp < 0) {
+        ctx->local_pos[static_cast<size_t>(tix)] =
+            static_cast<int32_t>(pairs.size() / 2);
+        ctx->local_touched.push_back(tix);
         pairs.push_back(static_cast<unsigned>(tix));
         pairs.push_back(1);
+      } else {
+        pairs[static_cast<size_t>(lp) * 2 + 1]++;
       }
     };
 
@@ -579,22 +732,32 @@ long nxs_text_process_batch(void* vctx, const char* texts,
       }
       emit(start, len);
     }
-    (void)doc_pairs_start;
+    for (int32_t tix : ctx->local_touched)
+      ctx->local_pos[static_cast<size_t>(tix)] = -1;
+    ctx->local_touched.clear();
     out_seen[d] = seen;
     pair_ptr = static_cast<long>(pairs.size() / 2);
   }
   out_doc_ptr[n_docs] = pair_ptr;
+  for (int32_t tid : ctx->batch_touched)
+    ctx->batch_idx[static_cast<size_t>(tid)] = -1;
+  ctx->batch_touched.clear();
 
   long need_bytes = 0;
-  for (const std::string& t : table_order)
-    need_bytes += static_cast<long>(t.size()) + 1;
+  for (int32_t tid : table_order) {
+    uint32_t tl;
+    ctx->terms.str(tid, &tl);
+    need_bytes += static_cast<long>(tl) + 1;
+  }
   if (need_bytes > table_cap ||
       static_cast<long>(pairs.size()) > pairs_cap)
     return -2;
   char* w = out_table;
-  for (const std::string& t : table_order) {
-    std::memcpy(w, t.data(), t.size());
-    w += t.size();
+  for (int32_t tid : table_order) {
+    uint32_t tl;
+    const char* ts = ctx->terms.str(tid, &tl);
+    std::memcpy(w, ts, tl);
+    w += tl;
     *w++ = '\0';
   }
   std::memcpy(out_pairs, pairs.data(), pairs.size() * sizeof(unsigned));
@@ -630,26 +793,18 @@ long nxs_text_filter_tokens(void* vctx, const char* blob,
       out_offs[t + 1] = w;
       continue;
     }
-    std::string token(value, static_cast<size_t>(len));
-    if (ctx->flags & kFlagNormalizer) {
-      for (char& c : token)
-        if (c >= 'A' && c <= 'Z') c += 'a' - 'A';
-    }
-    if ((ctx->flags & kFlagStopwords) && !ctx->stopwords.empty() &&
-        ctx->stopwords.count(token)) {
+    ctx->token.assign(value, static_cast<size_t>(len));
+    int32_t tid = resolve_token(ctx);
+    if (tid < 0) {
       status[t] = 0;
       out_offs[t + 1] = w;
       continue;
     }
-    if (ctx->flags & kFlagStemmer) token = porter2_stem(std::move(token));
-    if (token.empty()) {
-      status[t] = 0;
-      out_offs[t + 1] = w;
-      continue;
-    }
-    if (w + static_cast<long>(token.size()) > out_cap) return -2;
-    std::memcpy(out + w, token.data(), token.size());
-    w += static_cast<long>(token.size());
+    uint32_t tl;
+    const char* ts = ctx->terms.str(tid, &tl);
+    if (w + static_cast<long>(tl) > out_cap) return -2;
+    std::memcpy(out + w, ts, tl);
+    w += static_cast<long>(tl);
     status[t] = 1;
     out_offs[t + 1] = w;
   }
@@ -668,19 +823,14 @@ long nxs_text_filter_token(void* vctx, const char* value, long len,
   for (long i = 0; i < len; i++)
     if (u[i] >= 0x80) return -1;
 
-  std::string token(value, static_cast<size_t>(len));
-  if (ctx->flags & kFlagNormalizer) {
-    for (char& c : token)
-      if (c >= 'A' && c <= 'Z') c += 'a' - 'A';
-  }
-  if ((ctx->flags & kFlagStopwords) && !ctx->stopwords.empty() &&
-      ctx->stopwords.count(token))
-    return 0;
-  if (ctx->flags & kFlagStemmer) token = porter2_stem(std::move(token));
-  if (token.empty()) return 0;
-  if (static_cast<long>(token.size()) > out_cap) return -2;
-  std::memcpy(out, token.data(), token.size());
-  return static_cast<long>(token.size());
+  ctx->token.assign(value, static_cast<size_t>(len));
+  int32_t tid = resolve_token(ctx);
+  if (tid < 0) return 0;
+  uint32_t tl;
+  const char* ts = ctx->terms.str(tid, &tl);
+  if (static_cast<long>(tl) > out_cap) return -2;
+  std::memcpy(out, ts, tl);
+  return static_cast<long>(tl);
 }
 
 }  // extern "C"
