@@ -551,33 +551,47 @@ class HostIndex:
         n_docs = len(doc_ids_arr)
 
         # Phase 1: resolve the batch string table to term IDs under the
-        # terms lock (registering + journaling new terms).
-        tid_of_tix = np.zeros(len(table_values), dtype=np.int64)
+        # terms lock (registering + journaling new terms).  Bulk
+        # registration: one pass finds the new values, then the term
+        # dictionary, journal records, and count columns are extended
+        # in batch (the per-term _register_term loop was the ingest
+        # profile's #2 cost after tokenization).
         with self.terms_log.lock_ex():
             committed = self.terms_log.committed_len()
             self._consume_terms(committed)
-            buf = bytearray()
             term_map = self.term_map
-            for i, value in enumerate(table_values):
-                term_id = term_map.get(value)
-                if term_id is None:
-                    encoded = value.encode("utf-8")
-                    if len(encoded) > MAX_TERM_LEN:
-                        raise NxsError(ErrorCode.LIMIT,
-                                       f"term too long ({len(encoded)})")
-                    if len(self.term_values) >= MAX_TERM_ID:
-                        raise NxsError(
-                            ErrorCode.LIMIT,
-                            f"reached the term limit ({MAX_TERM_ID})")
-                    term_id = self._register_term(value)
-                    buf += _TERM_REC.pack(len(encoded))
-                    buf += encoded
-                    buf += b"\x00" * (_pad4(len(encoded)) - len(encoded))
-                tid_of_tix[i] = term_id
-            if buf:
-                committed = self.terms_log.append(bytes(buf), committed)
+            new_values = [v for v in table_values if v not in term_map]
+            if new_values:
+                encoded = [v.encode("utf-8") for v in new_values]
+                if max(len(e) for e in encoded) > MAX_TERM_LEN:
+                    n = max(len(e) for e in encoded)
+                    raise NxsError(ErrorCode.LIMIT,
+                                   f"term too long ({n})")
+                if len(self.term_values) + len(new_values) > MAX_TERM_ID:
+                    raise NxsError(
+                        ErrorCode.LIMIT,
+                        f"reached the term limit ({MAX_TERM_ID})")
+                first_id = len(self.term_values) + 1
+                term_map.update(
+                    zip(new_values,
+                        range(first_id, first_id + len(new_values))))
+                self.term_values.extend(new_values)
+                self.term_total.extend(
+                    np.zeros(len(new_values), dtype=np.int64))
+                self.term_df.extend(
+                    np.zeros(len(new_values), dtype=np.int64))
+                parts = []
+                for e in encoded:
+                    parts.append(_TERM_REC.pack(len(e)))
+                    parts.append(e)
+                    parts.append(b"\x00" * (_pad4(len(e)) - len(e)))
+                committed = self.terms_log.append(b"".join(parts),
+                                                  committed)
                 self._terms_consumed = committed
                 self.generation += 1
+            tid_of_tix = np.fromiter(
+                (term_map[v] for v in table_values),
+                dtype=np.int64, count=len(table_values))
 
         # Vectorized: map table indexes to term IDs, sort each doc's
         # pairs by term ID (one global lexsort).
@@ -602,24 +616,40 @@ class HostIndex:
             self.terms_sync()
             committed = self.dtmap_log.committed_len()
             self._consume_dtmap(committed)
-            batch_ids = set()
-            for doc_id in doc_ids_arr:
-                doc_id = int(doc_id)
-                if doc_id in self.doc_map or doc_id in batch_ids:
-                    raise NxsError(
-                        ErrorCode.EXISTS,
-                        f"document {doc_id} is already indexed")
-                batch_ids.add(doc_id)
+            ids_list = doc_ids_arr.tolist()
+            batch_ids = set(ids_list)
+            if len(batch_ids) != n_docs:
+                dups = set()
+                doc_id = next(i for i in ids_list
+                              if i in dups or dups.add(i))
+                raise NxsError(
+                    ErrorCode.EXISTS,
+                    f"document {doc_id} is already indexed")
+            existing = batch_ids & self.doc_map.keys()
+            if existing:
+                raise NxsError(
+                    ErrorCode.EXISTS,
+                    f"document {next(iter(existing))} is already indexed")
 
-            buf = bytearray()
-            offsets = np.zeros(n_docs, dtype=np.int64)
-            for d in range(n_docs):
-                offsets[d] = committed + len(buf)
-                s, e = int(doc_ptr[d]), int(doc_ptr[d + 1])
-                buf += _DT_HDR.pack(int(doc_ids_arr[d]), int(seen[d]),
-                                    e - s)
-                buf += blocks[s:e].tobytes()
-            committed = self.dtmap_log.append(bytes(buf), committed)
+            # Serialize every dtmap block in one vectorized pass: the
+            # record layout ({u64 doc_id, u32 doc_len, u32 n, n x
+            # (u32, u32)}) is u64-aligned, so headers and pairs
+            # scatter into one u64 plane (per-doc Python packing was
+            # the ingest profile's #3 cost).
+            off_u64 = np.zeros(n_docs + 1, dtype=np.int64)
+            off_u64[1:] = np.cumsum(2 + doc_n)      # u64 words per block
+            out_u64 = np.empty(int(off_u64[-1]), dtype="<u8")
+            out_u64[off_u64[:-1]] = doc_ids_arr.astype(np.uint64)
+            out_u64[off_u64[:-1] + 1] = (
+                seen.astype(np.uint64)
+                | (doc_n.astype(np.uint64) << np.uint64(32)))
+            n_pairs = len(blocks)
+            dst = (np.arange(n_pairs, dtype=np.int64)
+                   + np.repeat(off_u64[:-1] + 2 - doc_ptr[:-1], doc_n))
+            out_u64[dst] = blocks.reshape(-1).view("<u8")
+            offsets = committed + off_u64[:-1] * 8
+            committed = self.dtmap_log.append(out_u64.tobytes(),
+                                              committed)
 
             # Bulk in-memory apply (vectorized _apply_block).
             slot0 = self.doc_ids.n
