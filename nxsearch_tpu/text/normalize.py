@@ -31,10 +31,29 @@ _LATIN_ASCII = {
     "œ": "oe",  # œ
     "ŧ": "t",   # ŧ
     "ſ": "s",   # ſ
-    "ƀ": "b",
+    # Latin Extended-B letters with hooks/bars/horns (CLDR
+    # Latin-ASCII folds each to its base letter).  The normalizer
+    # casefolds before this table runs, so lowercase keys suffice
+    # for the pipeline; uppercase forms casefold into these.
+    "ƀ": "b", "ɓ": "b", "ƃ": "b",
+    "ƈ": "c",
+    "ƌ": "d", "ɖ": "d", "ɗ": "d", "ȡ": "d",
+    "ǝ": "e", "ɇ": "e",
     "ƒ": "f",
+    "ǥ": "g", "ɠ": "g",
+    "ƕ": "hv",
+    "ɉ": "j",
+    "ƙ": "k",
+    "ƚ": "l", "ȴ": "l", "ɫ": "l",
+    "ƞ": "n", "ȵ": "n",
     "ơ": "o",
+    "ƥ": "p",
+    "ƭ": "t", "ƫ": "t", "ȶ": "t", "ŉ": "'n",
     "ư": "u",
+    "ƴ": "y", "ɏ": "y",
+    "ƶ": "z", "ȥ": "z",
+    # Modifier-letter apostrophes (Latin-ASCII maps both to ').
+    "ʼ": "'", "ʻ": "'", "ʹ": "'",
     # Punctuation folds (Latin-ASCII also maps these).
     "‘": "'", "’": "'", "‚": "'", "‛": "'",
     "“": '"', "”": '"', "„": '"',
@@ -56,6 +75,10 @@ def _is_default_ignorable(ch: str) -> bool:
         return True
     if 0xFE00 <= cp <= 0xFE0F or 0xE0100 <= cp <= 0xE01EF:
         return True
+    if cp in (0x115F, 0x1160, 0x3164, 0xFFA0):  # hangul fillers
+        return True
+    if 0x1BCA0 <= cp <= 0x1BCA3 or 0x1D173 <= cp <= 0x1D17A:
+        return True  # shorthand / musical format controls
     return False
 
 

@@ -43,6 +43,18 @@ VECTORS = [
     ("ÅNGSTRÖM", "angstrom"),
     ("húsbóndi", "husbondi"),
     ("þorn", "thorn"),
+    # Latin Extended-B hook/bar/horn letters (CLDR Latin-ASCII folds).
+    ("Ɓandɗan", "banddan"),            # Hausa implosives
+    ("ƙasa", "kasa"),                  # Hausa k-hook
+    ("Ƴan", "yan"),                    # Hausa y-hook
+    ("ǝ", "e"),                        # turned e
+    ("Ǥuovdageaidnu", "guovdageaidnu"),  # Sámi g-bar
+    ("đavvi", "davvi"),                # Sámi d-bar
+    ("ŋalbmi", "ngalbmi"),             # Sámi eng
+    ("Hơn", "hon"),                    # Vietnamese horn
+    ("Ƶeta", "zeta"),                  # z-bar
+    ("Hawaiʻi", "hawai'i"),            # ʻokina (modifier letter)
+    ("ʼn", "'n"),                      # Afrikaans 'n
 ]
 
 
