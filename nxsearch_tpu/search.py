@@ -64,6 +64,14 @@ _MIN_DEPTH = 4
 # or above this leaves the sort plane for the searchsorted/top_k merge.
 # Kept at the top slice tier boundary so sort planes stay <= 32k rows.
 _HEAD_MIN_DF = 32768
+# Two-term queries: extracting the bigger term as the head leaves ONE
+# logical term in the plane, which skips the sort entirely (sliced_topk
+# n_logical == 1), so the threshold is much lower -- the head plane's
+# top_k lanes cost ~36x less than sort lanes (v5e: 0.1 vs 3.6 ns) and
+# the searchsorted merge touches only the remaining term's lanes.
+# Below ~T0 the sort plane is small enough that the head plane's
+# fixed 65536-lane fetch would dominate.
+_HEAD_MIN_DF_PAIR = 4096
 
 
 @dataclass
@@ -345,7 +353,8 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
     if not sharded and not dense_set and len(csr_cols) >= 2:
         lens = [int(q_len[c]) for c in csr_cols]
         hmax = max(lens)
-        if hmax >= _HEAD_MIN_DF and hmax <= DeviceIndex.SLICE_MAX_T:
+        min_df = _HEAD_MIN_DF_PAIR if len(csr_cols) == 2 else _HEAD_MIN_DF
+        if hmax >= min_df and hmax <= DeviceIndex.SLICE_MAX_T:
             hcol = csr_cols[lens.index(hmax)]
             h_start_v = int(q_start[hcol])
             h_len_v = hmax
@@ -530,8 +539,9 @@ def _build_plans(dev, queries: list[Query],
     ln_csr = np.where(iscsr, ln_m, 0)
     row_max = ln_csr.max(axis=1)
     n_csr0 = iscsr.sum(axis=1)
+    min_df_row = np.where(n_csr0 == 2, _HEAD_MIN_DF_PAIR, _HEAD_MIN_DF)
     elig = ((~take.any(axis=1)) & (n_csr0 >= 2)
-            & (row_max >= _HEAD_MIN_DF)
+            & (row_max >= min_df_row)
             & (row_max <= DeviceIndex.SLICE_MAX_T))
     any_head = bool(elig.any())
     h_col = np.argmax(ln_csr, axis=1)

@@ -161,8 +161,10 @@ def test_sliced_head_term_hybrid(tmp_path):
     import nxsearch_tpu.search as S
 
     saved_df = S._HEAD_MIN_DF
+    saved_pair = S._HEAD_MIN_DF_PAIR
     saved_div = DeviceIndex.DENSE_DF_DIV
     S._HEAD_MIN_DF = 16
+    S._HEAD_MIN_DF_PAIR = 16            # pair queries use this one
     DeviceIndex.DENSE_DF_DIV = 1        # df > s_pad: no dense rows
     try:
         rng = np.random.default_rng(23)
@@ -216,6 +218,67 @@ def test_sliced_head_term_hybrid(tmp_path):
         nxs.close()
     finally:
         S._HEAD_MIN_DF = saved_df
+        S._HEAD_MIN_DF_PAIR = saved_pair
+        DeviceIndex.DENSE_DF_DIV = saved_div
+
+
+def test_sliced_pair_head(tmp_path):
+    """Two-term queries take the head merge at the lower pair
+    threshold (_HEAD_MIN_DF_PAIR): the remaining single logical term
+    skips the sort entirely.  Three-term queries at the same df must
+    still use the general threshold.  Exactness vs the reference
+    executors, masked and unmasked, sequential and batched."""
+    import nxsearch_tpu.search as S
+
+    saved_pair = S._HEAD_MIN_DF_PAIR
+    saved_div = DeviceIndex.DENSE_DF_DIV
+    S._HEAD_MIN_DF_PAIR = 16            # pair rule fires on tiny corpus
+    DeviceIndex.DENSE_DF_DIV = 1        # df > s_pad: no dense rows
+    try:
+        rng = np.random.default_rng(31)
+        docs, _ = _rand_corpus(rng, 600, 90, 25)
+        nxs = Nxs(str(tmp_path))
+        idx = nxs.index_create("ph")
+        idx.add_many(docs)
+        pair_queries = [
+            "t000 t061",                 # big head, small tail
+            "t005 t006",                 # mid pair
+            "t000 AND t044",             # masked pair
+            "t050 AND NOT t000",         # masked, head on the NOT arm
+        ]
+        for algo in ("BM25", "TF-IDF"):
+            sp = Params().set_uint("limit", 60).set_str("algo", algo)
+            for query in pair_queries:
+                S.EXEC_STATS.pop("sliced_head", None)
+                got = dict(idx.search(query, sp))
+                assert S.EXEC_STATS.get("sliced_head", 0) >= 1, \
+                    (query, algo, "pair head path not taken")
+                want = _reference_scores(idx, query, sp)
+                assert set(got) == set(want), (query, algo)
+                for d, s in want.items():
+                    assert got[d] == pytest.approx(s, abs=1e-4), \
+                        (query, algo, d)
+        # A 3-term query at the same dfs stays below _HEAD_MIN_DF:
+        # no head extraction (the general threshold still applies).
+        S.EXEC_STATS.pop("sliced_head", None)
+        sp = Params().set_uint("limit", 60)
+        got = dict(idx.search("t005 t006 t007", sp))
+        assert S.EXEC_STATS.get("sliced_head", 0) == 0
+        want = _reference_scores(idx, "t005 t006 t007", sp)
+        assert set(got) == set(want)
+        # Batched planner: same pair routing and results.
+        seq = [dict(idx.search(q, sp)) for q in pair_queries]
+        S.EXEC_STATS.pop("sliced_head", None)
+        batched = idx.search_many(pair_queries, sp)
+        assert S.EXEC_STATS.get("sliced_head", 0) >= 1
+        for q, s, b in zip(pair_queries, seq, batched):
+            got = dict(b)
+            assert set(got) == set(s), q
+            for d, v in s.items():
+                assert got[d] == pytest.approx(v, abs=1e-5), (q, d)
+        nxs.close()
+    finally:
+        S._HEAD_MIN_DF_PAIR = saved_pair
         DeviceIndex.DENSE_DF_DIV = saved_div
 
 
