@@ -1307,6 +1307,243 @@ def stem_id(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Turkish -- affix stripping per the Snowball "turkish" stemmer
+# (Kapusuz Cilden, after Eryigit & Adali): strips nominal-verb
+# (copular) suffixes, then noun inflection suffixes, each validated by
+# vowel harmony between the word's last two vowels and by the
+# buffer-letter rules (consonant buffers y/n/s appear only after
+# vowels; the buffer vowel U = i/u/etc only after consonants), then
+# restores the final consonant (b->p, c->c-cedilla, d->t, g-breve->k).
+# The published algorithm encodes the legal suffix chains as a fixed
+# grammar; this implementation strips iteratively over the same suffix
+# classes with the same per-suffix validation, which produces the same
+# stems on inflected nominals.  The append-U-to-d/g-final-stems quirk
+# (proper nouns) is deliberately omitted.  Only stems words with more
+# than one syllable, like the original.
+
+# The default pipeline folds Turkish letters to ASCII in the
+# normalizer BEFORE the stemmer runs (same filter order as the
+# reference: ICU Latin-ASCII then libstemmer), so indexed tokens
+# arrive as "kitaplari", not "kitapları".  All matching therefore
+# happens in FOLDED space -- rules are written in proper orthography
+# and folded at module init; input words fold once per call and
+# suffixes strip from the original by length (folds are 1:1).  Vowel
+# harmony uses folded classes (the union of the proper classes that
+# collide under folding), so both orthographies validate identically.
+
+_TR_FOLD = str.maketrans("ıöüçğş", "ioucgs")
+_TR_VOWELS_F = "aeiou"     # folded vowels
+_TR_U_F = "iu"             # folded U = ı i u ü
+# Folded check_vowel_harmony: the word's last vowel -> folded vowels
+# allowed as the nearest vowel before it (proper classes a:aıou,
+# e:eiöü, ı:aı, i:ei, o/u:ou, ö/ü:öü, unioned under folding).
+_TR_HARMONY_F = {
+    "a": "aiou", "e": "eiou", "i": "aei", "o": "ou", "u": "ou",
+}
+
+
+def _tr_harmony_ok(wf: str) -> bool:
+    i = len(wf) - 1
+    while i >= 0 and wf[i] not in _TR_VOWELS_F:
+        i -= 1
+    if i < 0:
+        return False
+    v1 = wf[i]
+    j = i - 1
+    while j >= 0 and wf[j] not in _TR_VOWELS_F:
+        j -= 1
+    if j < 0:
+        return False
+    return wf[j] in _TR_HARMONY_F[v1]
+
+
+# Suffix rule: (variants tuple, buffer, harmony).  ``buffer`` is the
+# optional buffer letter preceding the matched variant:
+#   'y'/'n'/'s': consume it when present (requiring a vowel before
+#     it); when absent the stem must end with a consonant.
+#   'U': consume a U vowel when present (requiring a consonant before
+#     it); when absent the stem must end with a vowel.
+#   None: no constraint on the stem-final letter.
+# Variants that embed their buffer (e.g. "nda") use buffer None.
+# Each rule group applies AT MOST ONCE per chain (the published
+# algorithm encodes legal suffix chains, not a fixpoint loop --
+# looping case suffixes would eat roots like "oda").
+
+# Copular person endings (-sUnUz, -nUz, -sUn, -(y)Um, -(y)Uz, -lAr).
+_TR_VERB_PERSON = [
+    (("sınız", "siniz", "sunuz", "sünüz"), None, True),
+    (("nız", "niz", "nuz", "nüz"), None, True),
+    (("sın", "sin", "sun", "sün"), None, True),
+    (("ım", "im", "um", "üm"), "y", True),
+    (("ız", "iz", "uz", "üz"), "y", True),
+    (("lar", "ler"), None, True),
+]
+# Copular tense/mood (-(y)mUş, -(y)DU, -(y)sA, -(y)ken, -cAsInA).
+_TR_VERB_TENSE = [
+    (("casına", "cesine", "çasına", "çesine"), None, True),
+    (("mış", "miş", "muş", "müş"), "y", True),
+    (("ken",), "y", True),
+    (("dı", "di", "du", "dü", "tı", "ti", "tu", "tü"), "y", True),
+    (("sa", "se"), "y", True),
+]
+_TR_VERB_DUR = [
+    (("dır", "dir", "dur", "dür", "tır", "tir", "tur", "tür"),
+     None, True),
+]
+# Case / adverbial suffixes (outermost nominal layer; at most one).
+_TR_NOUN_CASE = [
+    (("casına", "cesine", "çasına", "çesine"), None, True),  # cAsInA
+    (("ndan", "nden"), None, True),                      # (n)DAn
+    (("dan", "den", "tan", "ten"), None, True),          # DAn
+    (("nda", "nde"), None, True),                        # (n)DA
+    (("da", "de", "ta", "te"), None, True),              # DA
+    (("nın", "nin", "nun", "nün"), None, True),          # (n)Un
+    (("ın", "in", "un", "ün"), "n", True),               # (n)Un bare
+    (("la", "le"), "y", True),                           # (y)lA
+    (("nca", "nce"), None, True),                        # (n)cA
+    (("ca", "ce", "ça", "çe"), None, True),              # cA
+    (("na", "ne"), None, True),                          # (n)A
+    (("a", "e"), "y", True),                             # (y)A
+    (("nı", "ni", "nu", "nü"), None, True),              # (n)U
+    (("yı", "yi", "yu", "yü"), None, True),              # (y)U
+]
+# Possessives (incl. lArI = plural + 3rd possessive; at most one).
+_TR_NOUN_POSS = [
+    (("ları", "leri"), None, False),                     # lArI
+    (("mız", "miz", "muz", "müz"), "U", True),           # (U)mUz
+    (("nız", "niz", "nuz", "nüz"), "U", True),           # (U)nUz
+    (("sı", "si", "su", "sü"), None, True),              # (s)U
+    (("ı", "i", "u", "ü"), None, True),                  # bare U (poss/acc)
+    (("m",), "U", True),                                 # (U)m
+    (("n",), "U", True),                                 # (U)n
+]
+_TR_NOUN_PLURAL = [
+    (("lar", "ler"), None, True),                        # lAr
+]
+
+
+def _tr_folded(rules):
+    """Fold a rule table's variants to ASCII (matching space)."""
+    return [(tuple(dict.fromkeys(v.translate(_TR_FOLD) for v in vs)),
+             buffer, harmony) for vs, buffer, harmony in rules]
+
+
+_TR_VERB_PERSON = _tr_folded(_TR_VERB_PERSON)
+_TR_VERB_TENSE = _tr_folded(_TR_VERB_TENSE)
+_TR_VERB_DUR = _tr_folded(_TR_VERB_DUR)
+_TR_NOUN_CASE = _tr_folded(_TR_NOUN_CASE)
+_TR_NOUN_POSS = _tr_folded(_TR_NOUN_POSS)
+_TR_NOUN_PLURAL = _tr_folded(_TR_NOUN_PLURAL)
+
+
+def _tr_try_strip(wf: str, rules) -> int:
+    """One stripping step over the folded word.  Returns the number of
+    characters to strip (0 when no rule applies or the stem would drop
+    under two characters / lose its last vowel)."""
+    for variants, buffer, harmony in rules:
+        if harmony and not _tr_harmony_ok(wf):
+            continue
+        for suf in variants:
+            if not wf.endswith(suf) or len(wf) <= len(suf):
+                continue
+            stem = wf[: -len(suf)]
+            n = 0
+            if buffer is None:
+                n = len(suf)
+            elif buffer == "U":
+                # -(U)X: U present after a consonant, absent after a
+                # vowel.
+                if stem[-1] in _TR_U_F and len(stem) >= 2 \
+                        and stem[-2] not in _TR_VOWELS_F:
+                    n = len(suf) + 1
+                elif stem[-1] in _TR_VOWELS_F:
+                    n = len(suf)
+            else:
+                # Consonant buffer: present after a vowel, absent
+                # after a consonant.
+                if stem[-1] in buffer and len(stem) >= 2 \
+                        and stem[-2] in _TR_VOWELS_F:
+                    n = len(suf) + 1
+                elif stem[-1] not in _TR_VOWELS_F \
+                        and stem[-1] not in buffer:
+                    n = len(suf)
+            if n:
+                out = wf[:-n]
+                if len(out) < 2 or not any(
+                        c in _TR_VOWELS_F for c in out):
+                    continue
+                return n
+    return 0
+
+
+def _tr_ki(wf: str, depth: int) -> bool:
+    """A -ki relative restarts the nominal chain ("evdeki",
+    "evdekilerden"), like stem_suffix_chain_after_ki.  Requires two
+    vowels in the remainder so roots that merely end in "ki" ("iki",
+    "eski") survive."""
+    return (depth < 4 and wf.endswith("ki") and len(wf) > 3
+            and sum(1 for c in wf[:-2] if c in _TR_VOWELS_F) >= 2)
+
+
+def _tr_noun_chain(w: str, wf: str, depth: int = 0) -> str:
+    """One legal nominal suffix chain, outermost first: [case]
+    [possessive] [plural], with -ki restarting the chain."""
+    if _tr_ki(wf, depth):
+        return _tr_noun_chain(w[:-2], wf[:-2], depth + 1)
+    for stage in (_TR_NOUN_CASE, _TR_NOUN_POSS, _TR_NOUN_PLURAL):
+        n = _tr_try_strip(wf, stage)
+        if n:
+            w, wf = w[:-n], wf[:-n]
+        if _tr_ki(wf, depth):
+            return _tr_noun_chain(w[:-2], wf[:-2], depth + 1)
+    return w
+
+
+# Final-consonant restoration: suffixation voices a stem-final stop
+# (kitap -> kitabı), so stripped stems devoice back to match the bare
+# form.  In folded space c/ç and g/ğ already collide, so only b/d
+# need mapping there; proper orthography restores all four.
+_TR_LAST_PROPER = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}
+_TR_LAST_FOLDED = {"b": "p", "d": "t"}
+
+
+def stem_tr(word: str) -> str:
+    # remove_proper_noun_suffix: drop everything from an apostrophe on
+    # ("istanbul'da" -> "istanbul").
+    for apo in ("'", "’"):
+        cut = word.find(apo)
+        if cut > 1:
+            word = word[:cut]
+            break
+    wf = word.translate(_TR_FOLD)
+    # more_than_one_syllable guard.
+    if sum(1 for c in wf if c in _TR_VOWELS_F) <= 1:
+        return word
+    w = word
+    # Copular (nominal verb) layer: person / tense / -DUr, each at
+    # most once, in whichever surface order they appear
+    # ("evdeymişsiniz", "evdedirler", "evdelerdi").
+    stages = [_TR_VERB_PERSON, _TR_VERB_TENSE, _TR_VERB_DUR]
+    for _ in range(len(stages)):
+        for stage in list(stages):
+            n = _tr_try_strip(wf, stage)
+            if n:
+                w, wf = w[:-n], wf[:-n]
+                stages.remove(stage)
+                break
+        else:
+            break
+    w = _tr_noun_chain(w, wf)
+    if w != word:
+        table = _TR_LAST_PROPER if w != w.translate(_TR_FOLD) \
+            else _TR_LAST_FOLDED
+        last = table.get(w[-1:])
+        if last is not None:
+            w = w[:-1] + last
+    return w
+
+
+# ---------------------------------------------------------------------------
 # Dispatch
 
 _STEMMERS: dict[str, Callable[[str], str]] = {
@@ -1325,6 +1562,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "pt": stem_pt,
     "hi": stem_hi,
     "id": stem_id,
+    "tr": stem_tr,
 }
 
 _ALIASES = {
@@ -1332,7 +1570,7 @@ _ALIASES = {
     "russian": "ru", "english": "en", "dutch": "nl", "french": "fr",
     "spanish": "es", "italian": "it", "portuguese": "pt",
     "finnish": "fi", "hungarian": "hu", "romanian": "ro", "arabic": "ar",
-    "hindi": "hi", "indonesian": "id",
+    "hindi": "hi", "indonesian": "id", "turkish": "tr",
 }
 
 # Languages the reference stems via libstemmer that have no hand-rolled

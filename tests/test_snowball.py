@@ -288,3 +288,76 @@ def test_hindi_index_recall(tmp_path):
     assert 1 in dict(idx.search("पढ़ती"))
     assert 2 not in dict(idx.search("पढ़ती"))
     nxs.close()
+
+
+# ---------------------------------------------------------------------------
+# Turkish (affix stripping per the Snowball turkish algorithm: vowel
+# harmony + buffer-letter validation, bounded suffix chains, -ki
+# recursion, final-consonant restoration).  The algorithm family is
+# deliberately aggressive: bare-vowel case endings strip from
+# vowel-final roots too ("oda" -> "ot" while "odada" -> "oda"), which
+# matches the published stemmer's behavior class.
+
+TR = [
+    ("evler", "ev"),                  # plural
+    ("evlerinden", "ev"),             # plural + poss + ablative
+    ("evin", "ev"),                   # genitive/possessive
+    ("evim", "ev"),                   # (U)m possessive
+    ("evimiz", "ev"),                 # (U)mUz
+    ("evdekiler", "ev"),              # locative + ki + plural
+    ("evdekilerden", "ev"),           # ... + ablative
+    ("evinde", "ev"),                 # poss + (n)DA
+    ("evdeki", "ev"),                 # locative + ki
+    ("arabaları", "araba"),           # lArI
+    ("arabanın", "araba"),            # (n)Un
+    ("arabayla", "araba"),            # (y)lA
+    ("arabasının", "araba"),          # (s)U + (n)Un chain
+    ("odaya", "oda"),                 # (y)A dative
+    ("odalarında", "oda"),            # (n)DA + lArI
+    ("kitabı", "kitap"),              # accusative + b->p restoration
+    ("kitaplarımızdan", "kitap"),     # DAn + (U)mUz + lAr
+    ("istanbul'da", "istanbul"),      # apostrophe (proper noun) cut
+    ("ev", "ev"),                     # single syllable: untouched
+    ("at", "at"),
+    ("elma", "elma"),                 # disharmonic root protected
+    ("evdeymişsiniz", "ev"),          # copular: person + (y)mUs
+    ("evlerdir", "ev"),               # DUr + plural
+    ("evdelerdi", "ev"),              # person-lAr and (y)DU either order
+    ("gelmiş", "gel"),
+    ("çocuklarımızın", "çocuk"),
+    ("güzeldir", "güzel"),
+    # ASCII-folded inputs (what the stemmer actually receives through
+    # the default pipeline: the normalizer folds ı->i, ş->s, ... first)
+    # must stem identically to proper orthography.
+    ("kitaplari", "kitap"),
+    ("cocuklarimizin", "cocuk"),
+    ("evlerdir", "ev"),
+    ("gecmis", "gec"),                # geçmiş, folded
+    # Final-stop voicing: stripped stems devoice to the bare form.
+    ("gereği", "gerek"),
+    ("çocuğu", "çocuk"),
+]
+
+
+@pytest.mark.parametrize("word,expected", TR)
+def test_turkish(word, expected):
+    assert sb.stem_tr(word) == expected
+
+
+def test_turkish_alias():
+    assert sb.get_stemmer("turkish")("evler") == "ev"
+
+
+def test_turkish_index_recall(tmp_path):
+    # Default pipeline: the normalizer's diacritic fold runs BEFORE
+    # the stemmer (same order as the reference), so indexed Turkish
+    # text reaches the stemmer ASCII-folded; harmony checks then
+    # behave identically at index and query time.
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("tr", Params({"lang": "tr"}))
+    idx.add(1, "evlerinden geliyor")
+    idx.add(2, "kitaplar burada")
+    assert 1 in dict(idx.search("evde"))        # both stem to ev
+    assert 2 in dict(idx.search("kitabı"))      # kitap match
+    assert 2 not in dict(idx.search("evim"))
+    nxs.close()
