@@ -1,0 +1,26 @@
+#!/bin/sh
+# Run when the TPU tunnel comes back after an outage: re-warms the
+# persistent compile cache (new executor signatures compile through
+# the remote compile service at ~30-90 s each, so the driver's
+# round-end bench must find them warm), re-runs the real-hardware
+# parity lane, and records fresh benchmark numbers.
+#
+# One TPU process at a time -- do not run anything else on the chip
+# while this is going.
+set -e
+cd "$(dirname "$0")/.."
+
+echo "== 1. probe =="
+timeout 60 python -c "import jax; print(jax.devices())"
+
+echo "== 2. on-TPU parity lane =="
+sh tools/tpu_tests.sh
+
+echo "== 3. bench: 1M tier (warms signatures incl. pair-head) =="
+python bench.py --docs 1000000 --vocab 200000 --mean-len 40 --verbose
+
+echo "== 4. bench: north-star 8.8M tier =="
+python bench.py --verbose
+
+echo "== 5. mixed trace (boolean + fuzzy) =="
+python bench.py --mixed --verbose
