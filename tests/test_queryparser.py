@@ -126,3 +126,33 @@ def test_fast_path_matches_full_parser():
     tokens = P.tokenize_query(q)
     full = P._Parser(tokens, q).parse_binary(P._PREC_ADJ)
     assert fast.repr_string() == full.repr_string() == "(OR `a b` `c`)"
+
+
+def test_parser_fuzz_no_crash():
+    """Random byte soup must either parse or raise NxsError(INVALID)
+    -- never crash, hang, or leak another exception type (the
+    reference's lexer/grammar reject malformed input with
+    NXS_ERR_INVALID, scan.re / grammar.y error actions)."""
+    import random
+
+    from nxsearch_tpu.errors import NxsError
+    from nxsearch_tpu.query.parser import QuerySyntaxError, parse_query
+
+    rng = random.Random(1234)
+    alphabet = "ab ()\"'&|\\NOTANDR\t\né中\U0001f600" + \
+        "".join(chr(rng.randrange(32, 0x300)) for _ in range(32))
+    for trial in range(2000):
+        n = rng.randrange(0, 24)
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        try:
+            parse_query(s)
+        except (NxsError, QuerySyntaxError):
+            pass  # INVALID is the contract for malformed queries
+
+    # Structured stress: deep nesting within and past the limit.
+    deep_ok = "(" * 99 + "a" + ")" * 99
+    parse_query(deep_ok)
+    try:
+        parse_query("(" * 200 + "a" + ")" * 200)
+    except (NxsError, QuerySyntaxError):
+        pass  # nesting limit (search.c:70) maps to INVALID
