@@ -760,7 +760,8 @@ long nxs_text_process_batch(void* vctx, const char* texts,
     w += tl;
     *w++ = '\0';
   }
-  std::memcpy(out_pairs, pairs.data(), pairs.size() * sizeof(unsigned));
+  if (!pairs.empty())
+    std::memcpy(out_pairs, pairs.data(), pairs.size() * sizeof(unsigned));
   *out_table_n = static_cast<long>(table_order.size());
   *out_table_bytes = need_bytes;
   return 0;

@@ -165,6 +165,42 @@ int main() {
     }
   }
 
+  // Batch-path fuzz: random multi-document batches, including
+  // deliberately tiny output buffers (the -2 grow-and-retry path),
+  // exercising the interner/memo across growths under the sanitizers.
+  {
+    unsigned long s = 777;
+    auto next = [&]() { s = s * 6364136223846793005UL + 1442695040888963407UL;
+                        return (unsigned)(s >> 33); };
+    for (int trial = 0; trial < 400; trial++) {
+      int n_docs = 1 + (int)(next() % 6);
+      std::string blob;
+      std::vector<long> off{0};
+      for (int d = 0; d < n_docs; d++) {
+        int len = (int)(next() % 200);
+        for (int i = 0; i < len; i++)
+          blob += (char)(next() % 128);
+        off.push_back((long)blob.size());
+      }
+      long table_cap = 64 << (trial % 10);
+      long pairs_cap = 32 << (trial % 10);
+      std::vector<char> table((size_t)table_cap);
+      std::vector<unsigned> pairs((size_t)pairs_cap);
+      std::vector<long> doc_ptr((size_t)n_docs + 1);
+      std::vector<unsigned> seen((size_t)n_docs);
+      long tn = 0, tb = 0;
+      long rc = nxs_text_process_batch(
+          ctx, blob.data(), off.data(), n_docs, table.data(), table_cap,
+          &tn, &tb, pairs.data(), pairs_cap, doc_ptr.data(), seen.data());
+      assert(rc == 0 || rc == -2);
+      if (rc == 0) {
+        for (int d = 0; d < n_docs; d++)
+          assert(doc_ptr[d] <= doc_ptr[d + 1]);
+        assert(2 * doc_ptr[n_docs] <= pairs_cap);
+      }
+    }
+  }
+
   nxs_text_ctx_free(ctx);
   printf("OK\n");
   return 0;
