@@ -10,6 +10,7 @@ doc×term scoring loop itself runs on device (ops/executor.py).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -151,7 +152,7 @@ def _head_tier(n: int, cap: int) -> int:
 # ~df lanes instead of a power-of-8 tier pad (up to ~8x fewer lanes at
 # ~3.6 ns/lane), while ONE width covers every df -- fewer executable
 # signatures than the tier grid it replaces.
-_WINDOW_T = 4096
+_WINDOW_T = int(os.environ.get("NXS_WINDOW_T", "4096"))
 # Column cap: wider queries (> _WINDOW_MAX_COLS * T0 sliced postings)
 # keep the legacy tiered plane / other executors.
 _WINDOW_MAX_COLS = 512
@@ -167,13 +168,20 @@ def _window_t0(cap: int) -> int:
     return t
 
 
+# Column-pad floor: the plan-stats model shows sorted lanes at the
+# 8.8M mix are dominated by padding (a 2-window query pads to 4
+# columns = 16k lanes).  A floor of 2 halves those lanes at the cost
+# of one extra signature group; tune on hardware via NXS_QS_MIN.
+_QS_MIN = int(os.environ.get("NXS_QS_MIN", "4"))
+
+
 def _qs_pad(n: int) -> int:
     """Sliced-plane term-count pad: 1 keeps the sort-free single-term
-    plane; everything else rounds to >= 4 (one signature covers the
-    common 2-4 term queries)."""
+    plane; everything else rounds to >= _QS_MIN (one signature covers
+    the common 2-4 term queries at the default floor of 4)."""
     if n <= 1:
         return 1
-    p = 4
+    p = _QS_MIN
     while p < n:
         p <<= 1
     return p
@@ -587,7 +595,7 @@ def _build_plans(dev, queries: list[Query],
     np.cumsum(n_w, out=row_first[1:])
     wcol = np.arange(wr.size, dtype=np.int64) - row_first[:-1][wr]
 
-    qs_pad = np.where(n_w <= 1, 1, np.maximum(4, _pow2ceil(n_w)))
+    qs_pad = np.where(n_w <= 1, 1, np.maximum(_QS_MIN, _pow2ceil(n_w)))
     qs_max = int(qs_pad.max()) if len(qs_pad) else 1
     sl_start_m = np.zeros((ns, qs_max), np.int32)
     sl_len_m = np.zeros((ns, qs_max), np.int32)

@@ -19,6 +19,13 @@ sh tools/tpu_tests.sh
 echo "== 3. bench: 1M tier (warms signatures incl. pair-head) =="
 python bench.py --docs 1000000 --vocab 200000 --mean-len 40 --verbose
 
+echo "== 3b. padding-knob A/B (plan-stats model says T0=1024 halves"
+echo "        sort lanes at the 8.8M mix; confirm on hardware) =="
+NXS_WINDOW_T=1024 NXS_QS_MIN=2 \
+    python bench.py --docs 1000000 --vocab 200000 --mean-len 40 --verbose
+NXS_WINDOW_T=2048 \
+    python bench.py --docs 1000000 --vocab 200000 --mean-len 40 --verbose
+
 echo "== 4. bench: north-star 8.8M tier =="
 python bench.py --verbose
 
