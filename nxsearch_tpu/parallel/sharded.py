@@ -57,7 +57,7 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "T", "k", "algo", "use_mask", "single",
-                     "alive_all", "depth"),
+                     "alive_all", "depth", "n_run"),
 )
 def sharded_search_sliced_batch(
     postings_pack: jax.Array,   # f32[n_dev, Ps_pad+guard, 3]
@@ -69,6 +69,8 @@ def sharded_search_sliced_batch(
     adl: jax.Array,             # float32 scalar (replicated)
     prog_ops: jax.Array,        # int32[N, L] (replicated)
     prog_args: jax.Array,
+    sl_rows: jax.Array = None,  # int32[N, Qs] (replicated; windowed
+                                # masked plans: token row per column)
     *,
     mesh: Mesh,
     T: int,
@@ -78,25 +80,34 @@ def sharded_search_sliced_batch(
     single: bool,
     alive_all: bool,
     depth: int = 8,
+    n_run: int = 0,
 ):
     """Batched doc-sharded search through the sliced executor: the
     shard-local body is ops/executor.sliced_topk (contiguous per-term
     windows, variadic sort, shifted-pass aggregation), the cross-chip
     traffic is one all_gather of n_dev * k candidates over ICI.
-    Returns replicated (scores f32[N, k'], global slots i32[N, k'])."""
+    Windowed plans (``n_run`` > 0) run per shard exactly like a single
+    chip: the column -> token-row map and logical term count are
+    shard-invariant by construction (search.py builds windows on the
+    max per-shard length).  Returns replicated (scores f32[N, k'],
+    global slots i32[N, k'])."""
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     slots_per_shard = doc_len.shape[1]
     k_local = min(k, q_start.shape[2] * T)
     k_final = min(k, n_dev * k_local)
+    if sl_rows is None:
+        sl_rows = jnp.zeros(q_idf.shape, jnp.int32)
 
-    def shard_body(pack, am, dlen, qs, qlen, qidf, adl_s, pops, pargs):
+    def shard_body(pack, am, dlen, qs, qlen, qidf, adl_s, pops, pargs,
+                   srows):
         packed = sliced_topk(
             pack[0], am[0], dlen[0], qs[0], qlen[0], qidf, adl_s,
             pops, pargs, None, None, None,
+            sl_rows=srows if (use_mask and n_run) else None,
             T=T, k=k_local, algo=algo, n_slots=slots_per_shard,
             use_mask=use_mask, single=single, alive_all=alive_all,
-            use_rows=False, depth=depth)
+            use_rows=False, depth=depth, n_run=n_run)
         local_scores = packed[:, 0, :]
         local_slots = (packed[:, 1, :].astype(jnp.int32)
                        + lax.axis_index(axis) * slots_per_shard)
@@ -118,11 +129,11 @@ def sharded_search_sliced_batch(
         shard_body,
         mesh=mesh,
         in_specs=(sharded3, sharded, sharded, sharded3, sharded3,
-                  repl, repl, repl, repl),
+                  repl, repl, repl, repl, repl),
         out_specs=(repl, repl),
         check_vma=False,
     )(postings_pack, alive_mask, doc_len, q_start, q_len,
-      q_idf, adl, prog_ops, prog_args)
+      q_idf, adl, prog_ops, prog_args, sl_rows)
 
 
 def _bucket(n: int, minimum: int) -> int:

@@ -376,16 +376,16 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
                 h_pass_v = bool(_eval_program_np(
                     present, prog_ops, prog_args)[0])
 
-    # Windowed plane (single-chip): split each CSR term into
-    # ceil(df/T0) fixed-width windows so the sort plane holds ~df
-    # lanes.  Sharded plans keep the tiered plane (per-shard ranges
-    # differ, so window counts would be ragged across devices), as do
-    # queries whose windows overflow the column cap.
+    # Windowed plane: split each CSR term into ceil(df/T0) fixed-width
+    # windows so the sort plane holds ~df lanes.  Sharded plans window
+    # on the max per-shard length, so the column -> token-row map and
+    # the column count stay replicated across devices (shards with
+    # fewer windows carry zero-length columns, whose lanes are all
+    # invalid).  Queries whose windows overflow the column cap keep
+    # the legacy tiered plane.
     T0 = _window_t0(dev.slice_t_cap)
-    live_cols = [i for i in csr_cols if int(q_len[..., i].max()) > 0] \
-        if not sharded else csr_cols
-    n_w = sum(-(-int(q_len[i]) // T0) for i in live_cols) \
-        if not sharded else 0
+    live_cols = [i for i in csr_cols if int(q_len[..., i].max()) > 0]
+    n_w = sum(-(-int(q_len[..., i].max()) // T0) for i in live_cols)
     if not sharded and n_w <= _WINDOW_MAX_COLS:
         starts: list[int] = []
         lens: list[int] = []
@@ -410,6 +410,27 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
         sl_T = T0
         n_run = _bucket(len(live_cols), 1) if live_cols else 1
         single_v = n_tok == 1 and not use_mask and len(starts) <= 1
+    elif sharded and n_w <= _WINDOW_MAX_COLS:
+        cols = [(i, j)
+                for i in live_cols
+                for j in range(-(-int(q_len[..., i].max()) // T0))]
+        qs_pad = _qs_pad(len(cols))
+        sl_start = np.zeros(lead + (qs_pad,), dtype=np.int32)
+        sl_len = np.zeros(lead + (qs_pad,), dtype=np.int32)
+        sl_idf = np.zeros(qs_pad, dtype=np.float32)
+        sl_rows = np.zeros(qs_pad, dtype=np.int32)
+        for c, (i, j) in enumerate(cols):
+            # Clamp a zero-length column's start into the shard's own
+            # range so the window read never leaves the pack (its
+            # lanes are all invalid either way).
+            off = np.minimum(j * T0, np.maximum(q_len[:, i] - 1, 0))
+            sl_start[:, c] = q_start[:, i] + off
+            sl_len[:, c] = np.clip(q_len[:, i] - j * T0, 0, T0)
+            sl_idf[c] = q_idf[i]
+            sl_rows[c] = i
+        sl_T = T0
+        n_run = _bucket(len(live_cols), 1) if live_cols else 1
+        single_v = n_tok == 1 and not use_mask and len(cols) <= 1
     else:
         qs_pad = _qs_pad(len(csr_cols))
         sl_start = np.zeros(lead + (qs_pad,), dtype=np.int32)
@@ -825,10 +846,11 @@ def _sharded_sliced(plan: _Plan, dev) -> bool:
     path per shard; same exclusions as _use_sliced, per-shard slot
     counts, no dense rows on the sharded index)."""
     from .index.device import DeviceIndex
+    cols_cap = _WINDOW_MAX_COLS if plan.n_run else 64
     return (getattr(dev, "postings_pack", None) is not None
             and dev.slots_per_shard < (1 << 24)
             and plan.sl_T <= DeviceIndex.SLICE_MAX_T
-            and plan.sl_start.shape[-1] <= 64
+            and plan.sl_start.shape[-1] <= cols_cap
             and (not plan.use_mask or plan.q_start.shape[-1] <= 32))
 
 
@@ -966,9 +988,11 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
             jnp.asarray(plan.sl_len[:, None, :]),
             jnp.asarray(plan.sl_idf[None]), jnp.float32(dev.adl),
             jnp.asarray(prog_ops[None]), jnp.asarray(prog_args[None]),
+            jnp.asarray(plan.sl_rows[None])
+            if plan.sl_rows is not None else None,
             mesh=dev.mesh, T=plan.sl_T, k=k, algo=sp.algo,
             use_mask=use_mask, single=plan.single,
-            alive_all=dev.alive_all, depth=depth,
+            alive_all=dev.alive_all, depth=depth, n_run=plan.n_run,
         )
         _count("sharded_sliced")
         return _to_response(dev, np.asarray(scores)[0],
@@ -1119,7 +1143,7 @@ def submit_query_batch(dev, queries: list[Query],
         elif sharded_flag and _sharded_sliced(plan, dev):
             key = ("ssl", plan.sl_start.shape[-1], plan.sl_T,
                    len(plan.prog_ops) if plan.use_mask else 0,
-                   plan.use_mask, plan.depth, plan.single)
+                   plan.use_mask, plan.depth, plan.single, plan.n_run)
         elif _use_blockdense(plan, sharded_flag, dev.n_slots):
             # The block kernel's signature has no postings budget:
             # every budget tier shares one executable per shape.
@@ -1174,6 +1198,7 @@ def submit_query_batch(dev, queries: list[Query],
             sl_start = np.zeros((n_dev, n_pad, qs_pad), dtype=np.int32)
             sl_len = np.zeros((n_dev, n_pad, qs_pad), dtype=np.int32)
             sl_idf = np.zeros((n_pad, qs_pad), dtype=np.float32)
+            sl_rows_b = np.zeros((n_pad, qs_pad), dtype=np.int32)
             prog_ops = np.zeros((n_pad, prog_len), dtype=np.int32)
             prog_args = np.zeros((n_pad, prog_len), dtype=np.int32)
             for row, i in enumerate(members):
@@ -1181,6 +1206,8 @@ def submit_query_batch(dev, queries: list[Query],
                 sl_start[:, row] = p.sl_start
                 sl_len[:, row] = p.sl_len
                 sl_idf[row] = p.sl_idf
+                if p.sl_rows is not None:
+                    sl_rows_b[row] = p.sl_rows
                 if p.use_mask:
                     prog_ops[row] = p.prog_ops
                     prog_args[row] = p.prog_args
@@ -1189,9 +1216,11 @@ def submit_query_batch(dev, queries: list[Query],
                 jnp.asarray(sl_start), jnp.asarray(sl_len),
                 jnp.asarray(sl_idf), jnp.float32(dev.adl),
                 jnp.asarray(prog_ops), jnp.asarray(prog_args),
+                jnp.asarray(sl_rows_b),
                 mesh=dev.mesh, T=sample.sl_T, k=k, algo=sp.algo,
                 use_mask=sample.use_mask, single=sample.single,
                 alive_all=dev.alive_all, depth=sample.depth,
+                n_run=sample.n_run,
             )
             _count("sharded_sliced", n)
             pending.append((members, scores, slots, None))

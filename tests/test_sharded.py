@@ -172,3 +172,65 @@ def test_sharded_kernel_body_matches_candidate(corpora):
     got = {int(s): float(v) for v, s in
            zip(np.asarray(got_s[0]), np.asarray(got_sl[0])) if v > 0}
     assert ref and got == pytest.approx(ref, abs=1e-6)
+
+
+def test_sharded_windowed_planes(tmp_path):
+    """Sharded windowed plans: with a tiny window width every term
+    splits into multiple columns per shard (ragged per-shard window
+    counts padded with zero-length columns), and results must match a
+    single-chip index exactly -- masked and unmasked, sequential and
+    batched."""
+    import numpy as np
+
+    import nxsearch_tpu.search as S
+
+    saved_t = S._WINDOW_T
+    S._WINDOW_T = 4          # every df > 4 becomes multi-window
+    try:
+        rng = np.random.default_rng(11)
+        words = [f"t{i:02d}" for i in range(40)]
+        docs = []
+        for i in range(120):
+            n = max(3, int(rng.poisson(12)))
+            probs = 1.0 / (np.arange(40) + 2.0)
+            probs /= probs.sum()
+            docs.append((i + 1, " ".join(
+                rng.choice(words, size=n, p=probs))))
+        single = Nxs(str(tmp_path / "s"))
+        sharded = Nxs(str(tmp_path / "m"), mesh=make_mesh(jax.devices()))
+        for nxs in (single, sharded):
+            idx = nxs.index_create("w")
+            idx.add_many(docs)
+        i1, i2 = single.index_get("w"), sharded.index_get("w")
+        queries = [
+            "t00",                       # heavy single term, many windows
+            "t00 t07",                   # pair
+            "t00 t05 t11",
+            "t01 AND t03",
+            "t00 AND NOT t04",
+            "(t02 OR t06) AND t01",
+        ]
+        sp = Params().set_uint("limit", 60)
+        for q in queries:
+            want = dict(i1.search(q, sp))
+            got = dict(i2.search(q, sp))
+            assert set(got) == set(want), q
+            for d, s in want.items():
+                assert got[d] == pytest.approx(s, abs=1e-4), (q, d)
+        # Batched path through the grouped ssl dispatch.
+        seq = [dict(i2.search(q, sp)) for q in queries]
+        for q, b, s in zip(queries, i2.search_many(queries, sp), seq):
+            got = dict(b)
+            assert set(got) == set(s), q
+            for d, v in s.items():
+                assert got[d] == pytest.approx(v, abs=1e-5), (q, d)
+        # Removal: alive masking still applies per shard.
+        i2.remove(1)
+        i1.remove(1)
+        for q in ("t00", "t00 AND NOT t04"):
+            assert dict(i2.search(q, sp)).keys() == \
+                dict(i1.search(q, sp)).keys()
+        single.close()
+        sharded.close()
+    finally:
+        S._WINDOW_T = saved_t
