@@ -57,7 +57,7 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "T", "k", "algo", "use_mask", "single",
-                     "alive_all", "depth", "n_run"),
+                     "alive_all", "depth", "n_run", "T_head"),
 )
 def sharded_search_sliced_batch(
     postings_pack: jax.Array,   # f32[n_dev, Ps_pad+guard, 3]
@@ -71,6 +71,11 @@ def sharded_search_sliced_batch(
     prog_args: jax.Array,
     sl_rows: jax.Array = None,  # int32[N, Qs] (replicated; windowed
                                 # masked plans: token row per column)
+    h_start: jax.Array = None,  # int32[n_dev, N] (T_head > 0)
+    h_len: jax.Array = None,    # int32[n_dev, N]
+    h_idf: jax.Array = None,    # float32[N] (replicated)
+    h_row: jax.Array = None,    # int32[N] (replicated)
+    h_pass: jax.Array = None,   # bool[N] (replicated)
     *,
     mesh: Mesh,
     T: int,
@@ -81,12 +86,14 @@ def sharded_search_sliced_batch(
     alive_all: bool,
     depth: int = 8,
     n_run: int = 0,
+    T_head: int = 0,
 ):
     """Batched doc-sharded search through the sliced executor: the
     shard-local body is ops/executor.sliced_topk (contiguous per-term
     windows, variadic sort, shifted-pass aggregation), the cross-chip
     traffic is one all_gather of n_dev * k candidates over ICI.
-    Windowed plans (``n_run`` > 0) run per shard exactly like a single
+    Windowed plans (``n_run`` > 0) and head-term merges (``T_head`` >
+    0, per-shard head ranges) run per shard exactly like a single
     chip: the column -> token-row map and logical term count are
     shard-invariant by construction (search.py builds windows on the
     max per-shard length).  Returns replicated (scores f32[N, k'],
@@ -94,20 +101,30 @@ def sharded_search_sliced_batch(
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     slots_per_shard = doc_len.shape[1]
-    k_local = min(k, q_start.shape[2] * T)
+    k_local = min(k, q_start.shape[2] * T + T_head)
     k_final = min(k, n_dev * k_local)
     if sl_rows is None:
         sl_rows = jnp.zeros(q_idf.shape, jnp.int32)
+    n_q = q_idf.shape[0]
+    if h_start is None:
+        h_start = jnp.zeros((n_dev, n_q), jnp.int32)
+        h_len = jnp.zeros((n_dev, n_q), jnp.int32)
+        h_idf = jnp.zeros(n_q, jnp.float32)
+        h_row = jnp.zeros(n_q, jnp.int32)
+        h_pass = jnp.zeros(n_q, jnp.bool_)
 
     def shard_body(pack, am, dlen, qs, qlen, qidf, adl_s, pops, pargs,
-                   srows):
+                   srows, hs, hl, hi, hr, hp):
+        head = dict(h_start=hs[0], h_len=hl[0], h_idf=hi, h_row=hr,
+                    h_pass=hp) if T_head else {}
         packed = sliced_topk(
             pack[0], am[0], dlen[0], qs[0], qlen[0], qidf, adl_s,
             pops, pargs, None, None, None,
             sl_rows=srows if (use_mask and n_run) else None,
             T=T, k=k_local, algo=algo, n_slots=slots_per_shard,
             use_mask=use_mask, single=single, alive_all=alive_all,
-            use_rows=False, depth=depth, n_run=n_run)
+            use_rows=False, depth=depth, n_run=n_run, T_head=T_head,
+            **head)
         local_scores = packed[:, 0, :]
         local_slots = (packed[:, 1, :].astype(jnp.int32)
                        + lax.axis_index(axis) * slots_per_shard)
@@ -129,11 +146,13 @@ def sharded_search_sliced_batch(
         shard_body,
         mesh=mesh,
         in_specs=(sharded3, sharded, sharded, sharded3, sharded3,
-                  repl, repl, repl, repl, repl),
+                  repl, repl, repl, repl, repl,
+                  sharded, sharded, repl, repl, repl),
         out_specs=(repl, repl),
         check_vma=False,
     )(postings_pack, alive_mask, doc_len, q_start, q_len,
-      q_idf, adl, prog_ops, prog_args, sl_rows)
+      q_idf, adl, prog_ops, prog_args, sl_rows,
+      h_start, h_len, h_idf, h_row, h_pass)
 
 
 def _bucket(n: int, minimum: int) -> int:

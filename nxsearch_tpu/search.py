@@ -349,23 +349,29 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
     dense_set = {int(x) for x in d_qpos if x >= 0}
     csr_cols = [i for i in range(n_tok) if i not in dense_set]
 
-    # Head-term extraction (single-chip sliced path): the heaviest CSR
-    # term leaves the sort plane for the searchsorted + top_k merge
-    # when its df clears the tier threshold -- sort costs ~36x more
-    # per lane than top_k on v5e, and high-df terms dominate the sort.
+    # Head-term extraction (sliced path): the heaviest CSR term leaves
+    # the sort plane for the searchsorted + top_k merge when its df
+    # clears the tier threshold -- sort costs ~36x more per lane than
+    # top_k on v5e, and high-df terms dominate the sort.  Sharded
+    # plans carry per-shard head ranges (the merge is shard-local);
+    # eligibility and the tier use the max per-shard length.
     h_start_v = h_len_v = 0
     h_idf_v = 0.0
     h_row_v = -1
     h_T = 0
     h_pass_v = True
-    if not sharded and not dense_set and len(csr_cols) >= 2:
-        lens = [int(q_len[c]) for c in csr_cols]
+    if not dense_set and len(csr_cols) >= 2:
+        lens = [int(q_len[..., c].max()) for c in csr_cols]
         hmax = max(lens)
         min_df = _HEAD_MIN_DF_PAIR if len(csr_cols) == 2 else _HEAD_MIN_DF
         if hmax >= min_df and hmax <= DeviceIndex.SLICE_MAX_T:
             hcol = csr_cols[lens.index(hmax)]
-            h_start_v = int(q_start[hcol])
-            h_len_v = hmax
+            if sharded:
+                h_start_v = q_start[:, hcol].copy()
+                h_len_v = q_len[:, hcol].copy()
+            else:
+                h_start_v = int(q_start[hcol])
+                h_len_v = hmax
             h_idf_v = float(q_idf[hcol])
             h_row_v = hcol
             h_T = _head_tier(hmax, dev.slice_t_cap)
@@ -982,6 +988,17 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
 
     if sharded and _sharded_sliced(plan, dev):
         from .parallel.sharded import sharded_search_sliced_batch
+        h_kw = {}
+        if plan.h_T:
+            h_kw = dict(
+                h_start=jnp.asarray(
+                    np.asarray(plan.h_start, np.int32)[:, None]),
+                h_len=jnp.asarray(
+                    np.asarray(plan.h_len, np.int32)[:, None]),
+                h_idf=jnp.asarray(
+                    np.asarray([plan.h_idf], np.float32)),
+                h_row=jnp.asarray(np.asarray([plan.h_row], np.int32)),
+                h_pass=jnp.asarray(np.asarray([plan.h_pass], np.bool_)))
         scores, slots = sharded_search_sliced_batch(
             dev.postings_pack, dev.alive_mask, dev.doc_len,
             jnp.asarray(plan.sl_start[:, None, :]),
@@ -993,6 +1010,7 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
             mesh=dev.mesh, T=plan.sl_T, k=k, algo=sp.algo,
             use_mask=use_mask, single=plan.single,
             alive_all=dev.alive_all, depth=depth, n_run=plan.n_run,
+            T_head=plan.h_T, **h_kw,
         )
         _count("sharded_sliced")
         return _to_response(dev, np.asarray(scores)[0],
@@ -1143,7 +1161,8 @@ def submit_query_batch(dev, queries: list[Query],
         elif sharded_flag and _sharded_sliced(plan, dev):
             key = ("ssl", plan.sl_start.shape[-1], plan.sl_T,
                    len(plan.prog_ops) if plan.use_mask else 0,
-                   plan.use_mask, plan.depth, plan.single, plan.n_run)
+                   plan.use_mask, plan.depth, plan.single, plan.n_run,
+                   plan.h_T)
         elif _use_blockdense(plan, sharded_flag, dev.n_slots):
             # The block kernel's signature has no postings budget:
             # every budget tier shares one executable per shape.
@@ -1164,7 +1183,7 @@ def submit_query_batch(dev, queries: list[Query],
     for key, members in groups.items():
         if key[0] == "ssl":
             p = plans[members[0]]
-            elems = max(p.sl_start.shape[-1] * p.sl_T, 1)
+            elems = max(p.sl_start.shape[-1] * p.sl_T + p.h_T, 1)
             max_n = max(1, _ELEMS_CAP // elems)
         elif key[0] == "sl":
             elems = max(key[1] * key[2] + key[8], 1)
@@ -1195,12 +1214,19 @@ def submit_query_batch(dev, queries: list[Query],
             qs_pad = sample.sl_start.shape[-1]
             prog_len = len(sample.prog_ops)
             n_dev = dev.n_dev
+            t_head = sample.h_T
             sl_start = np.zeros((n_dev, n_pad, qs_pad), dtype=np.int32)
             sl_len = np.zeros((n_dev, n_pad, qs_pad), dtype=np.int32)
             sl_idf = np.zeros((n_pad, qs_pad), dtype=np.float32)
             sl_rows_b = np.zeros((n_pad, qs_pad), dtype=np.int32)
             prog_ops = np.zeros((n_pad, prog_len), dtype=np.int32)
             prog_args = np.zeros((n_pad, prog_len), dtype=np.int32)
+            if t_head:
+                h_start = np.zeros((n_dev, n_pad), dtype=np.int32)
+                h_len = np.zeros((n_dev, n_pad), dtype=np.int32)
+                h_idf = np.zeros(n_pad, dtype=np.float32)
+                h_row = np.zeros(n_pad, dtype=np.int32)
+                h_pass = np.zeros(n_pad, dtype=np.bool_)
             for row, i in enumerate(members):
                 p = plans[i]
                 sl_start[:, row] = p.sl_start
@@ -1211,6 +1237,16 @@ def submit_query_batch(dev, queries: list[Query],
                 if p.use_mask:
                     prog_ops[row] = p.prog_ops
                     prog_args[row] = p.prog_args
+                if t_head and p.h_T:
+                    h_start[:, row] = p.h_start
+                    h_len[:, row] = p.h_len
+                    h_idf[row] = p.h_idf
+                    h_row[row] = p.h_row
+                    h_pass[row] = p.h_pass
+            h_kw = dict(
+                h_start=jnp.asarray(h_start), h_len=jnp.asarray(h_len),
+                h_idf=jnp.asarray(h_idf), h_row=jnp.asarray(h_row),
+                h_pass=jnp.asarray(h_pass)) if t_head else {}
             scores, slots = sharded_search_sliced_batch(
                 dev.postings_pack, dev.alive_mask, dev.doc_len,
                 jnp.asarray(sl_start), jnp.asarray(sl_len),
@@ -1220,7 +1256,7 @@ def submit_query_batch(dev, queries: list[Query],
                 mesh=dev.mesh, T=sample.sl_T, k=k, algo=sp.algo,
                 use_mask=sample.use_mask, single=sample.single,
                 alive_all=dev.alive_all, depth=sample.depth,
-                n_run=sample.n_run,
+                n_run=sample.n_run, T_head=t_head, **h_kw,
             )
             _count("sharded_sliced", n)
             pending.append((members, scores, slots, None))

@@ -234,3 +234,64 @@ def test_sharded_windowed_planes(tmp_path):
         sharded.close()
     finally:
         S._WINDOW_T = saved_t
+
+
+def test_sharded_head_term(tmp_path):
+    """Sharded head-term merge: with lowered thresholds the heaviest
+    term leaves the per-shard sort plane (per-shard head ranges,
+    shard-local searchsorted merge); results must match a single-chip
+    index exactly, including masked queries and the 2-term pair rule
+    (n_run == 1 skips the sort inside every shard)."""
+    import numpy as np
+
+    import nxsearch_tpu.search as S
+
+    saved_df = S._HEAD_MIN_DF
+    saved_pair = S._HEAD_MIN_DF_PAIR
+    S._HEAD_MIN_DF = 16
+    S._HEAD_MIN_DF_PAIR = 16
+    try:
+        rng = np.random.default_rng(5)
+        words = [f"t{i:02d}" for i in range(50)]
+        probs = 1.0 / (np.arange(50) + 2.0)
+        probs /= probs.sum()
+        docs = [(i + 1, " ".join(rng.choice(
+            words, size=max(3, int(rng.poisson(15))), p=probs)))
+            for i in range(300)]
+        single = Nxs(str(tmp_path / "s"))
+        sharded = Nxs(str(tmp_path / "m"), mesh=make_mesh(jax.devices()))
+        for nxs in (single, sharded):
+            idx = nxs.index_create("h")
+            idx.add_many(docs)
+        i1, i2 = single.index_get("h"), sharded.index_get("h")
+        # limit > n_docs: k-truncation of tied tails would otherwise
+        # make the two top-k SETS differ legitimately.
+        queries = [
+            "t00 t30",                   # pair: head + tail, no sort
+            "t00 t10 t20 t31",           # head + 3 tails
+            "t00 AND t12",               # masked pair
+            "t25 AND NOT t00",           # head on the NOT arm
+            "(t00 OR t33) AND t02",
+        ]
+        sp = Params().set_uint("limit", 400)
+        for algo in ("BM25", "TF-IDF"):
+            spa = Params().set_uint("limit", 400).set_str("algo", algo)
+            for q in queries:
+                want = dict(i1.search(q, spa))
+                got = dict(i2.search(q, spa))
+                assert set(got) == set(want), (q, algo)
+                for d, s in want.items():
+                    assert got[d] == pytest.approx(s, abs=1e-4), \
+                        (q, algo, d)
+        # Batched ssl dispatch with the head group.
+        seq = [dict(i2.search(q, sp)) for q in queries]
+        for q, b, s in zip(queries, i2.search_many(queries, sp), seq):
+            got = dict(b)
+            assert set(got) == set(s), q
+            for d, v in s.items():
+                assert got[d] == pytest.approx(v, abs=1e-5), (q, d)
+        single.close()
+        sharded.close()
+    finally:
+        S._HEAD_MIN_DF = saved_df
+        S._HEAD_MIN_DF_PAIR = saved_pair
