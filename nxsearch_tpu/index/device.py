@@ -670,8 +670,13 @@ class DeviceIndex:
         row_cap = min(self.MAX_DENSE_ROWS,
                       max(int(self.DENSE_ROWS_MAX_BYTES // (4 * s_pad)), 1))
         if len(heavy) > row_cap:
-            heavy = heavy[np.argsort(-term_df_base[heavy], kind="stable")
-                          [: row_cap]]
+            # Keep the highest-df terms, then restore ascending term
+            # order: _dense_rows_dev maps postings to rows with a
+            # searchsorted over h_starts, which MUST be monotone (an
+            # unsorted cap selection silently scatters the wrong rows).
+            heavy = np.sort(
+                heavy[np.argsort(-term_df_base[heavy], kind="stable")
+                      [: row_cap]])
         self.dense_row_of = {int(t) + 1: i for i, t in enumerate(heavy)}
         lookup = np.full(self.base_nterms + 1, -1, dtype=np.int32)
         lookup[heavy + 1] = np.arange(len(heavy), dtype=np.int32)

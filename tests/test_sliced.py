@@ -447,3 +447,52 @@ def test_sliced_group_coalescing(tmp_path):
     finally:
         S._HEAD_MIN_DF = saved_df
         DeviceIndex.DENSE_DF_DIV = saved_div
+
+
+def test_dense_row_cap_reorder(tmp_path):
+    """When the dense-row cap binds, the kept heavy terms must be
+    re-sorted by term id: _dense_rows_dev maps postings to rows via a
+    searchsorted over per-row CSR starts, which requires monotone
+    starts.  Arrange arrival order so the heaviest term has the
+    LARGEST id (any real corpus; the synthetic bench's df happens to
+    be monotone in id, which masked this)."""
+    import numpy as np
+
+    saved_rows = DeviceIndex.MAX_DENSE_ROWS
+    saved_div = DeviceIndex.DENSE_DF_DIV
+    DeviceIndex.MAX_DENSE_ROWS = 2
+    DeviceIndex.DENSE_DF_DIV = 1024       # threshold df > s_pad/1024
+    try:
+        rng = np.random.default_rng(3)
+        nxs = Nxs(str(tmp_path))
+        idx = nxs.index_create("cap")
+        docs = []
+        for i in range(128):
+            words = ["filler%d" % rng.integers(0, 50)]
+            # mid1/mid2 registered FIRST (lower ids); huge first
+            # appears in doc 9, so its term id is the LARGEST of the
+            # dense-eligible set -- the df-ordered cap selection must
+            # re-sort it ascending.
+            words.append("mid1" if i % 2 == 0 else "mid2")
+            if i >= 8:
+                words.append("huge")
+            docs.append((i + 1, " ".join(words)))
+        idx.add_many(docs)
+        idx.search("huge")  # build the device snapshot
+        # dense-eligible: mid1 (64), mid2 (64), huge (120) with cap 2
+        # -> keeps {huge, mid1}; ids must come out ascending.
+        rows = idx.dev.dense_row_of
+        assert len(rows) == 2, rows
+        assert list(rows) == sorted(rows), rows
+        sp = Params().set_uint("limit", 128)
+        for q in ("huge", "mid1 huge", "mid2 huge filler3",
+                  "mid1 mid2 huge"):
+            got = dict(idx.search(q, sp))
+            want = _reference_scores(idx, q, sp)
+            assert set(got) == set(want), q
+            for d, s in want.items():
+                assert got[d] == pytest.approx(s, abs=1e-4), (q, d)
+        nxs.close()
+    finally:
+        DeviceIndex.MAX_DENSE_ROWS = saved_rows
+        DeviceIndex.DENSE_DF_DIV = saved_div
