@@ -57,7 +57,8 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "T", "k", "algo", "use_mask", "single",
-                     "alive_all", "depth", "n_run", "T_head"),
+                     "alive_all", "depth", "n_run", "T_head",
+                     "use_rows"),
 )
 def sharded_search_sliced_batch(
     postings_pack: jax.Array,   # f32[n_dev, Ps_pad+guard, 3]
@@ -76,6 +77,9 @@ def sharded_search_sliced_batch(
     h_idf: jax.Array = None,    # float32[N] (replicated)
     h_row: jax.Array = None,    # int32[N] (replicated)
     h_pass: jax.Array = None,   # bool[N] (replicated)
+    dense_rows: jax.Array = None,  # f32[n_dev, H, Ss] (use_rows)
+    d_row: jax.Array = None,    # int32[N, D] (replicated)
+    d_idf: jax.Array = None,    # float32[N, D] (replicated)
     *,
     mesh: Mesh,
     T: int,
@@ -87,6 +91,7 @@ def sharded_search_sliced_batch(
     depth: int = 8,
     n_run: int = 0,
     T_head: int = 0,
+    use_rows: bool = False,
 ):
     """Batched doc-sharded search through the sliced executor: the
     shard-local body is ops/executor.sliced_topk (contiguous per-term
@@ -101,7 +106,8 @@ def sharded_search_sliced_batch(
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     slots_per_shard = doc_len.shape[1]
-    k_local = min(k, q_start.shape[2] * T + T_head)
+    k_local = min(k, slots_per_shard) if use_rows \
+        else min(k, q_start.shape[2] * T + T_head)
     k_final = min(k, n_dev * k_local)
     if sl_rows is None:
         sl_rows = jnp.zeros(q_idf.shape, jnp.int32)
@@ -112,18 +118,25 @@ def sharded_search_sliced_batch(
         h_idf = jnp.zeros(n_q, jnp.float32)
         h_row = jnp.zeros(n_q, jnp.int32)
         h_pass = jnp.zeros(n_q, jnp.bool_)
+    if dense_rows is None:
+        dense_rows = jnp.zeros((n_dev, 1, slots_per_shard), jnp.float32)
+        d_row = jnp.full((n_q, 1), -1, jnp.int32)
+        d_idf = jnp.zeros((n_q, 1), jnp.float32)
 
     def shard_body(pack, am, dlen, qs, qlen, qidf, adl_s, pops, pargs,
-                   srows, hs, hl, hi, hr, hp):
+                   srows, hs, hl, hi, hr, hp, dr, drow, didf):
         head = dict(h_start=hs[0], h_len=hl[0], h_idf=hi, h_row=hr,
                     h_pass=hp) if T_head else {}
         packed = sliced_topk(
             pack[0], am[0], dlen[0], qs[0], qlen[0], qidf, adl_s,
-            pops, pargs, None, None, None,
+            pops, pargs,
+            dr[0] if use_rows else None,
+            drow if use_rows else None,
+            didf if use_rows else None,
             sl_rows=srows if (use_mask and n_run) else None,
             T=T, k=k_local, algo=algo, n_slots=slots_per_shard,
             use_mask=use_mask, single=single, alive_all=alive_all,
-            use_rows=False, depth=depth, n_run=n_run, T_head=T_head,
+            use_rows=use_rows, depth=depth, n_run=n_run, T_head=T_head,
             **head)
         local_scores = packed[:, 0, :]
         local_slots = (packed[:, 1, :].astype(jnp.int32)
@@ -147,12 +160,14 @@ def sharded_search_sliced_batch(
         mesh=mesh,
         in_specs=(sharded3, sharded, sharded, sharded3, sharded3,
                   repl, repl, repl, repl, repl,
-                  sharded, sharded, repl, repl, repl),
+                  sharded, sharded, repl, repl, repl,
+                  sharded3, repl, repl),
         out_specs=(repl, repl),
         check_vma=False,
     )(postings_pack, alive_mask, doc_len, q_start, q_len,
       q_idf, adl, prog_ops, prog_args, sl_rows,
-      h_start, h_len, h_idf, h_row, h_pass)
+      h_start, h_len, h_idf, h_row, h_pass,
+      dense_rows, d_row, d_idf)
 
 
 def _bucket(n: int, minimum: int) -> int:
@@ -326,6 +341,12 @@ class ShardedDeviceIndex:
         self._slots_mark = 0        # host slot count at base build
         self._alive_cached = np.zeros(0, dtype=np.bool_)
         self._removed_since_base = 0
+        # Dense score rows for heavy terms (same contract as
+        # DeviceIndex): eligibility/cap use GLOBAL df and slot count,
+        # rows live per shard as f32[n_dev, H, Ss].
+        self.dense_rows = None
+        self.dense_row_of: dict = {}
+        self.dense_row_lookup = None
 
     # -- live aggregates (host-authoritative; search syncs first) ------
 
@@ -457,6 +478,48 @@ class ShardedDeviceIndex:
             pack[d, :n_d, 1] = pltf[d, :n_d]
             pack[d, :n_d, 2] = dlen[d, pslot[d, :n_d]]
         self.postings_pack = self._put_sharded(pack)
+
+        # Dense rows for the heaviest terms: GLOBAL df decides the
+        # (shard-invariant) row set; each shard scatters its own
+        # postings into f32[H, Ss] rows on device, exactly like
+        # DeviceIndex (the searchsorted row mapping needs ascending
+        # per-row starts, hence np.sort after the df-ordered cap).
+        term_df_base = counts
+        heavy = np.nonzero(
+            term_df_base > self.n_slots // DeviceIndex.DENSE_DF_DIV)[0]
+        row_cap = min(DeviceIndex.MAX_DENSE_ROWS,
+                      max(int(DeviceIndex.DENSE_ROWS_MAX_BYTES
+                              // (4 * max(self.n_slots, 1))), 1))
+        if len(heavy) > row_cap:
+            heavy = np.sort(
+                heavy[np.argsort(-term_df_base[heavy], kind="stable")
+                      [: row_cap]])
+        self.dense_row_of = {int(t) + 1: i for i, t in enumerate(heavy)}
+        lookup = np.full(nterms + 1, -1, dtype=np.int32)
+        lookup[heavy + 1] = np.arange(len(heavy), dtype=np.int32)
+        self.dense_row_lookup = lookup
+        if len(heavy):
+            from ..index.device import _dense_rows_dev
+            h_starts = starts[:, heavy].astype(np.int64)
+            h_lens = per[:, heavy].astype(np.int64)
+            n_rows = len(heavy)
+            chunk = min(ps_pad, 1 << 22)
+
+            def rows_body(pk, st, ln):
+                return _dense_rows_dev(
+                    pk[0], st[0], ln[0], s_pad=ss, p_pad=ps_pad,
+                    n_rows=n_rows, chunk=chunk)[None]
+
+            ax = self.axis
+            self.dense_rows = jax.shard_map(
+                rows_body, mesh=self.mesh,
+                in_specs=(P(ax, None, None), P(ax, None), P(ax, None)),
+                out_specs=P(ax, None, None),
+                check_vma=False,
+            )(self.postings_pack, self._put_sharded(h_starts),
+              self._put_sharded(h_lens))
+        else:
+            self.dense_rows = None
 
         self.postings_slot = self._put_sharded(pslot)
         self.postings_ltf = self._put_sharded(pltf)

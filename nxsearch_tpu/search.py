@@ -857,7 +857,11 @@ def _sharded_sliced(plan: _Plan, dev) -> bool:
             and dev.slots_per_shard < (1 << 24)
             and plan.sl_T <= DeviceIndex.SLICE_MAX_T
             and plan.sl_start.shape[-1] <= cols_cap
-            and (not plan.use_mask or plan.q_start.shape[-1] <= 32))
+            and (not plan.use_mask or plan.q_start.shape[-1] <= 32)
+            # Dense-handled terms: the hybrid is pure-OR only (masked
+            # queries cannot evaluate NOT/AND on partial presence
+            # bits) -- same rule as _use_sliced.
+            and not (plan.use_mask and plan.use_rows))
 
 
 def _sharded_kernel(plan: _Plan, dev) -> bool:
@@ -999,6 +1003,11 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
                     np.asarray([plan.h_idf], np.float32)),
                 h_row=jnp.asarray(np.asarray([plan.h_row], np.int32)),
                 h_pass=jnp.asarray(np.asarray([plan.h_pass], np.bool_)))
+        if plan.use_rows:
+            h_kw.update(
+                dense_rows=dev.dense_rows,
+                d_row=jnp.asarray(plan.d_row[None]),
+                d_idf=jnp.asarray(plan.d_idf[None]))
         scores, slots = sharded_search_sliced_batch(
             dev.postings_pack, dev.alive_mask, dev.doc_len,
             jnp.asarray(plan.sl_start[:, None, :]),
@@ -1010,7 +1019,7 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
             mesh=dev.mesh, T=plan.sl_T, k=k, algo=sp.algo,
             use_mask=use_mask, single=plan.single,
             alive_all=dev.alive_all, depth=depth, n_run=plan.n_run,
-            T_head=plan.h_T, **h_kw,
+            T_head=plan.h_T, use_rows=plan.use_rows, **h_kw,
         )
         _count("sharded_sliced")
         return _to_response(dev, np.asarray(scores)[0],
@@ -1162,7 +1171,7 @@ def submit_query_batch(dev, queries: list[Query],
             key = ("ssl", plan.sl_start.shape[-1], plan.sl_T,
                    len(plan.prog_ops) if plan.use_mask else 0,
                    plan.use_mask, plan.depth, plan.single, plan.n_run,
-                   plan.h_T)
+                   plan.h_T, plan.use_rows)
         elif _use_blockdense(plan, sharded_flag, dev.n_slots):
             # The block kernel's signature has no postings budget:
             # every budget tier shares one executable per shape.
@@ -1185,6 +1194,9 @@ def submit_query_batch(dev, queries: list[Query],
             p = plans[members[0]]
             elems = max(p.sl_start.shape[-1] * p.sl_T + p.h_T, 1)
             max_n = max(1, _ELEMS_CAP // elems)
+            if key[9]:                   # use_rows: [N, Ss] dense plane
+                max_n = min(max_n, max(
+                    1, _BD_ELEMS_CAP // max(dev.slots_per_shard, 1)))
         elif key[0] == "sl":
             elems = max(key[1] * key[2] + key[8], 1)
             max_n = max(1, _ELEMS_CAP // elems)
@@ -1247,6 +1259,19 @@ def submit_query_batch(dev, queries: list[Query],
                 h_start=jnp.asarray(h_start), h_len=jnp.asarray(h_len),
                 h_idf=jnp.asarray(h_idf), h_row=jnp.asarray(h_row),
                 h_pass=jnp.asarray(h_pass)) if t_head else {}
+            use_rows_g = bool(key[9])
+            if use_rows_g:
+                d_row_b = np.full((n_pad, _MAX_DENSE_PER_QUERY), -1,
+                                  dtype=np.int32)
+                d_idf_b = np.zeros((n_pad, _MAX_DENSE_PER_QUERY),
+                                   dtype=np.float32)
+                for row, i in enumerate(members):
+                    if plans[i].d_row is not None:
+                        d_row_b[row] = plans[i].d_row
+                        d_idf_b[row] = plans[i].d_idf
+                h_kw.update(dense_rows=dev.dense_rows,
+                            d_row=jnp.asarray(d_row_b),
+                            d_idf=jnp.asarray(d_idf_b))
             scores, slots = sharded_search_sliced_batch(
                 dev.postings_pack, dev.alive_mask, dev.doc_len,
                 jnp.asarray(sl_start), jnp.asarray(sl_len),
@@ -1256,7 +1281,8 @@ def submit_query_batch(dev, queries: list[Query],
                 mesh=dev.mesh, T=sample.sl_T, k=k, algo=sp.algo,
                 use_mask=sample.use_mask, single=sample.single,
                 alive_all=dev.alive_all, depth=sample.depth,
-                n_run=sample.n_run, T_head=t_head, **h_kw,
+                n_run=sample.n_run, T_head=t_head, use_rows=use_rows_g,
+                **h_kw,
             )
             _count("sharded_sliced", n)
             pending.append((members, scores, slots, None))

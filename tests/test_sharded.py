@@ -295,3 +295,66 @@ def test_sharded_head_term(tmp_path):
     finally:
         S._HEAD_MIN_DF = saved_df
         S._HEAD_MIN_DF_PAIR = saved_pair
+
+
+def test_sharded_dense_rows(tmp_path):
+    """Sharded dense-row hybrid: heavy terms (global df over the
+    threshold) get per-shard dense score rows; pure-OR queries with
+    them run the scatter-max hybrid inside shard_map and must match a
+    single-chip index exactly.  Masked queries with dense terms must
+    route away from the hybrid (partial presence bits cannot evaluate
+    NOT/AND) and still be exact."""
+    import numpy as np
+
+    from nxsearch_tpu.index.device import DeviceIndex
+
+    saved_div = DeviceIndex.DENSE_DF_DIV
+    DeviceIndex.DENSE_DF_DIV = 1024      # low threshold: dense rows on
+    try:
+        rng = np.random.default_rng(17)
+        words = [f"t{i:02d}" for i in range(30)]
+        probs = 1.0 / (np.arange(30) + 2.0)
+        probs /= probs.sum()
+        docs = [(i + 1, " ".join(rng.choice(
+            words, size=max(3, int(rng.poisson(10))), p=probs)))
+            for i in range(250)]
+        single = Nxs(str(tmp_path / "s"))
+        sharded = Nxs(str(tmp_path / "m"), mesh=make_mesh(jax.devices()))
+        for nxs in (single, sharded):
+            idx = nxs.index_create("d")
+            idx.add_many(docs)
+        i1, i2 = single.index_get("d"), sharded.index_get("d")
+        sp = Params().set_uint("limit", 300)
+        i2.search("t00", sp)             # build the sharded snapshot
+        assert i2.dev.dense_row_of, "expected sharded dense rows"
+        queries = [
+            "t00",                        # dense single term
+            "t00 t01 t19",                # dense + csr mix (hybrid)
+            "t00 t01",                    # two dense terms
+            "t00 AND t05",                # masked: must avoid hybrid
+            "t07 AND NOT t00",
+        ]
+        for algo in ("BM25", "TF-IDF"):
+            spa = Params().set_uint("limit", 300).set_str("algo", algo)
+            for q in queries:
+                want = dict(i1.search(q, spa))
+                got = dict(i2.search(q, spa))
+                assert set(got) == set(want), (q, algo)
+                for d, s in want.items():
+                    assert got[d] == pytest.approx(s, abs=1e-4), \
+                        (q, algo, d)
+        # Batched + removals.
+        seq = [dict(i2.search(q, sp)) for q in queries]
+        for q, b, s in zip(queries, i2.search_many(queries, sp), seq):
+            got = dict(b)
+            assert set(got) == set(s), q
+        for doc_id in range(5, 250, 13):
+            i1.remove(doc_id)
+            i2.remove(doc_id)
+        for q in ("t00 t02", "t00 AND t03"):
+            assert dict(i2.search(q, sp)).keys() == \
+                dict(i1.search(q, sp)).keys(), q
+        single.close()
+        sharded.close()
+    finally:
+        DeviceIndex.DENSE_DF_DIV = saved_div
