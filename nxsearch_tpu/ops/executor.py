@@ -138,6 +138,10 @@ def sliced_topk(
     h_pass=None,      # bool[N]: program({head}) -- head-only docs pass
     sl_rows=None,     # int32[N, Qs]: token row per column (windowed
                       # plans split one term over several columns)
+    d_bit=None,       # int32[N, D]: dense term's token row / bit pos
+                      # (masked hybrid only; -1 pad)
+    d_pass=None,      # bool[N, 2**D]: program verdict for every
+                      # dense-only presence pattern (masked hybrid)
     *, T: int, k: int, algo: int, n_slots: int, use_mask: bool,
     single: bool, alive_all: bool, use_rows: bool, depth: int = 8,
     T_head: int = 0, n_run: int = 0,
@@ -177,8 +181,8 @@ def sliced_topk(
     Returns packed f32[N, 2, k']: scores and slot indexes by value
     (exact: the router gates on n_slots < 2**24).
     """
-    assert not (use_rows and use_mask), \
-        "hybrid dense-row path is pure-OR only (router invariant)"
+    assert not (use_rows and use_mask) or d_pass is not None, \
+        "masked dense-row hybrid requires the d_bit/d_pass inputs"
     assert not (use_rows and T_head), \
         "dense-row and head-term hybrids are mutually exclusive (router)"
     n_batch, n_terms = q_start.shape
@@ -211,6 +215,7 @@ def sliced_topk(
     contrib = jnp.where(valid_score, contrib, 0.0)
 
     dsum = None
+    d_rows_cache = []
     if use_rows:
         # Dense-row sweep: per-slot exact sums of the heavy terms'
         # contributions -- pure elementwise over [N, S] (rows are ltf
@@ -223,6 +228,8 @@ def sliced_topk(
         for j in range(d_row.shape[1]):
             row = jnp.take(dense_rows, jnp.maximum(d_row[:, j], 0),
                            axis=0)                      # [N, S]
+            if use_mask:
+                d_rows_cache.append(row)
             if algo == ALGO_BM25:
                 part = row / (row + c1 + c2 * doc_len[None, :])
             else:
@@ -283,6 +290,20 @@ def sliced_topk(
         bit = (jnp.uint32(1) << jnp.minimum(rows, 31).astype(jnp.uint32)
                )[:, :, None]
         bits = jnp.where(valid, bit, jnp.uint32(0)).reshape(n_batch, flat)
+        if use_rows:
+            # Masked hybrid: a candidate's presence bits must include
+            # the dense-handled terms -- gather each dense row at the
+            # candidate lanes' slots (non-zero ltf == present).
+            slot_l = jnp.clip(slot_f.astype(jnp.int32), 0, n_slots - 1
+                              ).reshape(n_batch, flat)
+            valid_f = valid.reshape(n_batch, flat)
+            for j in range(d_row.shape[1]):
+                at = jnp.take_along_axis(d_rows_cache[j], slot_l, axis=1)
+                dbit = (jnp.uint32(1) << jnp.minimum(
+                    jnp.maximum(d_bit[:, j], 0), 31).astype(jnp.uint32))
+                on = (valid_f & (at > 0.0)
+                      & (d_row[:, j] >= 0)[:, None])
+                bits = bits | jnp.where(on, dbit[:, None], jnp.uint32(0))
     else:
         bits = None
     if n_logical == 1:
@@ -360,16 +381,36 @@ def sliced_topk(
 
     if use_rows:
         # Candidate totals must include the dense terms' contributions
-        # for their documents; then the dense sweep keeps the larger of
-        # (full candidate total, dense-only partial) per slot and the
-        # top-k runs over the merged [N, S] plane.
+        # for their documents; then the dense sweep merges per slot and
+        # the top-k runs over the merged [N, S] plane.
         slot_idx = jnp.where(is_doc, key_s, jnp.float32(n_slots)
                              ).astype(jnp.int32)
         dense_at = jnp.take_along_axis(
             dsum, jnp.minimum(slot_idx, n_slots - 1), axis=1)
-        cand_final = jnp.where(segsum > 0.0, segsum + dense_at, 0.0)
-        merged = dsum.at[jnp.arange(n_batch)[:, None], slot_idx].max(
-            cand_final, mode="drop")
+        n_ix = jnp.arange(n_batch)[:, None]
+        if use_mask:
+            # Masked hybrid: documents with NO candidate (CSR) term are
+            # gated by the host-evaluated program verdict over their
+            # dense-only presence pattern (D <= 4 -> 2**D-entry table);
+            # candidate documents OVERRIDE their slot with the full,
+            # keep-gated total (0 when the program fails -- covered
+            # slots must not fall back to the dense-only score).
+            pattern = jnp.zeros((n_batch, n_slots), jnp.int32)
+            for j in range(d_row.shape[1]):
+                on = ((d_rows_cache[j] > 0.0)
+                      & (d_row[:, j] >= 0)[:, None])
+                pattern = pattern | jnp.where(on, 1 << j, 0)
+            verdict = jnp.take_along_axis(
+                d_pass.astype(jnp.float32), pattern, axis=1)
+            base = dsum * verdict
+            cand_val = jnp.where(is_doc & keep, segsum + dense_at, 0.0)
+            merged = base.at[n_ix, slot_idx].set(cand_val, mode="drop")
+        else:
+            # Pure-OR: scatter-max is exact because contributions are
+            # non-negative (a candidate total dominates its dense-only
+            # partial sum).
+            cand_final = jnp.where(segsum > 0.0, segsum + dense_at, 0.0)
+            merged = dsum.at[n_ix, slot_idx].max(cand_final, mode="drop")
         scores, slots_i = lax.top_k(merged, min(k, n_slots))
         slots = jnp.where(scores > 0.0, slots_i.astype(jnp.float32), 0.0)
         return jnp.stack([scores, slots], axis=1)
@@ -428,10 +469,12 @@ def sliced_topk_packed(
     | use_rows: d_row[n,D] d_idf[n,D]
     | T_head:   h_start[n] h_len[n] h_idf[n] h_row[n] h_pass[n]
     | use_mask and n_run: sl_rows[n,qs]
+    | use_mask and use_rows: d_bit[n,D] d_pass[n,2**D]
     """
     per = (3 * qs + (2 * L if use_mask else 0)
            + (2 * D if use_rows else 0) + (5 if T_head else 0)
-           + (qs if (use_mask and n_run) else 0))
+           + (qs if (use_mask and n_run) else 0)
+           + (D + (1 << D) if (use_mask and use_rows) else 0))
     n = buf.shape[0] // per
     off = 0
 
@@ -467,10 +510,14 @@ def sliced_topk_packed(
     sl_rows = None
     if use_mask and n_run:
         sl_rows = take_i32(qs, (qs,))
+    d_bit = d_pass = None
+    if use_mask and use_rows:
+        d_bit = take_i32(D, (D,))
+        d_pass = take_i32(1 << D, (1 << D,)) != 0
     return sliced_topk(
         postings_pack, alive_mask, doc_len, sl_start, sl_len, sl_idf,
         adl, prog_ops, prog_args, dense_rows, d_row, d_idf,
-        h_start, h_len, h_idf, h_row, h_pass, sl_rows,
+        h_start, h_len, h_idf, h_row, h_pass, sl_rows, d_bit, d_pass,
         T=T, k=k, algo=algo, n_slots=n_slots, use_mask=use_mask,
         single=single, alive_all=alive_all, use_rows=use_rows,
         depth=depth, T_head=T_head, n_run=n_run)
@@ -487,7 +534,8 @@ device_search_sliced_packed = functools.partial(
 def pack_sliced_group(sl_start, sl_len, sl_idf, prog_ops=None,
                       prog_args=None, d_row=None, d_idf=None,
                       h_start=None, h_len=None, h_idf=None, h_row=None,
-                      h_pass=None, sl_rows=None):
+                      h_pass=None, sl_rows=None, d_bit=None,
+                      d_pass=None):
     """Host-side packer matching sliced_topk_packed's layout.  Fields
     must be passed exactly when their gate is on (see layout doc)."""
     import numpy as np
@@ -507,6 +555,8 @@ def pack_sliced_group(sl_start, sl_len, sl_idf, prog_ops=None,
         parts += [h_start, h_len, h_idf, h_row, h_pass]
     if sl_rows is not None:
         parts.append(sl_rows)
+    if d_bit is not None:
+        parts += [d_bit, d_pass]
     return np.concatenate([i32(p) for p in parts])
 
 

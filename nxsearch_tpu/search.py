@@ -173,6 +173,11 @@ def _window_t0(cap: int) -> int:
 # columns = 16k lanes).  A floor of 2 halves those lanes at the cost
 # of one extra signature group; tune on hardware via NXS_QS_MIN.
 _QS_MIN = int(os.environ.get("NXS_QS_MIN", "4"))
+# Masked dense-row hybrid: route masked (AND/NOT) queries with
+# dense-handled terms through the sliced hybrid instead of the
+# blockdense kernel.  Exact either way (tests force it); default off
+# until the kernel-vs-hybrid tradeoff is measured on hardware.
+_MASKED_HYBRID = os.environ.get("NXS_MASKED_HYBRID", "0") == "1"
 
 
 def _qs_pad(n: int) -> int:
@@ -240,6 +245,9 @@ class _Plan:
     h_row: int = -1             # token row (presence-bit position)
     h_T: int = 0                # pow2 slice tier; 0 = no head
     h_pass: bool = True         # program({head}) for head-only docs
+    # Masked dense-row hybrid: program verdict for every dense-only
+    # presence pattern (bool[2**_MAX_DENSE_PER_QUERY]).
+    d_pass: np.ndarray = None
 
     @property
     def use_rows(self) -> bool:
@@ -348,6 +356,20 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
             d_idf[j] = q_idf[d_qpos[j]]
     dense_set = {int(x) for x in d_qpos if x >= 0}
     csr_cols = [i for i in range(n_tok) if i not in dense_set]
+
+    # Masked hybrid verdict table: the program evaluated on every
+    # dense-only presence pattern (documents matched by no CSR term
+    # are gated by this on the dense-sweep side).
+    d_pass_v = None
+    if use_mask and _MASKED_HYBRID and dense_set:
+        nd = _MAX_DENSE_PER_QUERY
+        pats = np.zeros((EMPTY_LEAF_BIT + 1, 1 << nd), np.bool_)
+        for m in range(1 << nd):
+            for j in range(nd):
+                if d_qpos[j] >= 0 and (m >> j) & 1:
+                    pats[min(int(d_qpos[j]), EMPTY_LEAF_BIT - 1), m] = \
+                        True
+        d_pass_v = _eval_program_np(pats, prog_ops, prog_args)
 
     # Head-term extraction (sliced path): the heaviest CSR term leaves
     # the sort plane for the searchsorted + top_k merge when its df
@@ -463,7 +485,8 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
                  sl_T=sl_T, sl_rows=sl_rows, n_run=n_run,
                  single=single_v,
                  h_start=h_start_v, h_len=h_len_v, h_idf=h_idf_v,
-                 h_row=h_row_v, h_T=h_T, h_pass=h_pass_v)
+                 h_row=h_row_v, h_T=h_T, h_pass=h_pass_v,
+                 d_pass=d_pass_v)
 
 
 # Shared read-only dummy program for unmasked plans (kept 1-op so the
@@ -767,19 +790,27 @@ def _use_sliced(plan: _Plan, sharded: bool, dev) -> bool:
     sliced_topk).  With dense-row terms it becomes the pure-OR hybrid
     (candidate plane scatter-max-merged into the dense-row sweep).
 
-    Exclusions: sharded indexes (per-shard port pending), slot counts
-    that overflow exact f32 packing, terms wider than the slice guard,
-    masked queries with dense-handled terms (partial presence bits
-    cannot evaluate NOT/AND), and very wide queries.
+    Exclusions: sharded indexes (those route to the shard_map twin),
+    slot counts that overflow exact f32 packing, terms wider than the
+    slice guard, masked queries with dense-handled terms (unless the
+    masked hybrid is enabled: candidate lanes gather dense presence
+    bits and dense-only documents are gated by a host-evaluated
+    verdict table), and very wide queries.
     """
     if sharded or getattr(dev, "postings_pack", None) is None:
         return False
     from .index.device import DeviceIndex
     cols_cap = _WINDOW_MAX_COLS if plan.n_run else 64
+    # The masked hybrid needs the explicit column -> token-row map of
+    # windowed plans (dense terms leave gaps in the column order, so
+    # column index != token row on the tiered fallback).
+    masked_rows_ok = (_MASKED_HYBRID and plan.d_pass is not None
+                      and plan.n_run > 0)
     return (dev.n_slots < (1 << 24)
             and plan.sl_T <= DeviceIndex.SLICE_MAX_T
             and len(plan.sl_start) <= cols_cap
-            and not (plan.use_mask and plan.use_rows)
+            and not (plan.use_mask and plan.use_rows
+                     and not masked_rows_ok)
             and (not plan.use_mask or plan.q_start.shape[-1] <= 32))
 
 
@@ -952,7 +983,9 @@ def execute_query(dev, query: Query, sp: SearchParams) -> Response:
             np.asarray([plan.h_idf], np.float32) if t_head else None,
             np.asarray([plan.h_row], np.int32) if t_head else None,
             np.asarray([plan.h_pass], np.bool_) if t_head else None,
-            plan.sl_rows[None] if with_rows else None)
+            plan.sl_rows[None] if with_rows else None,
+            plan.d_qpos[None] if (use_mask and plan.use_rows) else None,
+            plan.d_pass[None] if (use_mask and plan.use_rows) else None)
         packed = device_search_sliced_packed(
             dev.postings_pack, dev.alive_mask, dev.doc_len,
             jnp.asarray(buf), dev.adl_dev,
@@ -1310,6 +1343,12 @@ def submit_query_batch(dev, queries: list[Query],
                                 dtype=np.int32)
                 d_idf = np.zeros((n_pad, _MAX_DENSE_PER_QUERY),
                                  dtype=np.float32)
+            masked_rows = bool(use_mask_g and use_rows_g)
+            if masked_rows:
+                d_bit = np.full((n_pad, _MAX_DENSE_PER_QUERY), -1,
+                                dtype=np.int32)
+                d_pass = np.zeros(
+                    (n_pad, 1 << _MAX_DENSE_PER_QUERY), dtype=np.bool_)
             if t_head:
                 h_start = np.zeros(n_pad, dtype=np.int32)
                 h_len = np.zeros(n_pad, dtype=np.int32)
@@ -1331,6 +1370,10 @@ def submit_query_batch(dev, queries: list[Query],
                 if use_rows_g and p.d_row is not None:
                     d_row[row] = p.d_row
                     d_idf[row] = p.d_idf
+                if masked_rows:
+                    d_bit[row] = p.d_qpos
+                    if p.d_pass is not None:
+                        d_pass[row] = p.d_pass
                 if t_head and p.h_T:
                     h_start[row] = p.h_start
                     h_len[row] = p.h_len
@@ -1348,7 +1391,9 @@ def submit_query_batch(dev, queries: list[Query],
                 h_idf if t_head else None,
                 h_row if t_head else None,
                 h_pass if t_head else None,
-                sl_rows)
+                sl_rows,
+                d_bit if masked_rows else None,
+                d_pass if masked_rows else None)
             packed = device_search_sliced_packed(
                 dev.postings_pack, dev.alive_mask, dev.doc_len,
                 jnp.asarray(buf), dev.adl_dev,

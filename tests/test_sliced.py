@@ -496,3 +496,67 @@ def test_dense_row_cap_reorder(tmp_path):
     finally:
         DeviceIndex.MAX_DENSE_ROWS = saved_rows
         DeviceIndex.DENSE_DF_DIV = saved_div
+
+
+def test_masked_dense_hybrid(tmp_path):
+    """Masked dense-row hybrid (NXS_MASKED_HYBRID): AND/NOT queries
+    with dense-handled terms run on the sliced path -- candidate lanes
+    gather dense presence bits, dense-only documents are gated by the
+    host-evaluated verdict table, and covered slots override the
+    dense-only score (a failing candidate must NOT fall back to its
+    dense partial).  Exact vs the reference executors."""
+    import nxsearch_tpu.search as S
+
+    saved_flag = S._MASKED_HYBRID
+    saved_div = DeviceIndex.DENSE_DF_DIV
+    S._MASKED_HYBRID = True
+    DeviceIndex.DENSE_DF_DIV = 1024
+    try:
+        rng = np.random.default_rng(29)
+        docs, _ = _rand_corpus(rng, 400, 50, 20)
+        nxs = Nxs(str(tmp_path))
+        idx = nxs.index_create("mh")
+        idx.add_many(docs)
+        idx.search("t000")
+        assert idx.dev.dense_row_of, "expected dense rows"
+        queries = [
+            "t000 AND t020",              # dense AND csr
+            "t000 AND NOT t015",          # dense AND NOT csr
+            "t020 AND NOT t000",          # csr AND NOT dense
+            "(t000 OR t030) AND t010",    # dense in an OR arm
+            "(t000 OR t001) AND NOT t025",  # two dense terms
+            "t000 AND t001",              # dense AND dense
+        ]
+        for algo in ("BM25", "TF-IDF"):
+            sp = Params().set_uint("limit", 500).set_str("algo", algo)
+            for q in queries:
+                plan_q = idx._prepare(q) if hasattr(idx, "_prepare") \
+                    else None
+                got = dict(idx.search(q, sp))
+                want = _reference_scores(idx, q, sp)
+                assert set(got) == set(want), (q, algo)
+                for d, s in want.items():
+                    assert got[d] == pytest.approx(s, abs=1e-4), \
+                        (q, algo, d)
+        # Batched path through the grouped dispatch.
+        sp = Params().set_uint("limit", 500)
+        seq = [dict(idx.search(q, sp)) for q in queries]
+        for q, b, s in zip(queries, idx.search_many(queries, sp), seq):
+            got = dict(b)
+            assert set(got) == set(s), q
+            for d, v in s.items():
+                assert got[d] == pytest.approx(v, abs=1e-5), (q, d)
+        # Removals: alive masking applies to both planes.
+        for doc_id in range(3, 400, 9):
+            idx.remove(doc_id)
+        for q in ("t000 AND t005", "t008 AND NOT t000"):
+            got = dict(idx.search(q, sp))
+            assert not (set(got) & set(range(3, 400, 9))), q
+            want = _reference_scores(idx, q, sp)
+            assert set(got) == set(want), q
+            for d, s in want.items():
+                assert got[d] == pytest.approx(s, abs=1e-4), (q, d)
+        nxs.close()
+    finally:
+        S._MASKED_HYBRID = saved_flag
+        DeviceIndex.DENSE_DF_DIV = saved_div

@@ -31,3 +31,6 @@ python bench.py --verbose
 
 echo "== 5. mixed trace (boolean + fuzzy) =="
 python bench.py --mixed --verbose
+
+echo "== 5b. masked dense hybrid A/B (vs blockdense fallback) =="
+NXS_MASKED_HYBRID=1 python bench.py --mixed --verbose
