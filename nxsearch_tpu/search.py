@@ -1473,6 +1473,7 @@ def submit_query_batch(dev, queries: list[Query],
                 use_mask=sample.use_mask, depth=sample.depth,
                 use_rows=sample.use_rows,
             )
+            _count("blockdense", n)
             pending.append((members, packed, None, "packed"))
             continue
         n = len(members)
@@ -1510,6 +1511,7 @@ def submit_query_batch(dev, queries: list[Query],
                 use_kernel=_sharded_kernel(sample, dev),
                 use_dense=sample.use_dense,
             )
+            _count("sharded_fallback", n)
         elif sample.use_dense:
             scores, slots = device_search_dense_batch(
                 dev.postings_slot, dev.postings_ltf, dev.doc_len,
@@ -1521,7 +1523,9 @@ def submit_query_batch(dev, queries: list[Query],
                 n_slots=dev.n_slots,
                 use_mask=sample.use_mask, depth=sample.depth,
             )
+            _count("dense", n)
         else:
+            _count("candidate", n)
             scores, slots = device_search_batch(
                 dev.postings_slot, dev.postings_ltf, dev.doc_len,
                 dev.alive_mask,

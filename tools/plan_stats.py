@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--vocab", type=int, default=1_000_000)
     ap.add_argument("--mean-len", type=int, default=60)
     ap.add_argument("--queries", type=int, default=2048)
+    ap.add_argument("--mixed", action="store_true",
+                    help="boolean + fuzzy trace mix")
     args = ap.parse_args()
 
     import bench as benchmod
@@ -35,7 +37,9 @@ def main():
     probs = 1.0 / (ranks + 10.0)
     probs /= probs.sum()
     words = np.array([f"w{i:05d}" for i in range(args.vocab)])
-    queries = benchmod.make_queries(args.queries, words, probs, rng)
+    make = benchmod.make_mixed_queries if args.mixed \
+        else benchmod.make_queries
+    queries = make(args.queries, words, probs, rng)
 
     from nxsearch_tpu import Nxs, Params
     from nxsearch_tpu import search as S
