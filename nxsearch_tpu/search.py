@@ -178,6 +178,19 @@ _QS_MIN = int(os.environ.get("NXS_QS_MIN", "4"))
 # blockdense kernel.  Exact either way (tests force it); default off
 # until the kernel-vs-hybrid tradeoff is measured on hardware.
 _MASKED_HYBRID = os.environ.get("NXS_MASKED_HYBRID", "0") == "1"
+# Dispatch-group row padding grid.  Power-of-two rounding wastes up to
+# 50% of a group's device planes (padded rows execute in full); the
+# 1.5x grid (8, 12, 16, 24, 32, ...) halves the worst case for ~2x
+# the one-time executable compiles.  Staged for hardware A/B.
+_ROW_GRID_15 = os.environ.get("NXS_ROW_GRID15", "0") == "1"
+
+
+def _row_pad(n: int) -> int:
+    """Group row count -> padded row count on the configured grid."""
+    p = _bucket(n, 8)
+    if _ROW_GRID_15 and n <= (p >> 1) + (p >> 2):
+        return (p >> 1) + (p >> 2)      # 0.75 * next_pow2 = 1.5 grid
+    return p
 
 
 def _qs_pad(n: int) -> int:
@@ -1255,7 +1268,7 @@ def submit_query_batch(dev, queries: list[Query],
         if key[0] == "ssl":
             from .parallel.sharded import sharded_search_sliced_batch
             n = len(members)
-            n_pad = _bucket(n, 8)
+            n_pad = _row_pad(n)
             qs_pad = sample.sl_start.shape[-1]
             prog_len = len(sample.prog_ops)
             n_dev = dev.n_dev
@@ -1329,7 +1342,7 @@ def submit_query_batch(dev, queries: list[Query],
              use_rows_g, t_head, n_run_g) = key
             prog_len = L_key or 1
             n = len(members)
-            n_pad = _bucket(n, 8)
+            n_pad = _row_pad(n)
             sl_start = np.zeros((n_pad, qs_pad), dtype=np.int32)
             sl_len = np.zeros((n_pad, qs_pad), dtype=np.int32)
             sl_idf = np.zeros((n_pad, qs_pad), dtype=np.float32)
@@ -1413,7 +1426,7 @@ def submit_query_batch(dev, queries: list[Query],
             from .ops.executor import (device_search_blockdense_batch,
                                        device_search_pruned_batch)
             n = len(members)
-            n_pad = _bucket(n, 8)
+            n_pad = _row_pad(n)
             q_pad = sample.q_start.shape[-1]
             prog_len = len(sample.prog_ops)
             q_start = np.zeros((n_pad, q_pad), dtype=np.int32)
@@ -1477,7 +1490,7 @@ def submit_query_batch(dev, queries: list[Query],
             pending.append((members, packed, None, "packed"))
             continue
         n = len(members)
-        n_pad = _bucket(n, 8)
+        n_pad = _row_pad(n)
         q_pad = sample.q_start.shape[-1]
         prog_len = len(sample.prog_ops)
         lead = (dev.n_dev,) if sharded else ()

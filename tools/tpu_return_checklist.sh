@@ -25,6 +25,8 @@ NXS_WINDOW_T=1024 NXS_QS_MIN=2 \
     python bench.py --docs 1000000 --vocab 200000 --mean-len 40 --verbose
 NXS_WINDOW_T=2048 \
     python bench.py --docs 1000000 --vocab 200000 --mean-len 40 --verbose
+NXS_ROW_GRID15=1 \
+    python bench.py --docs 1000000 --vocab 200000 --mean-len 40 --verbose
 
 echo "== 4. bench: north-star 8.8M tier =="
 python bench.py --verbose
