@@ -20,11 +20,17 @@ from nxsearch_tpu.index.device import DeviceIndex
 BM25_K1, BM25_B = 1.2, 0.75
 
 
-def _oracle_scores(doc_tokens, alive_ids, query, algo):
+def _oracle_scores(doc_tokens, alive_ids, query, algo, token_map=None):
     """Independent scorer: doc_tokens = {doc_id: [token, ...]} (post-
     filter), alive_ids = set of live doc ids.  Returns {doc_id: score}
     for the boolean query tree (parsed with a tiny recursive parser
-    over the same grammar subset the generator emits)."""
+    over the same grammar subset the generator emits).
+
+    ``token_map`` maps leaf strings to resolved terms (fuzzy).  Query
+    tokens dedupe by STRING like the reference tokenset, and scoring
+    runs per unique token -- two distinct tokens resolving to the same
+    term legitimately double-count, matching the reference's
+    per-token score loop (search.c:236-271)."""
     # --- corpus statistics over LIVE documents ------------------------
     live = {d: toks for d, toks in doc_tokens.items() if d in alive_ids}
     n_docs = len(live)
@@ -95,7 +101,10 @@ def _oracle_scores(doc_tokens, alive_ids, query, algo):
     def docs_of(node):
         kind = node[0]
         if kind == "LEAF":
-            return {d for d in live if (d, node[1]) in tf}
+            t = (token_map or {}).get(node[1], node[1])
+            if t is None:
+                return set()
+            return {d for d in live if (d, t) in tf}
         a, b = docs_of(node[1]), docs_of(node[2])
         if kind == "AND":
             return a & b
@@ -108,8 +117,10 @@ def _oracle_scores(doc_tokens, alive_ids, query, algo):
             return [node[1]]
         return leaves(node[1]) + leaves(node[2])
 
+    tmap = token_map or {}
+
     result_docs = docs_of(root)
-    terms = list(dict.fromkeys(leaves(root)))
+    terms = [tmap.get(ls, ls) for ls in dict.fromkeys(leaves(root))]
     scores = {}
     for d in result_docs:
         s = 0.0
@@ -199,3 +210,88 @@ def test_random_queries_match_oracle(tmp_path, trial):
     finally:
         (S._MASKED_HYBRID, S._WINDOW_T,
          DeviceIndex.DENSE_DF_DIV) = saved
+
+
+def _levdist(a: str, b: str) -> int:
+    """Classic Wagner-Fischer (insert/delete/substitute, unit costs) --
+    byte-level like the reference levdist.c."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_fuzzy_queries_match_oracle(tmp_path, trial):
+    """Fuzzy resolution differential test: typo'd tokens must resolve
+    to the reference's selection -- highest LIVE total occurrences
+    within Levenshtein tolerance 2, ties to the oldest term
+    (idxterm.c:236-242; select_best) -- then score like any term."""
+    rng = np.random.default_rng(500 + trial)
+    vocab = int(rng.integers(12, 40))
+    n_docs = int(rng.integers(40, 160))
+    words = np.array([f"word{i:02d}end" for i in range(vocab)])
+    probs = 1.0 / (np.arange(vocab) + 2.0)
+    probs /= probs.sum()
+
+    doc_tokens = {}
+    docs = []
+    term_order: list = []
+    for i in range(n_docs):
+        n = max(1, int(rng.poisson(7)))
+        toks = [str(w) for w in rng.choice(words, size=n, p=probs)]
+        doc_tokens[i + 1] = toks
+        for t in toks:
+            if t not in term_order:
+                term_order.append(t)
+        docs.append((i + 1, " ".join(toks)))
+
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("f", Params({"filters": ["normalizer"]}))
+    idx.add_many(docs)
+    alive = set(doc_tokens)
+    for r in rng.choice(n_docs, size=n_docs // 6, replace=False):
+        idx.remove(int(r) + 1)
+        alive.discard(int(r) + 1)
+
+    def live_total(t):
+        return sum(doc_tokens[d].count(t) for d in alive)
+
+    def resolve(tok):
+        """Reference fuzzy selection for an unregistered token."""
+        if tok in term_order:
+            return tok
+        best, best_total = None, 0
+        for t in term_order:            # oldest-first: ties keep first
+            if live_total(t) > 0 and _levdist(tok, t) <= 2:
+                if live_total(t) > best_total:
+                    best, best_total = t, live_total(t)
+        return best
+
+    sp = Params().set_uint("limit", 100000)
+    for _ in range(10):
+        w = str(words[rng.integers(0, vocab)])
+        # typo: swap two adjacent chars or drop one (never a vocab hit:
+        # the wordNNend shape keeps mutations out of the vocabulary).
+        p = int(rng.integers(1, len(w) - 1))
+        typo = w[:p - 1] + w[p] + w[p - 1] + w[p + 1:] \
+            if rng.random() < 0.5 else w[:p] + w[p + 1:]
+        if typo in term_order:
+            continue
+        other = str(words[rng.integers(0, vocab)])
+        q = f"{typo} {other}"
+        got = dict(idx.search(q, sp))
+        rt = resolve(typo)
+        want = _oracle_scores(doc_tokens, alive, q, "BM25",
+                              token_map={typo: rt})
+        want = {d: s for d, s in want.items() if s > 0.0}
+        assert set(got) == set(want), (trial, q, rt)
+        for d, s in want.items():
+            assert got[d] == pytest.approx(s, abs=2e-4), (trial, q, d)
+    nxs.close()
