@@ -71,15 +71,22 @@ def make_corpus(n_docs: int, vocab: int, mean_len: int, rng):
     return docs, words, probs
 
 
+_zipf_vocab_memo: dict = {}
+
+
 def zipf_range(lo: int, hi: int, vocab: int, mean_len: int):
     """Range-deterministic Zipf documents for parallel ingest workers
     (same distribution as make_corpus; doc texts are seeded per range,
     so worker count does not change the corpus statistics)."""
     rng = np.random.default_rng(42 + lo)
-    ranks = np.arange(vocab, dtype=np.float64)
-    probs = 1.0 / (ranks + 10.0)
-    probs /= probs.sum()
-    words = np.array([f"w{i:05d}" for i in range(vocab)])
+    memo = _zipf_vocab_memo.get(vocab)
+    if memo is None:
+        ranks = np.arange(vocab, dtype=np.float64)
+        probs = 1.0 / (ranks + 10.0)
+        probs /= probs.sum()
+        words = np.array([f"w{i:05d}" for i in range(vocab)])
+        memo = _zipf_vocab_memo[vocab] = (words, probs)
+    words, probs = memo
     n = hi - lo
     lengths = rng.poisson(mean_len, n).clip(5, None)
     all_ids = rng.choice(vocab, size=int(lengths.sum()), p=probs)

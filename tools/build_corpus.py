@@ -36,27 +36,33 @@ def main():
     if os.path.isdir(os.path.join(basedir, "data", "bench")):
         print(f"cache already present: {basedir}")
         return
-    os.makedirs(basedir, exist_ok=True)
+    # Build into a sibling .partial dir and rename at the end: bench.py
+    # auto-selects a tier by the mere existence of data/<name>/, so a
+    # build still in flight (or killed) must never look like a complete
+    # cache.
+    partial = basedir + ".partial"
+    if os.path.isdir(partial):
+        import shutil
+        shutil.rmtree(partial)
+    os.makedirs(partial, exist_ok=True)
 
     from nxsearch_tpu import Nxs
 
-    rng = np.random.default_rng(42)
-    t0 = time.perf_counter()
-    docs, _, _ = B.make_corpus(args.docs, args.vocab, args.mean_len, rng)
-    print(f"corpus generated in {time.perf_counter() - t0:.1f}s",
-          flush=True)
-
-    nxs = Nxs(basedir)
+    nxs = Nxs(partial)
     idx = nxs.index_create("bench")
     t0 = time.perf_counter()
-    for base in range(0, len(docs), args.chunk):
-        idx.add_many([(base + i + 1, text) for i, text in
-                      enumerate(docs[base: base + args.chunk])])
-        if (base // args.chunk) % 256 == 0:
-            done = base + args.chunk
-            rate = done / (time.perf_counter() - t0)
-            print(f"  {done}/{args.docs} docs ({rate:.0f} docs/s)",
-                  flush=True)
+    # Chunk-wise generation (zipf_range: per-chunk seeded, same Zipf
+    # mix as make_corpus) so ingest starts immediately and the full
+    # corpus text is never materialized at once.
+    for base in range(0, args.docs, args.chunk):
+        hi = min(base + args.chunk, args.docs)
+        docs = B.zipf_range(base, hi, args.vocab, args.mean_len)
+        idx.add_many(docs)
+        if (base // args.chunk) % 64 == 0:
+            rate = hi / (time.perf_counter() - t0)
+            eta = (args.docs - hi) / max(rate, 1.0)
+            print(f"  {hi}/{args.docs} docs ({rate:.0f} docs/s, "
+                  f"eta {eta:.0f}s)", flush=True)
     dt = time.perf_counter() - t0
     print(f"indexed {args.docs} docs in {dt:.1f}s "
           f"({args.docs / dt:.0f} docs/s)", flush=True)
@@ -64,6 +70,8 @@ def main():
     idx.checkpoint()
     print(f"checkpoint in {time.perf_counter() - t0:.1f}s", flush=True)
     nxs.close()
+    os.rename(partial, basedir)
+    print(f"cache published: {basedir}", flush=True)
 
 
 if __name__ == "__main__":
