@@ -152,7 +152,7 @@ def _head_tier(n: int, cap: int) -> int:
 # ~df lanes instead of a power-of-8 tier pad (up to ~8x fewer lanes at
 # ~3.6 ns/lane), while ONE width covers every df -- fewer executable
 # signatures than the tier grid it replaces.
-_WINDOW_T = int(os.environ.get("NXS_WINDOW_T", "4096"))
+_WINDOW_T = int(os.environ.get("NXS_WINDOW_T", "1024"))
 # Column cap: wider queries (> _WINDOW_MAX_COLS * T0 sliced postings)
 # keep the legacy tiered plane / other executors.
 _WINDOW_MAX_COLS = 512
@@ -172,7 +172,7 @@ def _window_t0(cap: int) -> int:
 # 8.8M mix are dominated by padding (a 2-window query pads to 4
 # columns = 16k lanes).  A floor of 2 halves those lanes at the cost
 # of one extra signature group; tune on hardware via NXS_QS_MIN.
-_QS_MIN = int(os.environ.get("NXS_QS_MIN", "4"))
+_QS_MIN = int(os.environ.get("NXS_QS_MIN", "2"))
 # Masked dense-row hybrid: route masked (AND/NOT) queries with
 # dense-handled terms through the sliced hybrid instead of the
 # blockdense kernel.  Exact either way (tests force it); default off
@@ -195,8 +195,9 @@ def _row_pad(n: int) -> int:
 
 def _qs_pad(n: int) -> int:
     """Sliced-plane term-count pad: 1 keeps the sort-free single-term
-    plane; everything else rounds to >= _QS_MIN (one signature covers
-    the common 2-4 term queries at the default floor of 4)."""
+    plane; everything else rounds to >= _QS_MIN (hardware A/B r2:
+    floor 2 + window 1024 measured +21% batched QPS over floor 4 +
+    window 4096 at the 1M tier -- padding lanes dominated the sort)."""
     if n <= 1:
         return 1
     p = _QS_MIN
