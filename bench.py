@@ -53,32 +53,18 @@ def enable_compile_cache(docs: int = 0, mean_len: int = 40):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def make_corpus(n_docs: int, vocab: int, mean_len: int, rng):
-    """Zipf-ish synthetic documents over a closed vocabulary."""
-    # Zipf ranks: p(i) ~ 1/(i+10)
-    ranks = np.arange(vocab, dtype=np.float64)
-    probs = 1.0 / (ranks + 10.0)
-    probs /= probs.sum()
-    words = np.array([f"w{i:05d}" for i in range(vocab)])
-    lengths = rng.poisson(mean_len, n_docs).clip(5, None)
-    # One vectorized draw for the whole corpus (rng.choice with p=
-    # pays O(vocab) setup per call).
-    all_ids = rng.choice(vocab, size=int(lengths.sum()), p=probs)
-    bounds = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(lengths, out=bounds[1:])
-    docs = [" ".join(words[all_ids[bounds[i]: bounds[i + 1]]])
-            for i in range(n_docs)]
-    return docs, words, probs
-
-
 _zipf_vocab_memo: dict = {}
 
+# Corpus texts are generated in fixed-size logical blocks, each seeded
+# by its aligned start, so any chunking or worker split of [lo, hi)
+# yields byte-identical documents (callers with unaligned ranges pay at
+# most two partial block generations at the edges).
+_ZIPF_BLOCK = 4096
 
-def zipf_range(lo: int, hi: int, vocab: int, mean_len: int):
-    """Range-deterministic Zipf documents for parallel ingest workers
-    (same distribution as make_corpus; doc texts are seeded per range,
-    so worker count does not change the corpus statistics)."""
-    rng = np.random.default_rng(42 + lo)
+
+def _zipf_block(blk_lo: int, blk_hi: int, vocab: int, mean_len: int):
+    """One aligned logical block of Zipf documents (texts only)."""
+    rng = np.random.default_rng(42 + blk_lo)
     memo = _zipf_vocab_memo.get(vocab)
     if memo is None:
         ranks = np.arange(vocab, dtype=np.float64)
@@ -87,14 +73,30 @@ def zipf_range(lo: int, hi: int, vocab: int, mean_len: int):
         words = np.array([f"w{i:05d}" for i in range(vocab)])
         memo = _zipf_vocab_memo[vocab] = (words, probs)
     words, probs = memo
-    n = hi - lo
+    n = blk_hi - blk_lo
     lengths = rng.poisson(mean_len, n).clip(5, None)
     all_ids = rng.choice(vocab, size=int(lengths.sum()), p=probs)
     bounds = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=bounds[1:])
-    return [(lo + i + 1,
-             " ".join(words[all_ids[bounds[i]: bounds[i + 1]]]))
+    return [" ".join(words[all_ids[bounds[i]: bounds[i + 1]]])
             for i in range(n)]
+
+
+def zipf_range(lo: int, hi: int, vocab: int, mean_len: int):
+    """Chunk-independent Zipf documents for any [lo, hi) doc range
+    (same distribution as make_corpus): composed from fixed
+    _ZIPF_BLOCK-doc logical blocks, so different --chunk sizes and
+    worker splits produce byte-identical corpora under one cache key."""
+    out = []
+    at = lo
+    while at < hi:
+        blk_lo = (at // _ZIPF_BLOCK) * _ZIPF_BLOCK
+        blk_hi = blk_lo + _ZIPF_BLOCK
+        texts = _zipf_block(blk_lo, blk_hi, vocab, mean_len)
+        for i in range(at - blk_lo, min(hi, blk_hi) - blk_lo):
+            out.append((blk_lo + i + 1, texts[i]))
+        at = min(hi, blk_hi)
+    return out
 
 
 def make_mixed_queries(n_queries: int, words, probs, rng):
@@ -229,16 +231,14 @@ def main() -> None:
                 nxs = Nxs(basedir)
                 idx = nxs.index_open("bench")
             else:
-                tg = time.perf_counter()
-                docs, words, probs = make_corpus(args.docs, args.vocab,
-                                                 args.mean_len, rng)
-                log(f"corpus generated in "
-                    f"{time.perf_counter() - tg:.1f}s")
+                # Same block-deterministic generator as
+                # tools/build_corpus.py and parallel ingest, so every
+                # builder yields byte-identical corpora per cache key.
                 t0 = time.perf_counter()
-                chunk = 2048
-                for base in range(0, len(docs), chunk):
-                    idx.add_many([(base + i + 1, text) for i, text in
-                                  enumerate(docs[base: base + chunk])])
+                for base in range(0, args.docs, _ZIPF_BLOCK):
+                    idx.add_many(zipf_range(
+                        base, min(base + _ZIPF_BLOCK, args.docs),
+                        args.vocab, args.mean_len))
             ingest_s = time.perf_counter() - t0
             log(f"indexed {args.docs} docs in {ingest_s:.1f}s "
                 f"({args.docs / ingest_s:.0f} docs/s, "

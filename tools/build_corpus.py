@@ -51,9 +51,9 @@ def main():
     nxs = Nxs(partial)
     idx = nxs.index_create("bench")
     t0 = time.perf_counter()
-    # Chunk-wise generation (zipf_range: per-chunk seeded, same Zipf
-    # mix as make_corpus) so ingest starts immediately and the full
-    # corpus text is never materialized at once.
+    # Chunk-wise generation (zipf_range composes fixed logical blocks,
+    # so any --chunk yields the same corpus bytes) keeps ingest
+    # streaming; the full corpus text is never materialized at once.
     for base in range(0, args.docs, args.chunk):
         hi = min(base + args.chunk, args.docs)
         docs = B.zipf_range(base, hi, args.vocab, args.mean_len)
@@ -70,6 +70,13 @@ def main():
     idx.checkpoint()
     print(f"checkpoint in {time.perf_counter() - t0:.1f}s", flush=True)
     nxs.close()
+    # A stale basedir cannot be a complete cache (the data/bench check
+    # above already returned), so clear it -- e.g. the leftovers of a
+    # killed bench.py fresh build -- or os.rename raises ENOTEMPTY and
+    # loses the ~1h build at the publish step.
+    if os.path.isdir(basedir):
+        import shutil
+        shutil.rmtree(basedir)
     os.rename(partial, basedir)
     print(f"cache published: {basedir}", flush=True)
 
