@@ -159,6 +159,51 @@ def _dense_rows_dev(pack, starts, lens, *, s_pad: int, p_pad: int,
     return out.reshape(n_rows, s_pad)
 
 
+def _prefix_tier(df: int, cap: int) -> int:
+    """Power-of-two read-window tier for an impact-prefix build over a
+    term of ``df`` postings (df > cap).  Starting at the first power of
+    two above cap keeps top_k(cap + 1) within every tier."""
+    t = _bucket(cap + 1, 2)
+    while t < df:
+        t <<= 1
+    return t
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("tier", "cap"))
+def _prefix_build_dev(pack, starts, lens, dest, c1, c2, *,
+                      tier: int, cap: int):
+    """Impact-prefix build for one tier chunk of wide terms, ON DEVICE.
+
+    For each term (CSR ``starts``/``lens``, every len <= tier), selects
+    its top-``cap`` postings by BM25 impact part
+    g = ltf / (ltf + c1 + c2*dl) (evaluated at the snapshot adl),
+    writes them SLOT-SORTED into the pack's prefix region at per-term
+    row ``dest`` (donated scatter; padding terms carry an out-of-range
+    dest and drop), and returns the per-term tail bound: the (cap+1)-th
+    largest impact, i.e. the max impact of any excluded posting.  idf
+    multiplies at query time, so contribution bounds are idf * tail;
+    removals only shrink true maxima, so the bound survives
+    alive-bitmap drift."""
+    from jax import lax
+
+    def one(s, ln):
+        win = lax.dynamic_slice(pack, (s, 0), (tier, 3))
+        part = win[:, 1] / (win[:, 1] + c1 + c2 * win[:, 2])
+        pos = jnp.arange(tier, dtype=jnp.int32)
+        part = jnp.where(pos < ln, part, -jnp.inf)
+        vals, ix = lax.top_k(part, cap + 1)
+        rows = win[ix[:cap]]
+        order = jnp.argsort(rows[:, 0])
+        return rows[order], vals[cap]
+
+    rows, tails = jax.vmap(one)(starts, lens)
+    flat_ix = (dest[:, None]
+               + jnp.arange(cap, dtype=dest.dtype)[None, :]).reshape(-1)
+    pack = pack.at[flat_ix].set(rows.reshape(-1, 3), mode="drop")
+    return pack, tails
+
+
 @functools.partial(jax.jit, static_argnames=("p_pad",))
 def _pack_slot_column(pack, *, p_pad: int):
     return pack[:p_pad, 0].astype(jnp.int32)
@@ -254,6 +299,14 @@ class DeviceIndex:
     # blockdense path instead.
     SLICE_MAX_T = 1 << 20
 
+    # Impact-prefix pruning (the TPU MaxScore analogue; reference's
+    # matching-docs-only scoring loop is search.c:236-271): terms with
+    # base df above this cap get their top-PREFIX_CAP postings by BM25
+    # impact appended to the pack (slot-sorted) plus a tail bound, so
+    # pure-OR queries can score a bounded plane and certify exactness
+    # (ops/executor.prefix_topk).  0 disables.
+    PREFIX_CAP = int(os.environ.get("NXS_PREFIX_CAP", "4096"))
+
     def __init__(self, host: HostIndex, device: Optional[jax.Device] = None):
         self.host = host
         self.device = device
@@ -301,6 +354,16 @@ class DeviceIndex:
         # int32[base_nterms + 1], row index by 1-based term id, -1
         # for terms without a dense row (built in _finish_rebuild).
         self.dense_row_lookup = None
+        # Impact-prefix metadata (PREFIX_CAP): pack offset of each wide
+        # term's slot-sorted top-CAP impact postings (int32 by 1-based
+        # term id, -1 for non-wide), the tail bound (f32, max impact of
+        # the excluded postings), and the adl the impacts were built at
+        # (the bound is only valid while the live adl matches).
+        self.prefix_start_lookup = None
+        self.prefix_tail = None
+        self.prefix_cap = 0
+        self.adl_built = -1.0
+        self._guard_len = 0
         # Guards the bounds-cache LRU against concurrent readers (the
         # search execution phase runs under a shared lock).
         import threading
@@ -358,6 +421,11 @@ class DeviceIndex:
         clamping a coarse tier to it never drops postings."""
         if self.postings_pack is None:
             return self.SLICE_MAX_T
+        if self._guard_len > 0:
+            # Conservative when an impact-prefix region sits between
+            # the CSR postings and the guard: reads starting inside the
+            # prefix region only have the trailing guard to absorb.
+            return self._guard_len
         return int(self.postings_pack.shape[0]) - self.n_postings
 
     @property
@@ -633,34 +701,66 @@ class DeviceIndex:
         # (_build_pack_dev): the tunnel uplink is the bottleneck.
         guard = min(self.SLICE_MAX_T,
                     max(int(counts.max()) if len(counts) else 0, 1))
+        # Impact-prefix region: wide terms' top-PREFIX_CAP impact
+        # postings live between the CSR postings and the guard
+        # (_build_prefix fills them after the pack upload).  The build
+        # reads each wide term through a power-of-two tier window, so
+        # the allocation must absorb the largest read overhang
+        # (start + tier past the data end).
+        cap = int(self.PREFIX_CAP)
+        wide = (np.nonzero(counts > cap)[0]
+                if cap > 0 and doc_count > 0 else
+                np.zeros(0, dtype=np.int64))
+        prefix_len = len(wide) * cap
+        tail_min = p_pad + prefix_len + guard
+        if len(wide):
+            w_starts = term_starts[wide].astype(np.int64)
+            w_tiers = np.asarray(
+                [_prefix_tier(int(c), cap) for c in counts[wide]],
+                dtype=np.int64)
+            tail_min = max(tail_min, int((w_starts + w_tiers).max()))
+        assert tail_min < (1 << 31), "pack offsets must stay int32"
         # Rounding the pack up to whole chunks keeps every update the
-        # same shape (one compiled executable); the extra tail rows
-        # carry the guard sentinel and are never addressed.
-        chunk = min(_PACK_CHUNK, _pad_size(p_pad + guard, 1 << 12))
-        n_round = -(-(p_pad + guard) // chunk) * chunk
-        slot_g = np.zeros(n_round, dtype=np.int32)
+        # same shape (one compiled executable); rows past the CSR
+        # postings are zero (slot 0, ltf 0: contribution 0 even if a
+        # window's masked tail lanes read them) until the prefix build
+        # overwrites its region.
+        chunk = min(_PACK_CHUNK, _pad_size(tail_min, 1 << 12))
+        n_round = -(-tail_min // chunk) * chunk
+        upload_hi = min(n_round, -(-p_pad // chunk) * chunk)
+        slot_g = np.zeros(upload_hi, dtype=np.int32)
         slot_g[:n_post] = slot_real
         slot_g[p_pad:] = s_pad
         if tf16 is not None:
-            vals = np.zeros(n_round, dtype=np.uint16)
+            vals = np.zeros(upload_hi, dtype=np.uint16)
             vals[:n_post] = tf16
             from_tf = True
         else:
-            vals = np.zeros(n_round, dtype=np.float32)
+            vals = np.zeros(upload_hi, dtype=np.float32)
             vals[:n_post] = ltf_real
             from_tf = False
         dlen_dev = self._put(dlen)
         pack = _pack_init_dev(n=n_round)
-        for off in range(0, n_round, chunk):
+        for off in range(0, upload_hi, chunk):
             pack = _pack_update_dev(
                 pack, self._put(slot_g[off: off + chunk]),
                 self._put(vals[off: off + chunk]),
                 dlen_dev, np.int32(off), from_tf=from_tf)
-        self.postings_pack = pack
-        self.postings_pack.block_until_ready()
+        pack.block_until_ready()
         _log.debug("rebuild: pack upload+build %.1fs (%.1f GB shipped)",
                    time.monotonic() - t_phase,
                    (slot_g.nbytes + vals.nbytes) / 1e9)
+        t_phase = time.monotonic()
+
+        adl_build = float(adl_build)
+        pack = self._build_prefix(pack, wide, term_starts, counts,
+                                  cap=cap, p_pad=p_pad,
+                                  adl_build=adl_build)
+        self.postings_pack = pack
+        self.postings_pack.block_until_ready()
+        self._guard_len = n_round - p_pad - prefix_len
+        _log.debug("rebuild: impact prefixes %.1fs (%d wide terms)",
+                   time.monotonic() - t_phase, len(wide))
         t_phase = time.monotonic()
 
         # Dense rows for the heaviest terms (device-slot indexed),
@@ -709,6 +809,74 @@ class DeviceIndex:
         self._bounds_map = None
         self.generation = generation
         return True
+
+    def _build_prefix(self, pack, wide, term_starts, counts, *,
+                      cap: int, p_pad: int, adl_build: float):
+        """Fill the pack's impact-prefix region and publish the
+        planner-side metadata (prefix_start_lookup / prefix_tail /
+        adl_built).  Wide terms are processed per read-tier in fixed
+        nt-per-dispatch chunks (padding terms scatter out of range and
+        drop), one executable per tier.  Returns the (donated) pack."""
+        from ..ops.scoring import BM25_B, BM25_K1
+
+        lookup = np.full(self.base_nterms + 1, -1, dtype=np.int32)
+        tails = np.zeros(self.base_nterms + 1, dtype=np.float32)
+        self.prefix_start_lookup = lookup
+        self.prefix_tail = tails
+        self.adl_built = adl_build
+        self.prefix_cap = cap
+        if not len(wide):
+            return pack
+
+        lens_w = counts[wide].astype(np.int64)
+        tiers = np.asarray([_prefix_tier(int(x), cap) for x in lens_w],
+                           dtype=np.int64)
+        order = np.lexsort((wide, tiers))
+        wide = wide[order]
+        lens_w = lens_w[order]
+        tiers = tiers[order]
+        starts_w = term_starts[wide].astype(np.int64)
+        dest = (p_pad + np.arange(len(wide), dtype=np.int64) * cap
+                ).astype(np.int32)
+        tails_w = np.zeros(len(wide), dtype=np.float32)
+        c1 = np.float32(BM25_K1 * (1.0 - BM25_B))
+        c2 = np.float32(BM25_K1 * BM25_B / max(adl_build, 1e-9))
+        pack_len = int(pack.shape[0])
+
+        at = 0
+        while at < len(wide):
+            tier = int(tiers[at])
+            hi = at
+            while hi < len(wide) and int(tiers[hi]) == tier:
+                hi += 1
+            # Per-dispatch term count: bound lanes (~2**26) AND the
+            # scatter block (nt * cap rows).
+            nt = max(1, min((1 << 26) // tier, (1 << 22) // cap))
+            for g in range(at, hi, nt):
+                ge = min(g + nt, hi)
+                n = ge - g
+                s_c = np.zeros(nt, dtype=np.int32)
+                l_c = np.zeros(nt, dtype=np.int32)
+                d_c = np.full(nt, pack_len, dtype=np.int32)
+                s_c[:n] = starts_w[g:ge]
+                l_c[:n] = lens_w[g:ge]
+                d_c[:n] = dest[g:ge]
+                pack, t_d = _prefix_build_dev(
+                    pack, self._put(s_c), self._put(l_c),
+                    self._put(d_c), c1, c2, tier=tier, cap=cap)
+                tails_w[g:ge] = np.asarray(t_d)[:n]
+            at = hi
+
+        lookup[wide + 1] = dest
+        tails[wide + 1] = tails_w
+        return pack
+
+    @property
+    def prefix_ready(self) -> bool:
+        """True when impact-prefix metadata matches the base snapshot
+        (the planner additionally gates on live adl == adl_built)."""
+        return (self.prefix_start_lookup is not None
+                and self.prefix_cap > 0)
 
     # -- per-term bounds cache ---------------------------------------
 

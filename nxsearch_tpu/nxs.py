@@ -106,6 +106,10 @@ class Index:
         """
         import numpy as np
 
+        # Accept any iterable: the ID validation below would otherwise
+        # silently exhaust a generator before the locked add.
+        if not isinstance(docs, (list, tuple)):
+            docs = list(docs)
         if not docs:
             return
         for doc_id, _ in docs:

@@ -445,6 +445,276 @@ device_search_sliced_batch = functools.partial(
 )(sliced_topk)
 
 
+def prefix_topk(
+    postings_pack,   # f32[P_pad + prefix + guard, 3]: (slot, ltf, dl)
+    alive_mask,      # uint32[S_pad/32]
+    q_start,         # int32[N, Qs]: window starts (wide terms point at
+                     # their impact-prefix region)
+    q_len,           # int32[N, Qs]
+    q_idf,           # float32[N, Qs]
+    adl,             # f32 scalar
+    col_bit,         # int32[N, Qs]: 1 << j for windows of wide term j,
+                     # 0 for complete terms' windows
+    w_tail,          # float32[N, R]: idf * tail impact bound per wide
+                     # term (0 on padding rows)
+    w_start,         # int32[N, R]: FULL CSR start of each wide term
+    w_len,           # int32[N, R]: FULL base df (0 on padding rows)
+    w_idf,           # float32[N, R]
+    *, T: int, k: int, M: int, algo: int, n_slots: int,
+    alive_all: bool, n_run: int, k_ret: int = 0,
+):
+    """Impact-prefix pruned exact top-k (pure-OR BM25).
+
+    The TPU-shaped MaxScore analogue (reference efficiency anchor: the
+    matching-docs-only scoring loop, src/query/search.c:236-271).  Wide
+    terms (base df > DeviceIndex.PREFIX_CAP) contribute only their
+    top-CAP postings by impact, so the sort plane is bounded by
+    CAP * terms lanes; every document's score is then either exact or
+    under-counted by at most the sum of the missed wide terms' tail
+    bounds:
+
+      1. The windowed plane (same fetch/sort/shifted-segsum machinery
+         as sliced_topk) yields per candidate the partial score s_d
+         and presence bits over the query's wide terms.
+      2. u_d = s_d + sum of absent wide terms' tails upper-bounds the
+         true score; the top-M candidates by u are RESCORED exactly: a
+         per-(candidate, wide term) binary search over the term's full
+         slot-sorted CSR postings recovers any truncated contribution.
+      3. The result is certified exact when the k-th rescored score
+         strictly dominates both the best unselected candidate's bound
+         and the all-tails bound of documents outside the plane
+         (ulp-inflated, mirroring the block-max certification).  A
+         zero total tail is exact by construction (the plane was
+         complete).  Uncertified queries re-run on the classic path.
+
+    Ties match the classic executors: candidate selection and the
+    final top-k both resolve equal scores toward the lowest device
+    slot (the plane is slot-sorted; selected candidates re-sort by
+    slot before the final top_k).
+
+    Returns packed f32[N, 3, k']: scores, slots (by value), exact flag.
+    """
+    assert algo == ALGO_BM25, "impact prefixes are built for BM25"
+    n_batch, n_terms = q_start.shape
+    R = w_tail.shape[1]
+    n_logical = n_run if n_run > 0 else n_terms
+
+    win = _sliced_fetch(postings_pack, q_start, T=T)   # [N, Qs, T, 3]
+    slot_f = win[..., 0]
+    pos = jnp.arange(T, dtype=jnp.int32)[None, None, :]
+    valid = pos < q_len[:, :, None]
+    contrib = bm25(win[..., 1], win[..., 2], q_idf[:, :, None], adl)
+    if not alive_all:
+        slot_i = slot_f.astype(jnp.int32)
+        word = jnp.minimum(slot_i >> 5, alive_mask.shape[0] - 1)
+        alive = ((alive_mask[word]
+                  >> (slot_i & 31).astype(jnp.uint32)) & 1
+                 ).astype(jnp.bool_)
+        contrib = jnp.where(valid & alive, contrib, 0.0)
+    else:
+        contrib = jnp.where(valid, contrib, 0.0)
+    bits = jnp.where(valid, col_bit[:, :, None].astype(jnp.uint32),
+                     jnp.uint32(0))
+
+    flat = n_terms * T
+    key = jnp.where(valid, slot_f, jnp.float32(jnp.inf)).reshape(
+        n_batch, flat)
+    contrib_f = contrib.reshape(n_batch, flat)
+    bits_f = bits.reshape(n_batch, flat)
+    if n_logical == 1:
+        # One logical term: windows partition slot-sorted postings, so
+        # the concatenated lanes are already ascending and each doc
+        # occurs once.
+        key_s, contrib_s, bits_s = key, contrib_f, bits_f
+    else:
+        key_s, contrib_s, bits_s = lax.sort(
+            (key, contrib_f, bits_f), dimension=1, num_keys=1)
+
+    diff = key_s[:, 1:] != key_s[:, :-1]
+    ones = jnp.ones((n_batch, 1), jnp.bool_)
+    last = jnp.concatenate([diff, ones], axis=1)
+    run = contrib_s
+    run_bits = bits_s
+    zf = jnp.zeros((n_batch, 1), jnp.float32)
+    zb = jnp.zeros((n_batch, 1), jnp.uint32)
+    zk = jnp.full((n_batch, 1), jnp.float32(-jnp.inf))
+    for off in range(1, n_logical):
+        if off >= flat:
+            break
+        key_prev = jnp.concatenate(
+            [jnp.broadcast_to(zk, (n_batch, off)), key_s[:, :-off]],
+            axis=1)
+        eq = key_prev == key_s
+        c_prev = jnp.concatenate(
+            [jnp.broadcast_to(zf, (n_batch, off)), contrib_s[:, :-off]],
+            axis=1)
+        run = run + jnp.where(eq, c_prev, 0.0)
+        b_prev = jnp.concatenate(
+            [jnp.broadcast_to(zb, (n_batch, off)), bits_s[:, :-off]],
+            axis=1)
+        run_bits = run_bits | jnp.where(eq, b_prev, jnp.uint32(0))
+
+    is_doc = last & jnp.isfinite(key_s)
+    total_tail = w_tail.sum(axis=1)                       # [N]
+    have = jnp.zeros((n_batch, flat), jnp.float32)
+    for j in range(R):
+        bit_j = ((run_bits >> jnp.uint32(j)) & 1).astype(jnp.float32)
+        have = have + w_tail[:, j: j + 1] * bit_j
+    u = run + (total_tail[:, None] - have)
+    u_lane = jnp.where(is_doc, u, -jnp.inf)
+
+    m1 = min(M + 1, flat)
+    m_sel = min(M, flat)
+    topu, ix = lax.top_k(u_lane, m1)
+    u_out = topu[:, m_sel] if m1 > m_sel \
+        else jnp.full((n_batch,), -jnp.inf)
+    sel = ix[:, :m_sel]
+    cand_slot = jnp.take_along_axis(key_s, sel, axis=1)   # f32
+    cand_s = jnp.take_along_axis(
+        jnp.where(is_doc, run, 0.0), sel, axis=1)
+    cand_bits = jnp.take_along_axis(run_bits, sel, axis=1)
+    cand_ok = jnp.isfinite(jnp.take_along_axis(u_lane, sel, axis=1))
+
+    # Exact rescore: binary search each candidate in every absent wide
+    # term's full slot-sorted postings.  iters covers the largest df.
+    pack0 = postings_pack[:, 0]
+    pack_last = postings_pack.shape[0] - 1
+    iters = max(int(n_slots).bit_length(), 1)
+    s_ex = cand_s
+    for j in range(R):
+        lo = jnp.broadcast_to(w_start[:, j: j + 1],
+                              (n_batch, m_sel)).astype(jnp.int32)
+        hi0 = w_start[:, j: j + 1] + w_len[:, j: j + 1]
+        hi = jnp.broadcast_to(hi0, (n_batch, m_sel)).astype(jnp.int32)
+        target = cand_slot
+        for _ in range(iters):
+            mid = (lo + hi) >> 1
+            v = jnp.take(pack0, jnp.minimum(mid, pack_last))
+            go_right = v < target
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, mid)
+        lo_c = jnp.minimum(lo, pack_last)
+        found = ((jnp.take(pack0, lo_c) == target)
+                 & (lo < hi0) & (w_len[:, j: j + 1] > 0))
+        c = bm25(jnp.take(postings_pack[:, 1], lo_c),
+                 jnp.take(postings_pack[:, 2], lo_c),
+                 w_idf[:, j: j + 1], adl)
+        absent = ((cand_bits >> jnp.uint32(j)) & 1) == 0
+        s_ex = s_ex + jnp.where(found & absent & cand_ok, c, 0.0)
+
+    if not alive_all:
+        # A dead document's plane lanes contribute 0, but rescored
+        # contributions must not resurrect it.
+        cslot_i = jnp.where(cand_ok, cand_slot, 0.0).astype(jnp.int32)
+        word = jnp.minimum(cslot_i >> 5, alive_mask.shape[0] - 1)
+        alive_c = ((alive_mask[word]
+                    >> (cslot_i & 31).astype(jnp.uint32)) & 1
+                   ).astype(jnp.float32)
+        s_ex = s_ex * alive_c
+    s_ex = jnp.where(cand_ok, s_ex, 0.0)
+
+    # Final order: sort the M candidates by slot so top_k breaks score
+    # ties toward the lowest device slot, like the classic executors
+    # over their slot-sorted planes.
+    sort_slot = jnp.where(cand_ok, cand_slot, jnp.float32(jnp.inf))
+    slot_sorted, s_sorted = lax.sort((sort_slot, s_ex), dimension=1,
+                                     num_keys=1)
+    k_eff = min(k, m_sel)
+    scores, ixf = lax.top_k(s_sorted, k_eff)
+    slots = jnp.take_along_axis(slot_sorted, ixf, axis=1)
+    slots = jnp.where(scores > 0.0, slots, 0.0)
+
+    # Certification (ulp-inflated bounds, as in the block-max pruned
+    # executor): the k-th exact score must strictly dominate both the
+    # best unselected candidate's upper bound and the all-tails bound
+    # of documents with no plane lane.  total_tail == 0 means the
+    # plane was complete: exact by construction.
+    # Certify at the REQUESTED result depth (k_ret <= the padded k
+    # bucket): only the returned rows must be provably complete.
+    kth = scores[:, min(k_ret or k_eff, k_eff) - 1]
+    inflate = (lambda x: jnp.where(
+        x > 0.0, x * jnp.float32(1.0 + 1e-5) + jnp.float32(1e-10), x))
+    exact = ((total_tail == 0.0)
+             | ((kth > inflate(u_out)) & (kth > inflate(total_tail)))
+             ).astype(jnp.float32)
+    assert n_slots < (1 << 24), "slot indexes must stay exact in f32"
+    return jnp.stack(
+        [scores, slots,
+         jnp.broadcast_to(exact[:, None], scores.shape)], axis=1)
+
+
+def prefix_topk_packed(
+    postings_pack, alive_mask,
+    buf,              # int32[n * (4*qs + 4*R)]: packed host inputs
+    adl,
+    *, qs: int, R: int, T: int, k: int, M: int, algo: int,
+    n_slots: int, alive_all: bool, n_run: int, k_ret: int = 0,
+):
+    """One-buffer front end for prefix_topk (one host->device transfer
+    per dispatch group; see sliced_topk_packed).  Layout (row-major
+    [n, ...] per field): sl_start[n,qs] sl_len[n,qs] sl_idf[n,qs]
+    col_bit[n,qs] w_tail[n,R] w_start[n,R] w_len[n,R] w_idf[n,R]."""
+    per = 4 * qs + 4 * R
+    n = buf.shape[0] // per
+    off = 0
+
+    def take_i32(m, shape):
+        nonlocal off
+        seg = lax.slice_in_dim(buf, off, off + m * n).reshape((n,) + shape)
+        off += m * n
+        return seg
+
+    def take_f32(m, shape):
+        return lax.bitcast_convert_type(take_i32(m, shape), jnp.float32)
+
+    q_start = take_i32(qs, (qs,))
+    q_len = take_i32(qs, (qs,))
+    q_idf = take_f32(qs, (qs,))
+    col_bit = take_i32(qs, (qs,))
+    w_tail = take_f32(R, (R,))
+    w_start = take_i32(R, (R,))
+    w_len = take_i32(R, (R,))
+    w_idf = take_f32(R, (R,))
+    return prefix_topk(
+        postings_pack, alive_mask, q_start, q_len, q_idf, adl,
+        col_bit, w_tail, w_start, w_len, w_idf,
+        T=T, k=k, M=M, algo=algo, n_slots=n_slots,
+        alive_all=alive_all, n_run=n_run, k_ret=k_ret)
+
+
+device_search_prefix_packed = functools.partial(
+    jax.jit,
+    static_argnames=("qs", "R", "T", "k", "M", "algo", "n_slots",
+                     "alive_all", "n_run", "k_ret"),
+)(prefix_topk_packed)
+
+
+def pack_prefix_group(sl_start, sl_len, sl_idf, col_bit, w_tail,
+                      w_start, w_len, w_idf):
+    """Host-side packer matching prefix_topk_packed's layout."""
+    import numpy as np
+
+    def i32(p):
+        p = np.ascontiguousarray(p)
+        if p.dtype == np.float32:
+            return p.view(np.int32).ravel()
+        return p.astype(np.int32, copy=False).ravel()
+
+    return np.concatenate([i32(p) for p in (
+        sl_start, sl_len, sl_idf, col_bit, w_tail, w_start, w_len,
+        w_idf)])
+
+
+def unpack_prefix(packed):
+    """Packed [N, 3, k] prefix result -> (scores f32[N, k],
+    slots i32[N, k], exact bool[N]) numpy arrays."""
+    import numpy as np
+
+    arr = np.asarray(packed)
+    return (arr[:, 0, :], arr[:, 1, :].astype(np.int32),
+            arr[:, 2, 0] > 0.5)
+
+
 def sliced_topk_packed(
     postings_pack, alive_mask, doc_len,
     buf,              # int32[n * per_row]: all per-group host inputs

@@ -61,18 +61,21 @@ _MIN_TERMS = 8
 _MIN_K = 16
 _MIN_PROG = 16
 _MIN_DEPTH = 4
-# Head-term extraction threshold (sliced path): a CSR term with df at
+# Head-term extraction thresholds (sliced path): a CSR term with df at
 # or above this leaves the sort plane for the searchsorted/top_k merge.
-# Kept at the top slice tier boundary so sort planes stay <= 32k rows.
-_HEAD_MIN_DF = 32768
+# DISABLED by default after hardware profiling (r3): the merge's
+# batched binary search -- every sort-plane lane searched into the
+# head slice, log2(T_head) dependent gathers each -- measured
+# ~33 ms/query at T_head = 2**20 on v5e, 93% of the whole batch's
+# device time, where simply sorting the same postings in the windowed
+# plane costs ~2 ms/query worst-case.  The thresholds remain
+# monkeypatchable (tests) and env-tunable for non-tunneled setups.
+_HEAD_MIN_DF = int(os.environ.get("NXS_HEAD_MIN_DF", str(1 << 30)))
 # Two-term queries: extracting the bigger term as the head leaves ONE
 # logical term in the plane, which skips the sort entirely (sliced_topk
-# n_logical == 1), so the threshold is much lower -- the head plane's
-# top_k lanes cost ~36x less than sort lanes (v5e: 0.1 vs 3.6 ns) and
-# the searchsorted merge touches only the remaining term's lanes.
-# Below ~T0 the sort plane is small enough that the head plane's
-# fixed 65536-lane fetch would dominate.
-_HEAD_MIN_DF_PAIR = 4096
+# n_logical == 1).  Same measured verdict: off by default.
+_HEAD_MIN_DF_PAIR = int(os.environ.get("NXS_HEAD_MIN_DF_PAIR",
+                                       str(1 << 30)))
 
 
 @dataclass
@@ -173,6 +176,27 @@ def _window_t0(cap: int) -> int:
 # columns = 16k lanes).  A floor of 2 halves those lanes at the cost
 # of one extra signature group; tune on hardware via NXS_QS_MIN.
 _QS_MIN = int(os.environ.get("NXS_QS_MIN", "2"))
+
+# Impact-prefix pruned path (ops/executor.prefix_topk): rescored
+# candidate count (the exactness certificate covers the top-k only
+# when k <= M, so limits above M keep the classic executors) and the
+# per-query cap on wide terms (each costs a binary-search rescore
+# pass; queries with more fall back to the classic plan).
+_PREFIX_M = 32
+_PREFIX_MAX_WIDE = 4
+
+
+def _prefix_mode(dev, sp, sharded: bool) -> bool:
+    """Scalar gate for impact-prefix plans: single chip, BM25 (the
+    impacts are BM25 tf-parts), live adl equal to the adl the impacts
+    were ordered under, and a limit the M-candidate rescore covers."""
+    return (not sharded
+            and getattr(dev, "prefix_ready", False)
+            and sp.algo == ALGO_BM25
+            and sp.limit <= _PREFIX_M
+            and dev.adl == dev.adl_built
+            and getattr(dev, "postings_pack", None) is not None
+            and dev.n_slots < (1 << 24))
 # Masked dense-row hybrid: route masked (AND/NOT) queries with
 # dense-handled terms through the sliced hybrid instead of the
 # blockdense kernel.  Exact either way (tests force it); default off
@@ -262,6 +286,16 @@ class _Plan:
     # Masked dense-row hybrid: program verdict for every dense-only
     # presence pattern (bool[2**_MAX_DENSE_PER_QUERY]).
     d_pass: np.ndarray = None
+    # Impact-prefix plan (pure-OR BM25; ops/executor.prefix_topk):
+    # per-column wide-term bit, and per wide term the tail bound
+    # (idf * excluded-impact max) plus its FULL CSR range and idf for
+    # the exact rescore.  R-padded; pf_len 0 on padding rows.
+    pf: bool = False
+    pf_bits: np.ndarray = None   # int32[Qs_pad]
+    pf_tail: np.ndarray = None   # float32[R]
+    pf_start: np.ndarray = None  # int32[R]
+    pf_len: np.ndarray = None    # int32[R]
+    pf_idf: np.ndarray = None    # float32[R]
 
     @property
     def use_rows(self) -> bool:
@@ -275,7 +309,82 @@ class _Plan:
                 self.use_dense, self.budget, self.depth)
 
 
-def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
+def _build_plan_prefix(dev, tokens, q_start, q_len, q_idf,
+                       term_ids) -> Optional[_Plan]:
+    """Impact-prefix plan: wide terms window over their top-CAP impact
+    region with a tail bound; complete terms window over their full
+    CSR range.  None when the query exceeds the wide-term or column
+    caps (the caller falls through to the classic plan)."""
+    cap = dev.prefix_cap
+    T0 = _window_t0(dev.slice_t_cap)
+    lookup = dev.prefix_start_lookup
+    tails = dev.prefix_tail
+    starts: list[int] = []
+    lens: list[int] = []
+    idfs: list[float] = []
+    bits: list[int] = []
+    w_tail: list[float] = []
+    w_start: list[int] = []
+    w_len: list[int] = []
+    w_idf: list[float] = []
+    n_live = 0
+    for i in range(len(tokens)):
+        ln = int(q_len[i])
+        if ln <= 0:
+            continue
+        n_live += 1
+        tid = int(term_ids[i])
+        pstart = int(lookup[tid]) if tid <= dev.base_nterms else -1
+        if pstart >= 0:
+            j = len(w_tail)
+            if j >= _PREFIX_MAX_WIDE:
+                return None
+            w_tail.append(float(tails[tid]) * float(q_idf[i]))
+            w_start.append(int(q_start[i]))
+            w_len.append(ln)
+            w_idf.append(float(q_idf[i]))
+            s, eln, bit = pstart, cap, 1 << j
+        else:
+            s, eln, bit = int(q_start[i]), ln, 0
+        for off in range(0, eln, T0):
+            starts.append(s + off)
+            lens.append(min(T0, eln - off))
+            idfs.append(float(q_idf[i]))
+            bits.append(bit)
+    if len(starts) > _WINDOW_MAX_COLS:
+        return None
+
+    qs_pad = _qs_pad(len(starts))
+    sl_start = np.zeros(qs_pad, dtype=np.int32)
+    sl_len = np.zeros(qs_pad, dtype=np.int32)
+    sl_idf = np.zeros(qs_pad, dtype=np.float32)
+    pf_bits = np.zeros(qs_pad, dtype=np.int32)
+    sl_start[: len(starts)] = starts
+    sl_len[: len(starts)] = lens
+    sl_idf[: len(starts)] = idfs
+    pf_bits[: len(starts)] = bits
+    r_pad = _bucket(max(len(w_tail), 1), 1)
+    pf_tail = np.zeros(r_pad, dtype=np.float32)
+    pf_start = np.zeros(r_pad, dtype=np.int32)
+    pf_len = np.zeros(r_pad, dtype=np.int32)
+    pf_idf = np.zeros(r_pad, dtype=np.float32)
+    pf_tail[: len(w_tail)] = w_tail
+    pf_start[: len(w_tail)] = w_start
+    pf_len[: len(w_tail)] = w_len
+    pf_idf[: len(w_tail)] = w_idf
+    return _Plan(q_start=q_start, q_len=q_len, q_idf=q_idf,
+                 term_ids=np.asarray(term_ids, dtype=np.int64),
+                 prog_ops=_PROG_DUMMY, prog_args=_PROG_DUMMY,
+                 use_mask=False, use_dense=False,
+                 budget=_MIN_BUDGET, depth=_MIN_DEPTH,
+                 sl_start=sl_start, sl_len=sl_len, sl_idf=sl_idf,
+                 sl_T=T0, n_run=_bucket(n_live, 1) if n_live else 1,
+                 pf=True, pf_bits=pf_bits, pf_tail=pf_tail,
+                 pf_start=pf_start, pf_len=pf_len, pf_idf=pf_idf)
+
+
+def _build_plan(dev, query: Query, sp: SearchParams,
+                no_prefix: bool = False) -> Optional[_Plan]:
     """Resolve a prepared query to padded device inputs, or None when
     the query produces a trivially empty result."""
     tokens = query.tokens.tokens
@@ -317,6 +426,15 @@ def _build_plan(dev, query: Query, sp: SearchParams) -> Optional[_Plan]:
     total = int(q_len.sum(axis=-1).max())
 
     use_mask = not _is_pure_or(query.root)
+
+    if (not no_prefix and not use_mask
+            and _prefix_mode(dev, sp, sharded)):
+        plan = _build_plan_prefix(
+            dev, tokens, q_start, q_len, q_idf,
+            [t.term_id for t in tokens])
+        if plan is not None:
+            return plan
+
     budget = _bucket(max(total, 1), _MIN_BUDGET, shift=2)
     # Dense execution (packed bitmaps + per-slot score scatter) is
     # O(B + S) with no sort; candidate scoring is O(B log B).  Dense
@@ -515,8 +633,8 @@ def _pow2ceil(x: np.ndarray) -> np.ndarray:
     return (1 << np.ceil(np.log2(x)).astype(np.int64)).astype(np.int64)
 
 
-def _build_plans(dev, queries: list[Query],
-                 sp: SearchParams) -> list[Optional[_Plan]]:
+def _build_plans(dev, queries: list[Query], sp: SearchParams,
+                 no_prefix: bool = False) -> list[Optional[_Plan]]:
     """Batch twin of _build_plan: one vectorized numpy pass plans every
     simple (pure-OR, non-sharded) query; the rest fall back to the
     per-query path.  Field-for-field identical plans -- the per-query
@@ -536,7 +654,7 @@ def _build_plans(dev, queries: list[Query],
             continue
         if (sharded or lookup is None or len(tokens) > MAX_BITS_TERMS
                 or not _is_pure_or(q.root)):
-            plans[i] = _build_plan(dev, q, sp)
+            plans[i] = _build_plan(dev, q, sp, no_prefix=no_prefix)
             continue
         simple.append(i)
     if not simple:
@@ -581,6 +699,11 @@ def _build_plans(dev, queries: list[Query],
     st_m[row_f, col_f] = st_f
     ln_m[row_f, col_f] = ln_f
     idf_m[row_f, col_f] = idf_f
+
+    if not no_prefix and _prefix_mode(dev, sp, sharded):
+        return _plans_prefix(
+            dev, sp, queries, plans, simple, counts, offs, flat_tid,
+            tid_c, in_base, row_f, col_f, st_m, ln_m, idf_m)
 
     # Dense-row split: first _MAX_DENSE_PER_QUERY dense-capable tokens
     # take a dense row; overflow stays in the CSR columns.
@@ -712,6 +835,123 @@ def _build_plans(dev, queries: list[Query],
             h_idf=float(idf_m[j, hc]) if head else 0.0,
             h_row=hc if head else -1,
             h_T=int(h_t[j]))
+    return plans
+
+
+def _plans_prefix(dev, sp, queries, plans, simple, counts, offs,
+                  flat_tid, tid_c, in_base, row_f, col_f,
+                  st_m, ln_m, idf_m) -> list[Optional[_Plan]]:
+    """Vectorized impact-prefix twin of _plans' classic tail: every
+    simple row becomes a prefix plan (wide terms window over their
+    top-CAP impact region, complete terms over their full range); rows
+    exceeding the wide-term or column caps fall back to the per-query
+    planner.  Field-for-field identical to _build_plan_prefix."""
+    ns = len(simple)
+    mp = st_m.shape[1]
+    cap = dev.prefix_cap
+    T0 = _window_t0(dev.slice_t_cap)
+    pfx_f = np.where(in_base, dev.prefix_start_lookup[tid_c],
+                     np.int32(-1))
+    tail_f = np.where(in_base, dev.prefix_tail[tid_c],
+                      np.float32(0.0)).astype(np.float32)
+    wide_f = pfx_f >= 0
+
+    valid_m = np.zeros((ns, mp), bool)
+    valid_m[row_f, col_f] = True
+    wide_m = np.zeros((ns, mp), bool)
+    wide_m[row_f, col_f] = wide_f
+    pfx_m = np.zeros((ns, mp), np.int32)
+    pfx_m[row_f, col_f] = pfx_f
+    tail_m = np.zeros((ns, mp), np.float32)
+    tail_m[row_f, col_f] = tail_f
+
+    ln_eff = np.where(valid_m, np.where(wide_m, cap, ln_m), 0)
+    st_eff = np.where(wide_m, pfx_m, st_m)
+    word = np.cumsum(wide_m, axis=1) - 1      # wide index j per cell
+    n_wide = wide_m.sum(axis=1)
+
+    w_m = -(-ln_eff // T0)
+    n_w = w_m.sum(axis=1)
+    n_live = (ln_eff > 0).sum(axis=1)
+
+    over = (n_w > _WINDOW_MAX_COLS) | (n_wide > _PREFIX_MAX_WIDE)
+    if bool(over.any()):
+        for j in np.nonzero(over)[0]:
+            i = simple[j]
+            plans[i] = _build_plan(dev, queries[i], sp)
+        w_m[over] = 0
+        n_w[over] = 0
+
+    rr, cc = np.nonzero(w_m > 0)
+    wcnt = w_m[rr, cc]
+    cell_of = np.repeat(np.arange(len(rr), dtype=np.int64), wcnt)
+    wi = (np.arange(cell_of.size, dtype=np.int64)
+          - np.repeat(np.cumsum(wcnt) - wcnt, wcnt))
+    wr = rr[cell_of]
+    w_start = (st_eff[rr, cc][cell_of]
+               + (wi * T0).astype(np.int64)).astype(np.int32)
+    w_len = np.minimum(ln_eff[rr, cc][cell_of] - wi * T0, T0
+                       ).astype(np.int32)
+    w_idf = idf_m[rr, cc][cell_of]
+    bit_cell = np.where(wide_m[rr, cc],
+                        1 << np.minimum(word[rr, cc], 31), 0)
+    w_bit = bit_cell[cell_of].astype(np.int32)
+    row_first = np.zeros(ns + 1, np.int64)
+    np.cumsum(n_w, out=row_first[1:])
+    wcol = np.arange(wr.size, dtype=np.int64) - row_first[:-1][wr]
+
+    qs_pad = np.where(n_w <= 1, 1, np.maximum(_QS_MIN, _pow2ceil(n_w)))
+    qs_max = int(qs_pad.max()) if len(qs_pad) else 1
+    sl_start_m = np.zeros((ns, qs_max), np.int32)
+    sl_len_m = np.zeros((ns, qs_max), np.int32)
+    sl_idf_m = np.zeros((ns, qs_max), np.float32)
+    pf_bits_m = np.zeros((ns, qs_max), np.int32)
+    sl_start_m[wr, wcol] = w_start
+    sl_len_m[wr, wcol] = w_len
+    sl_idf_m[wr, wcol] = w_idf
+    pf_bits_m[wr, wcol] = w_bit
+
+    wr2, wc2 = np.nonzero(wide_m)
+    j2 = word[wr2, wc2]
+    pf_tail_m = np.zeros((ns, _PREFIX_MAX_WIDE), np.float32)
+    pf_start_m = np.zeros((ns, _PREFIX_MAX_WIDE), np.int32)
+    pf_len_m = np.zeros((ns, _PREFIX_MAX_WIDE), np.int32)
+    pf_idf_m = np.zeros((ns, _PREFIX_MAX_WIDE), np.float32)
+    keep2 = j2 < _PREFIX_MAX_WIDE      # over rows were zeroed above
+    wr2, wc2, j2 = wr2[keep2], wc2[keep2], j2[keep2]
+    pf_tail_m[wr2, j2] = tail_m[wr2, wc2] * idf_m[wr2, wc2]
+    pf_start_m[wr2, j2] = st_m[wr2, wc2]
+    pf_len_m[wr2, j2] = ln_m[wr2, wc2]
+    pf_idf_m[wr2, j2] = idf_m[wr2, wc2]
+    # Fallback rows must not carry wide entries (their plan comes from
+    # the per-query planner; these arrays are unused there).
+    if bool(over.any()):
+        pf_tail_m[over] = 0.0
+        pf_len_m[over] = 0
+
+    n_run = np.where(n_live <= 1, 1, _pow2ceil(n_live))
+    r_pad = np.where(n_wide <= 1, 1, _pow2ceil(np.minimum(
+        n_wide, _PREFIX_MAX_WIDE)))
+    q_pad = _pow2ceil(np.maximum(counts, _MIN_TERMS))
+    for j, i in enumerate(simple):
+        if plans[i] is not None:
+            continue
+        qp = int(q_pad[j])
+        rp = int(r_pad[j])
+        plans[i] = _Plan(
+            q_start=st_m[j, :qp], q_len=ln_m[j, :qp],
+            q_idf=idf_m[j, :qp],
+            term_ids=flat_tid[offs[j]: offs[j + 1]],
+            prog_ops=_PROG_DUMMY, prog_args=_PROG_DUMMY,
+            use_mask=False, use_dense=False,
+            budget=_MIN_BUDGET, depth=_MIN_DEPTH,
+            sl_start=sl_start_m[j, : qs_pad[j]],
+            sl_len=sl_len_m[j, : qs_pad[j]],
+            sl_idf=sl_idf_m[j, : qs_pad[j]],
+            sl_T=T0, n_run=int(n_run[j]),
+            pf=True, pf_bits=pf_bits_m[j, : qs_pad[j]],
+            pf_tail=pf_tail_m[j, :rp], pf_start=pf_start_m[j, :rp],
+            pf_len=pf_len_m[j, :rp], pf_idf=pf_idf_m[j, :rp])
     return plans
 
 
@@ -945,16 +1185,42 @@ def _to_response(dev, scores, slots, limit: int, delta=None) -> Response:
     return Response(results)
 
 
-def execute_query(dev, query: Query, sp: SearchParams) -> Response:
+def execute_query(dev, query: Query, sp: SearchParams,
+                  no_prefix: bool = False) -> Response:
     """Run the prepared query against the device snapshot.
 
     ``dev`` is a DeviceIndex (single chip) or a
     parallel.ShardedDeviceIndex (doc-sharded over a mesh).
     """
-    plan = _build_plan(dev, query, sp)
+    plan = _build_plan(dev, query, sp, no_prefix=no_prefix)
     if plan is None:
         return Response()
     sharded = hasattr(dev, "mesh")
+
+    if plan.pf:
+        from .ops.executor import (device_search_prefix_packed,
+                                   pack_prefix_group, unpack_prefix)
+        k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
+        buf = pack_prefix_group(
+            plan.sl_start[None], plan.sl_len[None], plan.sl_idf[None],
+            plan.pf_bits[None], plan.pf_tail[None],
+            plan.pf_start[None], plan.pf_len[None], plan.pf_idf[None])
+        packed = device_search_prefix_packed(
+            dev.postings_pack, dev.alive_mask, jnp.asarray(buf),
+            dev.adl_dev, qs=len(plan.sl_start),
+            R=len(plan.pf_tail), T=plan.sl_T, k=k, M=_PREFIX_M,
+            algo=sp.algo, n_slots=dev.n_slots,
+            alive_all=dev.alive_all, n_run=plan.n_run,
+            k_ret=min(sp.limit, k))
+        scores, slots, exact = unpack_prefix(packed)
+        _count("prefix")
+        if exact[0]:
+            _count("prefix_exact")
+            return _to_response(dev, scores[0], slots[0], sp.limit,
+                                delta=_delta_results(dev, plan, sp))
+        # Certification failed: the classic plan is exact.
+        _count("prefix_fallback")
+        return execute_query(dev, query, sp, no_prefix=True)
     q_start, q_len, q_idf = plan.q_start, plan.q_len, plan.q_idf
     prog_ops, prog_args = plan.prog_ops, plan.prog_args
     use_mask, use_dense = plan.use_mask, plan.use_dense
@@ -1121,6 +1387,9 @@ class _PendingBatch:
     k: int
     t_dispatch: float
     t_submitted: float
+    # Prepared queries, kept for the impact-prefix certification
+    # fallback (uncertified rows re-plan classically at collect time).
+    queries: list = None
 
 
 def execute_query_batch(dev, queries: list[Query],
@@ -1189,17 +1458,53 @@ def _coalesce_sliced_groups(groups: dict, plans: list) -> dict:
     return groups
 
 
+def _coalesce_prefix_groups(groups: dict, plans: list) -> dict:
+    """Merge small impact-prefix groups (same T by construction) into
+    one widened group: rows re-pad to the group maxima, which is exact
+    -- zero-length window columns score nothing, padding wide-term
+    rows carry zero tails and empty rescore ranges, and extra n_run
+    passes are no-ops.  Same dispatch-overhead argument as
+    _coalesce_sliced_groups."""
+    small = [key for key, members in groups.items()
+             if key[0] == "pf" and len(members) < _COALESCE_MIN_ROWS
+             and key[1] <= _COALESCE_MAX_COLS]
+    small = [k for k in small if k[2] == small[0][2]]
+    if len(small) < 2:
+        return groups
+    members: list[int] = []
+    qs_g = r_g = run_g = 1
+    T = small[0][2]
+    for key in small:
+        members.extend(groups.pop(key))
+        qs_g = max(qs_g, key[1])
+        r_g = max(r_g, key[3])
+        run_g = max(run_g, key[4])
+    merged = ("pf", qs_g, T, r_g, run_g)
+    groups.setdefault(merged, []).extend(members)
+    _count("coalesced_pf", len(members))
+    return groups
+
+
 def submit_query_batch(dev, queries: list[Query],
-                       sp: SearchParams) -> _PendingBatch:
+                       sp: SearchParams,
+                       no_prefix: bool = False) -> _PendingBatch:
     """Plan, group and asynchronously dispatch every device call for a
     query batch; pair with collect_query_batch.  Between the two calls
     the chip crunches this batch while the host is free to prepare and
     submit the next one (the pipelined serving path)."""
-    from .ops.executor import device_search_batch
     from .utils.trace import phase
 
     with phase("batch.plan"):
-        plans: list[Optional[_Plan]] = _build_plans(dev, queries, sp)
+        plans: list[Optional[_Plan]] = _build_plans(
+            dev, queries, sp, no_prefix=no_prefix)
+    return _submit_plans(dev, plans, queries, sp)
+
+
+def _submit_plans(dev, plans: list, queries: list[Query],
+                  sp: SearchParams) -> _PendingBatch:
+    """Group and asynchronously dispatch already-built plans."""
+    from .ops.executor import device_search_batch
+
     responses: list[Optional[Response]] = [
         Response() if p is None else None for p in plans]
 
@@ -1209,7 +1514,10 @@ def submit_query_batch(dev, queries: list[Query],
     for i, plan in enumerate(plans):
         if plan is None:
             continue
-        if _use_sliced(plan, sharded_flag, dev):
+        if plan.pf:
+            key = ("pf", len(plan.sl_start), plan.sl_T,
+                   len(plan.pf_tail), plan.n_run)
+        elif _use_sliced(plan, sharded_flag, dev):
             key = ("sl", len(plan.sl_start), plan.sl_T,
                    len(plan.prog_ops) if plan.use_mask else 0,
                    plan.use_mask, plan.depth, plan.single, plan.use_rows,
@@ -1229,6 +1537,7 @@ def submit_query_batch(dev, queries: list[Query],
         groups.setdefault(key, []).append(i)
 
     groups = _coalesce_sliced_groups(groups, plans)
+    groups = _coalesce_prefix_groups(groups, plans)
 
     # Cap per-dispatch working-set: the batched executors materialize
     # O(N * budget) temporaries (or N * n_slots dense arrays for the
@@ -1244,6 +1553,9 @@ def submit_query_batch(dev, queries: list[Query],
             if key[9]:                   # use_rows: [N, Ss] dense plane
                 max_n = min(max_n, max(
                     1, _BD_ELEMS_CAP // max(dev.slots_per_shard, 1)))
+        elif key[0] == "pf":
+            elems = max(key[1] * key[2], 1)
+            max_n = max(1, _ELEMS_CAP // elems)
         elif key[0] == "sl":
             elems = max(key[1] * key[2] + key[8], 1)
             max_n = max(1, _ELEMS_CAP // elems)
@@ -1333,6 +1645,43 @@ def submit_query_batch(dev, queries: list[Query],
             )
             _count("sharded_sliced", n)
             pending.append((members, scores, slots, None))
+            continue
+        if key[0] == "pf":
+            from .ops.executor import (device_search_prefix_packed,
+                                       pack_prefix_group)
+            _, qs_pad, T_g, r_pad, n_run_g = key
+            n = len(members)
+            n_pad = _row_pad(n)
+            sl_start = np.zeros((n_pad, qs_pad), dtype=np.int32)
+            sl_len = np.zeros((n_pad, qs_pad), dtype=np.int32)
+            sl_idf = np.zeros((n_pad, qs_pad), dtype=np.float32)
+            pf_bits = np.zeros((n_pad, qs_pad), dtype=np.int32)
+            pf_tail = np.zeros((n_pad, r_pad), dtype=np.float32)
+            pf_start = np.zeros((n_pad, r_pad), dtype=np.int32)
+            pf_len = np.zeros((n_pad, r_pad), dtype=np.int32)
+            pf_idf = np.zeros((n_pad, r_pad), dtype=np.float32)
+            for row, i in enumerate(members):
+                p = plans[i]
+                w = len(p.sl_start)       # coalesced rows re-pad
+                r = len(p.pf_tail)
+                sl_start[row, :w] = p.sl_start
+                sl_len[row, :w] = p.sl_len
+                sl_idf[row, :w] = p.sl_idf
+                pf_bits[row, :w] = p.pf_bits
+                pf_tail[row, :r] = p.pf_tail
+                pf_start[row, :r] = p.pf_start
+                pf_len[row, :r] = p.pf_len
+                pf_idf[row, :r] = p.pf_idf
+            buf = pack_prefix_group(sl_start, sl_len, sl_idf, pf_bits,
+                                    pf_tail, pf_start, pf_len, pf_idf)
+            packed = device_search_prefix_packed(
+                dev.postings_pack, dev.alive_mask, jnp.asarray(buf),
+                dev.adl_dev, qs=qs_pad, R=r_pad, T=T_g, k=k,
+                M=_PREFIX_M, algo=sp.algo, n_slots=dev.n_slots,
+                alive_all=dev.alive_all, n_run=n_run_g,
+                k_ret=min(sp.limit, k))
+            _count("prefix", n)
+            pending.append((members, packed, None, "prefix"))
             continue
         if key[0] == "sl":
             from .ops.executor import (device_search_sliced_packed,
@@ -1554,7 +1903,8 @@ def submit_query_batch(dev, queries: list[Query],
     return _PendingBatch(plans=plans, responses=responses,
                          chunked=chunked, pending=pending, k=k,
                          t_dispatch=_t_dispatch,
-                         t_submitted=_time.perf_counter())
+                         t_submitted=_time.perf_counter(),
+                         queries=queries)
 
 
 def collect_query_batch(dev, st: _PendingBatch,
@@ -1594,7 +1944,7 @@ def collect_query_batch(dev, st: _PendingBatch,
     # them, one fetch brings everything back, and rows slice out below.
     by_shape: dict[tuple, list[int]] = {}
     for i, p in enumerate(pending):
-        if p[3] in ("packed", "sliced"):
+        if p[3] in ("packed", "sliced", "prefix"):
             # k' can differ per group (small slice tiers cap k at the
             # plane width): concat only groups with equal result rows.
             by_shape.setdefault(tuple(p[1].shape[1:]), []).append(i)
@@ -1611,6 +1961,7 @@ def collect_query_batch(dev, st: _PendingBatch,
             at += n_i
 
     _t_resp = _time.perf_counter()
+    fallback_ix: list[int] = []
     for members, scores, slots, tag in pending:
         if tag == "pruned":
             group_arrays = slots
@@ -1652,11 +2003,35 @@ def collect_query_batch(dev, st: _PendingBatch,
         elif tag == "sliced":
             from .ops.executor import unpack_sliced
             scores, slots = unpack_sliced(scores)
+        elif tag == "prefix":
+            from .ops.executor import unpack_prefix
+            scores, slots, exact = unpack_prefix(scores)
+            n_m = len(members)
+            ok = exact[:n_m]
+            _count("prefix_exact", int(ok.sum()))
+            if not ok.all():
+                # Certification failed for these rows: queue them for
+                # the classic re-run below (exact for every shape).
+                fallback_ix.extend(
+                    members[r] for r in np.nonzero(~ok)[0])
+            members = [i for r, i in enumerate(members) if ok[r]]
+            scores = scores[:n_m][ok]
+            slots = slots[:n_m][ok]
         else:
             scores = np.asarray(scores)
             slots = np.asarray(slots)
         _to_responses_group(dev, members, scores, slots, plans, sp,
                             responses)
+
+    if fallback_ix:
+        # One classic sub-batch covers every uncertified prefix row.
+        _count("prefix_fallback", len(fallback_ix))
+        fb_queries = [st.queries[i] for i in fallback_ix]
+        fb_st = submit_query_batch(dev, fb_queries, sp, no_prefix=True)
+        fb_responses = collect_query_batch(dev, fb_st, sp)
+        for i, resp in zip(fallback_ix, fb_responses):
+            responses[i] = resp
+
     _trace_log = _trace_logger()
     if _trace_log.isEnabledFor(10):      # logging.DEBUG
         _t_end = _time.perf_counter()

@@ -58,13 +58,14 @@ def test_batch_planner_matches_per_query(index, algo):
     dev = index.dev
     sp = SearchParams(limit=10, algo=algo, fuzzymatch=False)
     prepared = _queries(index)
-    batch = _build_plans(dev, prepared, sp)
+    batch = _build_plans(dev, prepared, sp, no_prefix=True)
     for q, got in zip(prepared, batch):
-        want = _build_plan(dev, q, sp)
+        want = _build_plan(dev, q, sp, no_prefix=True)
         if want is None:
             assert got is None
             continue
         assert got is not None
+        assert not got.pf
         for field in ("q_start", "q_len", "term_ids", "d_qpos", "d_row",
                       "sl_start", "sl_len"):
             np.testing.assert_array_equal(
@@ -83,6 +84,48 @@ def test_batch_planner_matches_per_query(index, algo):
         assert got.batch_key == want.batch_key
 
 
+def test_batch_planner_matches_per_query_prefix(index, monkeypatch):
+    """Prefix-plan parity: the vectorized prefix planner must equal the
+    per-query prefix planner field-for-field (wide terms forced via a
+    tiny CAP)."""
+    from nxsearch_tpu.index.device import DeviceIndex
+
+    monkeypatch.setattr(DeviceIndex, "PREFIX_CAP", 8)
+    dev = index.dev
+    dev._full_rebuild()          # rebuild with the small cap
+    try:
+        assert dev.prefix_ready and (dev.prefix_start_lookup >= 0).any()
+        sp = SearchParams(limit=10, algo=ALGO_BM25, fuzzymatch=False)
+        prepared = _queries(index)
+        batch = _build_plans(dev, prepared, sp)
+        n_pf = 0
+        for q, got in zip(prepared, batch):
+            want = _build_plan(dev, q, sp)
+            if want is None:
+                assert got is None
+                continue
+            assert got.pf == want.pf
+            if not want.pf:
+                continue
+            n_pf += 1
+            for field in ("q_start", "q_len", "term_ids", "sl_start",
+                          "sl_len", "pf_bits", "pf_start", "pf_len"):
+                np.testing.assert_array_equal(
+                    getattr(got, field), getattr(want, field),
+                    err_msg=field)
+            for field in ("q_idf", "sl_idf", "pf_tail", "pf_idf"):
+                np.testing.assert_allclose(
+                    getattr(got, field), getattr(want, field), rtol=0,
+                    atol=0, err_msg=field)
+            assert got.sl_T == want.sl_T
+            assert got.n_run == want.n_run
+        assert n_pf > 0
+    finally:
+        # Rebuild with the restored default cap for later tests.
+        monkeypatch.undo()
+        dev._full_rebuild()
+
+
 def test_batch_planner_dense_rows_present(index):
     # The fixture's head terms must actually exercise the dense-row
     # split, or the parity above proves nothing about it.
@@ -92,5 +135,5 @@ def test_batch_planner_dense_rows_present(index):
     root = parse_query("t000 t050 t001")
     q = prepare(root, index.pipeline, dev.host.term_lookup,
                 fuzzymatch=False)
-    plan = _build_plans(dev, [q], sp)[0]
+    plan = _build_plans(dev, [q], sp, no_prefix=True)[0]
     assert plan.use_rows

@@ -33,6 +33,10 @@ CONFIGS = {
     "w1024-qs1": {"_WINDOW_T": 1024, "_QS_MIN": 1},
     "w1024-grid15": {"_WINDOW_T": 1024, "_ROW_GRID_15": True},
     "w1024-colcap2048": {"_WINDOW_T": 1024, "_WINDOW_MAX_COLS": 2048},
+    # Head-term extraction disabled: wide terms stay in the sort plane
+    # (the profiled head-merge searchsorted cost ~33 ms/query dwarfs a
+    # 512-col full sort at ~2 ms).
+    "nohead": {"_HEAD_MIN_DF": 1 << 30, "_HEAD_MIN_DF_PAIR": 1 << 30},
 }
 
 
