@@ -1546,6 +1546,762 @@ def stem_tr(word: str) -> str:
 # ---------------------------------------------------------------------------
 # Dispatch
 
+# ---------------------------------------------------------------------------
+# Finnish (snowballstem.org/algorithms/finnish/stemmer.html)
+#
+# Tables and branch semantics mirror the published algorithm as ported
+# by NLTK (the oracle tests/test_snowball.py checks against); regions
+# are kept as indexes rather than string slices.
+
+_FI_V = "aeiouyäö"
+_FI_RESTR_V = "aeiouäö"
+_FI_LONG_V = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI_C = "bcdfghjklmnpqrstvwxz"
+_FI_DOUBLE_C = ("bb", "cc", "dd", "ff", "gg", "hh", "jj", "kk", "ll",
+                "mm", "nn", "pp", "qq", "rr", "ss", "tt", "vv", "ww",
+                "xx", "zz")
+_FI_STEP1 = ("kaan", "kään", "sti", "kin", "han", "hän", "ko", "kö",
+             "pa", "pä")
+_FI_STEP2 = ("nsa", "nsä", "mme", "nne", "si", "ni", "an", "än", "en")
+_FI_STEP3 = ("siin", "tten", "seen", "han", "hen", "hin", "hon", "hän",
+             "hön", "den", "tta", "ttä", "ssa", "ssä", "sta", "stä",
+             "lla", "llä", "lta", "ltä", "lle", "ksi", "ine", "ta",
+             "tä", "na", "nä", "a", "ä", "n")
+_FI_STEP4 = ("impi", "impa", "impä", "immi", "imma", "immä", "mpi",
+             "mpa", "mpä", "mmi", "mma", "mmä", "eja", "ejä")
+_FI_H_VOWEL = {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+               "hän": "ä", "hön": "ö"}
+
+
+def stem_fi(word: str) -> str:
+    r1, r2 = _r1r2(word, _FI_V)
+    step3_ok = False
+
+    # Step 1: particles (first match in table order; a failed branch
+    # condition still ends the step).
+    for suf in _FI_STEP1:
+        if not _in_r(word, suf, r1) or not word.endswith(suf):
+            continue
+        if suf == "sti":
+            if _in_r(word, suf, r2):
+                word = word[:-3]
+        elif word[-len(suf) - 1] in "ntaeiouyäö":
+            word = word[: -len(suf)]
+        break
+
+    # Step 2: possessives.
+    for suf in _FI_STEP2:
+        if not _in_r(word, suf, r1) or not word.endswith(suf):
+            continue
+        if suf == "si":
+            if word[-3] != "k":
+                word = word[:-2]
+        elif suf == "ni":
+            word = word[:-2]
+            if word.endswith("kse"):
+                word = word[:-3] + "ksi"
+        elif suf == "an":
+            if word[-4:-2] in ("ta", "na") \
+                    or word[-5:-2] in ("ssa", "sta", "lla", "lta"):
+                word = word[:-2]
+        elif suf == "än":
+            if word[-4:-2] in ("tä", "nä") \
+                    or word[-5:-2] in ("ssä", "stä", "llä", "ltä"):
+                word = word[:-2]
+        elif suf == "en":
+            if word[-5:-2] in ("lle", "ine"):
+                word = word[:-2]
+        else:
+            word = word[:-3]
+        break
+
+    # Step 3: cases.
+    for suf in _FI_STEP3:
+        if not _in_r(word, suf, r1) or not word.endswith(suf):
+            continue
+        if suf in _FI_H_VOWEL:
+            if word[-4] == _FI_H_VOWEL[suf]:
+                word = word[:-3]
+                step3_ok = True
+        elif suf in ("siin", "den", "tten"):
+            if (word[-len(suf) - 1] == "i"
+                    and word[-len(suf) - 2] in _FI_RESTR_V):
+                word = word[: -len(suf)]
+                step3_ok = True
+            else:
+                continue
+        elif suf == "seen":
+            if word[-6:-4] in _FI_LONG_V:
+                word = word[:-4]
+                step3_ok = True
+            else:
+                continue
+        elif suf in ("a", "ä"):
+            if word[-2] in _FI_V and word[-3] in _FI_C:
+                word = word[:-1]
+                step3_ok = True
+        elif suf in ("tta", "ttä"):
+            if word[-4] == "e":
+                word = word[:-3]
+                step3_ok = True
+        elif suf == "n":
+            word = word[:-1]
+            step3_ok = True
+            if word[-2:] == "ie" or word[-2:] in _FI_LONG_V:
+                word = word[:-1]
+        else:
+            word = word[: -len(suf)]
+            step3_ok = True
+        break
+
+    # Step 4: other endings (matched within R2).
+    for suf in _FI_STEP4:
+        if not _in_r(word, suf, r2) or not word.endswith(suf):
+            continue
+        if suf in ("mpi", "mpa", "mpä", "mmi", "mma", "mmä"):
+            if word[-5:-3] != "po":
+                word = word[:-3]
+        else:
+            word = word[: -len(suf)]
+        break
+
+    # Step 5: plurals.
+    if step3_ok and len(word) > r1 and word[-1] in "ij":
+        word = word[:-1]
+    elif (not step3_ok and len(word) - r1 >= 2
+          and word[-1] == "t" and word[-2] in _FI_V):
+        word = word[:-1]
+        if _in_r(word, "imma", r2) and word.endswith("imma"):
+            word = word[:-4]
+        elif (_in_r(word, "mma", r2) and word.endswith("mma")
+              and word[-5:-3] != "po"):
+            word = word[:-3]
+
+    # Step 6: tidying.
+    if len(word) - r1 >= 2 and word[-2:] in _FI_LONG_V:
+        word = word[:-1]
+    if (len(word) - r1 >= 2 and word[-2] in _FI_C
+            and word[-1] in "aäei"):
+        word = word[:-1]
+    if len(word) - r1 >= 2 and word[-2:] in ("oj", "uj"):
+        word = word[:-1]
+    if len(word) - r1 >= 2 and word[-2:] == "jo":
+        word = word[:-1]
+
+    # Final double consonant followed by zero or more vowels -> single.
+    for i in range(1, len(word)):
+        if word[-i] in _FI_V:
+            continue
+        if i == 1:
+            if word[-2:] in _FI_DOUBLE_C:
+                word = word[:-1]
+        elif word[-i - 1: -i + 1] in _FI_DOUBLE_C:
+            word = word[:-i] + word[-i + 1:]
+        break
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Hungarian (snowballstem.org/algorithms/hungarian/stemmer.html)
+
+_HU_V = "aeiouöüáéíóõúû"
+_HU_DIGRAPHS = ("cs", "dz", "dzs", "gy", "ly", "ny", "ty", "zs")
+_HU_DOUBLE_C = ("bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj", "kk",
+                "ll", "lly", "mm", "nn", "nny", "pp", "rr", "ss",
+                "ssz", "tt", "tty", "vv", "zz", "zzs")
+_HU_STEP2 = ("képpen", "onként", "enként", "anként", "képp", "ként",
+             "ban", "ben", "nak", "nek", "val", "vel", "tól", "tõl",
+             "ról", "rõl", "ból", "bõl", "hoz", "hez", "höz", "nál",
+             "nél", "ért", "kor", "ba", "be", "ra", "re", "ig", "at",
+             "et", "ot", "öt", "ul", "ül", "vá", "vé", "en", "on",
+             "an", "ön", "n", "t")
+_HU_STEP3 = ("ánként", "án", "én")
+_HU_STEP4 = ("astul", "estül", "ástul", "éstül", "stul", "stül")
+_HU_STEP6 = ("oké", "öké", "aké", "eké", "áké", "áéi", "éké", "ééi",
+             "ké", "éi", "éé", "é")
+_HU_STEP7 = ("ájuk", "éjük", "ünk", "unk", "juk", "jük", "ánk", "énk",
+             "nk", "uk", "ük", "em", "om", "am", "od", "ed", "ad",
+             "öd", "ja", "je", "ám", "ád", "ém", "éd", "m", "d", "a",
+             "e", "o", "á", "é")
+_HU_STEP8 = ("jaitok", "jeitek", "jaink", "jeink", "aitok", "eitek",
+             "áitok", "éitek", "jaim", "jeim", "jaid", "jeid", "eink",
+             "aink", "itek", "jeik", "jaik", "áink", "éink", "aim",
+             "eim", "aid", "eid", "jai", "jei", "ink", "aik", "eik",
+             "áim", "áid", "áik", "éim", "éid", "éik", "im", "id",
+             "ai", "ei", "ik", "ái", "éi", "i")
+_HU_STEP9 = ("ák", "ék", "ök", "ok", "ek", "ak", "k")
+
+
+def _hu_r1(word: str) -> int:
+    """Hungarian R1: after the first consonant/digraph if the word
+    begins with a vowel, else after the first vowel.  Digraph scan
+    semantics follow the oracle port (first digraph in table order
+    anywhere past position 0; region starts after the first
+    occurrence of its final letter)."""
+    if not word:
+        return 0
+    if word[0] in _HU_V:
+        for d in _HU_DIGRAPHS:
+            if d in word[1:]:
+                return word.index(d[-1]) + 1
+        for i in range(1, len(word)):
+            if word[i] not in _HU_V:
+                return i + 1
+        return len(word)
+    for i in range(1, len(word)):
+        if word[i] in _HU_V:
+            return i + 1
+    return len(word)
+
+
+def stem_hu(word: str) -> str:
+    r1 = _hu_r1(word)
+
+    # Step 1: instrumental case (undouble before 'al'/'el' in R1).
+    if word.endswith(("al", "el")) and len(word) - 2 >= r1:
+        for dc in _HU_DOUBLE_C:
+            if word[-2 - len(dc): -2] == dc:
+                word = word[:-4] + word[-3]
+                break
+
+    # Step 2: frequent cases; final á/é in R1 shortens.
+    for suf in _HU_STEP2:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                word = word[: -len(suf)]
+                if word.endswith("á") and len(word) - 1 >= r1:
+                    word = word[:-1] + "a"
+                elif word.endswith("é") and len(word) - 1 >= r1:
+                    word = word[:-1] + "e"
+            break
+
+    # Step 3: special cases.
+    for suf in _HU_STEP3:
+        if word.endswith(suf) and len(word) - len(suf) >= r1:
+            word = word[: -len(suf)] + ("e" if suf == "én" else "a")
+            break
+
+    # Step 4: other cases.
+    for suf in _HU_STEP4:
+        if word.endswith(suf) and len(word) - len(suf) >= r1:
+            if suf == "ástul":
+                word = word[:-5] + "a"
+            elif suf == "éstül":
+                word = word[:-5] + "e"
+            else:
+                word = word[: -len(suf)]
+            break
+
+    # Step 5: factive case (undouble before final á/é in R1).
+    if word.endswith(("á", "é")) and len(word) - 1 >= r1:
+        for dc in _HU_DOUBLE_C:
+            if word[-1 - len(dc): -1] == dc:
+                word = word[:-3] + word[-2]
+                break
+
+    # Step 6: owned.
+    for suf in _HU_STEP6:
+        if word.endswith(suf) and len(word) - len(suf) >= r1:
+            if suf in ("áké", "áéi"):
+                word = word[:-3] + "a"
+            elif suf in ("éké", "ééi", "éé"):
+                word = word[: -len(suf)] + "e"
+            else:
+                word = word[: -len(suf)]
+            break
+
+    # Step 7: singular owner suffixes.
+    for suf in _HU_STEP7:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                if suf in ("ánk", "ájuk", "ám", "ád", "á"):
+                    word = word[: -len(suf)] + "a"
+                elif suf in ("énk", "éjük", "ém", "éd", "é"):
+                    word = word[: -len(suf)] + "e"
+                else:
+                    word = word[: -len(suf)]
+            break
+
+    # Step 8: plural owner suffixes.
+    for suf in _HU_STEP8:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                if suf in ("áim", "áid", "ái", "áink", "áitok", "áik"):
+                    word = word[: -len(suf)] + "a"
+                elif suf in ("éim", "éid", "éi", "éink", "éitek",
+                             "éik"):
+                    word = word[: -len(suf)] + "e"
+                else:
+                    word = word[: -len(suf)]
+            break
+
+    # Step 9: plural suffixes.
+    for suf in _HU_STEP9:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                if suf == "ák":
+                    word = word[:-2] + "a"
+                elif suf == "ék":
+                    word = word[:-2] + "e"
+                else:
+                    word = word[: -len(suf)]
+            break
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Romanian (snowballstem.org/algorithms/romanian/stemmer.html)
+
+_RO_V = "aeiouăâî"
+_RO_STEP0 = ("iilor", "ului", "elor", "iile", "ilor", "atei", "aţie",
+             "aţia", "aua", "ele", "iua", "iei", "ile", "ul", "ea",
+             "ii")
+_RO_STEP1 = ("abilitate", "abilitati", "abilităţi", "ibilitate",
+             "abilităi", "ivitate", "ivitati", "ivităţi", "icitate",
+             "icitati", "icităţi", "icatori", "ivităi", "icităi",
+             "icator", "aţiune", "atoare", "ătoare", "iţiune",
+             "itoare", "iciva", "icive", "icivi", "icivă", "icala",
+             "icale", "icali", "icală", "ativa", "ative", "ativi",
+             "ativă", "atori", "ători", "itiva", "itive", "itivi",
+             "itivă", "itori", "iciv", "ical", "ativ", "ator", "ător",
+             "itiv", "itor")
+_RO_STEP1_MAP = {}
+for _s in ("abilitate", "abilitati", "abilităi", "abilităţi"):
+    _RO_STEP1_MAP[_s] = "abil"
+for _s in ("ivitate", "ivitati", "ivităi", "ivităţi"):
+    _RO_STEP1_MAP[_s] = "iv"
+for _s in ("icitate", "icitati", "icităi", "icităţi", "icator",
+           "icatori", "iciv", "iciva", "icive", "icivi", "icivă",
+           "ical", "icala", "icale", "icali", "icală"):
+    _RO_STEP1_MAP[_s] = "ic"
+for _s in ("ativ", "ativa", "ative", "ativi", "ativă", "aţiune",
+           "atoare", "ator", "atori", "ătoare", "ător", "ători"):
+    _RO_STEP1_MAP[_s] = "at"
+for _s in ("itiv", "itiva", "itive", "itivi", "itivă", "iţiune",
+           "itoare", "itor", "itori"):
+    _RO_STEP1_MAP[_s] = "it"
+del _s
+_RO_STEP2 = ("abila", "abile", "abili", "abilă", "ibila", "ibile",
+             "ibili", "ibilă", "atori", "itate", "itati", "ităţi",
+             "abil", "ibil", "oasa", "oasă", "oase", "anta", "ante",
+             "anti", "antă", "ator", "ităi", "iune", "iuni", "isme",
+             "ista", "iste", "isti", "istă", "işti", "ata", "ată",
+             "ati", "ate", "uta", "ută", "uti", "ute", "ita", "ită",
+             "iti", "ite", "ica", "ice", "ici", "ică", "osi", "oşi",
+             "ant", "iva", "ive", "ivi", "ivă", "ism", "ist", "at",
+             "ut", "it", "ic", "os", "iv")
+_RO_STEP3 = ("seserăţi", "aserăţi", "iserăţi", "âserăţi", "userăţi",
+             "seserăm", "aserăm", "iserăm", "âserăm", "userăm",
+             "serăţi", "seseşi", "seseră", "ească", "arăţi", "urăţi",
+             "irăţi", "ârăţi", "aseşi", "aseră", "iseşi", "iseră",
+             "âseşi", "âseră", "useşi", "useră", "serăm", "sesem",
+             "indu", "ându", "ează", "eşti", "eşte", "ăşti", "ăşte",
+             "eaţi", "iaţi", "arăm", "urăm", "irăm", "ârăm", "asem",
+             "isem", "âsem", "usem", "seşi", "seră", "sese", "are",
+             "ere", "ire", "âre", "ind", "ând", "eze", "ezi", "esc",
+             "ăsc", "eam", "eai", "eau", "iam", "iai", "iau", "aşi",
+             "ară", "uşi", "ură", "işi", "iră", "âşi", "âră", "ase",
+             "ise", "âse", "use", "aţi", "eţi", "iţi", "âţi", "sei",
+             "ez", "am", "ai", "au", "ea", "ia", "ui", "âi", "ăm",
+             "em", "im", "âm", "se")
+_RO_STEP3_SIMPLE = ("seserăţi", "seserăm", "serăţi", "seseşi",
+                    "seseră", "serăm", "sesem", "seşi", "seră",
+                    "sese", "aţi", "eţi", "iţi", "âţi", "sei", "ăm",
+                    "em", "im", "âm", "se")
+
+
+def _ro_rv(word: str) -> int:
+    """Standard RV as an index (oracle semantics: '' when the pattern
+    never completes)."""
+    n = len(word)
+    if n < 2:
+        return n
+    if word[1] not in _RO_V:
+        for i in range(2, n):
+            if word[i] in _RO_V:
+                return i + 1
+        return n
+    if word[0] in _RO_V and word[1] in _RO_V:
+        for i in range(2, n):
+            if word[i] not in _RO_V:
+                return i + 1
+        return n
+    return min(3, n)
+
+
+def stem_ro(word: str) -> str:
+    # i/u between vowels mark as consonants (restored at the end).
+    w = list(word)
+    for i in range(1, len(w) - 1):
+        if w[i - 1] in _RO_V and w[i + 1] in _RO_V:
+            if w[i] == "u":
+                w[i] = "U"
+            elif w[i] == "i":
+                w[i] = "I"
+    word = "".join(w)
+    r1, r2 = _r1r2(word, _RO_V)
+    rv = _ro_rv(word)
+    step1_ok = False
+    step2_ok = False
+
+    # Step 0: plurals and simplifications.
+    for suf in _RO_STEP0:
+        if word.endswith(suf):
+            if _in_r(word, suf, r1):
+                if suf in ("ul", "ului"):
+                    word = word[: -len(suf)]
+                elif (suf in ("aua", "atei")
+                      or (suf == "ile" and word[-5:-3] != "ab")):
+                    word = word[:-2]
+                elif suf in ("ea", "ele", "elor"):
+                    word = word[: -len(suf)] + "e"
+                elif suf in ("ii", "iua", "iei", "iile", "iilor",
+                             "ilor"):
+                    word = word[: -len(suf)] + "i"
+                elif suf in ("aţie", "aţia"):
+                    word = word[:-1]
+            break
+
+    # Step 1: combining suffixes, repeated until nothing matches.
+    while True:
+        replaced = False
+        for suf in _RO_STEP1:
+            if word.endswith(suf):
+                if _in_r(word, suf, r1):
+                    step1_ok = True
+                    replaced = True
+                    if suf == "ibilitate":
+                        word = word[:-5]
+                    else:
+                        word = word[: -len(suf)] + _RO_STEP1_MAP[suf]
+                else:
+                    step1_ok = False
+                break
+        if not replaced:
+            break
+
+    # Step 2: standard suffixes (within R2).
+    for suf in _RO_STEP2:
+        if word.endswith(suf):
+            if _in_r(word, suf, r2):
+                step2_ok = True
+                if suf in ("iune", "iuni"):
+                    if word[-5] == "ţ":
+                        word = word[:-5] + "t"
+                elif suf in ("ism", "isme", "ist", "ista", "iste",
+                             "isti", "istă", "işti"):
+                    word = word[: -len(suf)] + "ist"
+                else:
+                    word = word[: -len(suf)]
+            break
+
+    # Step 3: verb suffixes (within RV), only when steps 1-2 did
+    # nothing.  The non-simple group also needs a non-vowel (or word
+    # start is rejected) before the suffix's first in-RV occurrence --
+    # oracle semantics preserved.
+    if not step1_ok and not step2_ok:
+        rv_str = word[rv:]
+        for suf in _RO_STEP3:
+            if word.endswith(suf):
+                if suf in rv_str:
+                    if suf in _RO_STEP3_SIMPLE:
+                        word = word[: -len(suf)]
+                        rv_str = rv_str[: -len(suf)]
+                    else:
+                        at = rv_str.index(suf)
+                        if at > 0 and rv_str[at - 1] not in "aeioăâî":
+                            word = word[: -len(suf)]
+                    break
+
+    # Step 4: final vowel (within RV).
+    rv_str = word[rv:]
+    for suf in ("ie", "a", "e", "i", "ă"):
+        if word.endswith(suf):
+            if suf in rv_str:
+                word = word[: -len(suf)]
+            break
+
+    return word.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
+# Arabic (the Snowball Arabic light stemmer, stem_Unicode.sbl)
+
+import re as _re
+
+# NOTE: the published stemmer's character classes include a literal
+# ASCII hyphen (an artifact of how its ranges are written); kept for
+# bit-parity with the oracle.
+_AR_DIACRITICS = _re.compile("[ً-ْ-]")
+_AR_KASHEEDA = _re.compile("[ـ]")
+_AR_PUNCT = _re.compile("[،-؛؟-]")
+_AR_LAST_HAMZAT = ("أ", "إ", "آ", "ؤ", "ئ")
+_AR_INITIAL_HAMZAT = _re.compile("^[آأإ]")
+_AR_ALEFAT = _re.compile("[أآإ]")
+
+_AR_ARTICLES_3 = ("كال", "بال")
+_AR_ARTICLES_2 = ("ال", "لل")
+
+_AR_SUF_VERB_1 = ("ه", "ك", "ني", "نا",
+                  "ها", "هم", "هن",
+                  "كم", "كن",
+                  "هما", "كما",
+                  "كمو")
+_AR_CONJ_VERB_1 = ("ه", "ك")
+_AR_CONJ_VERB_2 = ("ني", "نا", "ها",
+                   "هم", "هن", "كم",
+                   "كن")
+_AR_CONJ_VERB_3 = ("هما", "كما",
+                   "كمو")
+_AR_SUF_VERB_2A = ("ت", "ا", "ن", "ي",
+                   "نا", "تا", "تن",
+                   "ان", "ون", "ين",
+                   "تما")
+_AR_CONJ_VERB_4 = ("ا", "ن", "ي")
+_AR_CONJ_PAST = ("نا", "تا", "تن")
+_AR_CONJ_PRESENT = ("ان", "ون", "ين")
+_AR_SUF_VERB_2B = ("وا", "تم")
+_AR_SUF_VERB_2C = ("و", "تمو")
+_AR_SUF_NOUN_1A = ("ي", "ك", "ه", "نا",
+                   "كم", "ها", "هن",
+                   "هم", "كما",
+                   "هما")
+_AR_CONJ_NOUN_1 = ("ي", "ك", "ه")
+_AR_CONJ_NOUN_2 = ("نا", "كم", "ها",
+                   "هن", "هم")
+_AR_CONJ_NOUN_3 = ("كما", "هما")
+_AR_SUF_NOUN_2A = ("ا", "ي", "و")
+_AR_PFX_STEP1 = {
+    "أأ": "أ", "أآ": "آ",
+    "أؤ": "ؤ", "أا": "ا",
+    "أإ": "إ",
+}
+_AR_PFX_2A = ("فال", "وال")
+_AR_PFX_2B = ("ف", "و")
+_AR_PFX_1 = ("وا", "فا")
+_AR_PFX_3A = _AR_ARTICLES_2 + _AR_ARTICLES_3
+_AR_PREP_1 = ("ك", "ل")
+_AR_PREP_2 = ("بب", "كك")
+_AR_PFX_3B = ("ب",) + _AR_PREP_1 + _AR_PREP_2
+_AR_PFX_3_VERB = ("سي", "ست", "سن",
+                  "سأ")
+_AR_PFX_4_VERB = ("يست", "نست",
+                  "تست")
+
+
+def stem_ar(word: str) -> str:
+    is_verb = True
+    is_noun = True
+    is_defined = False
+
+    # Type guesses on the raw token.
+    for p in (_AR_ARTICLES_3 + _AR_ARTICLES_2):
+        if word.startswith(p):
+            if p in _AR_ARTICLES_3 and len(word) > 4:
+                is_noun, is_verb, is_defined = True, False, True
+                break
+            if p in _AR_ARTICLES_2 and len(word) > 3:
+                is_noun, is_verb, is_defined = True, False, True
+                break
+    if word.endswith("ة") and len(word) > 2:
+        is_noun, is_verb = True, False
+    elif word.endswith("ات") and len(word) > 3:
+        is_noun, is_verb = True, False
+
+    # Pre-normalization: strip diacritics, kasheeda, punctuation.
+    w = _AR_DIACRITICS.sub("", word)
+    w = _AR_KASHEEDA.sub("", w)
+    w = _AR_PUNCT.sub("", w)
+    if len(w) <= 2:
+        return w
+
+    verb1_ok = verb2a_ok = verb2b_ok = False
+    noun2c2_ok = noun2a_ok = noun2b_ok = noun1b_ok = False
+
+    def verb_step2a(w):
+        nonlocal verb2a_ok
+        for suf in _AR_SUF_VERB_2A:
+            if w.endswith(suf) and len(w) > 3:
+                if suf == "ت" and len(w) >= 4:
+                    verb2a_ok = True
+                    return w[:-1]
+                if suf in _AR_CONJ_VERB_4 and len(w) >= 4:
+                    verb2a_ok = True
+                    return w[:-1]
+                if suf in _AR_CONJ_PAST and len(w) >= 5:
+                    verb2a_ok = True
+                    return w[:-2]
+                if suf in _AR_CONJ_PRESENT and len(w) > 5:
+                    verb2a_ok = True
+                    return w[:-2]
+                if suf == "تما" and len(w) >= 6:
+                    verb2a_ok = True
+                    return w[:-3]
+        return w
+
+    def noun_step2a(w):
+        nonlocal noun2a_ok
+        for suf in _AR_SUF_NOUN_2A:
+            if w.endswith(suf) and len(w) > 4:
+                noun2a_ok = True
+                return w[:-1]
+        return w
+
+    def noun_step2b(w):
+        # Oracle quirk (kept for parity): the ات table is iterated
+        # per CHARACTER, so a final ا or ت matches -- and the
+        # removal is still two characters.
+        nonlocal noun2b_ok
+        for ch in ("ا", "ت"):
+            if w.endswith(ch) and len(w) >= 5:
+                noun2b_ok = True
+                return w[:-2]
+        return w
+
+    def noun_step2c1(w):
+        if w.endswith("ت") and len(w) >= 4:
+            return w[:-1]
+        return w
+
+    if is_verb:
+        for suf in _AR_SUF_VERB_1:
+            if w.endswith(suf):
+                if suf in _AR_CONJ_VERB_1 and len(w) >= 4:
+                    w = w[:-1]
+                    verb1_ok = True
+                    break
+                if suf in _AR_CONJ_VERB_2 and len(w) >= 5:
+                    w = w[:-2]
+                    verb1_ok = True
+                    break
+                if suf in _AR_CONJ_VERB_3 and len(w) >= 6:
+                    w = w[:-3]
+                    verb1_ok = True
+                    break
+        if verb1_ok:
+            w = verb_step2a(w)
+            if not verb2a_ok:
+                # step 2c
+                if w.endswith("تمو") and len(w) >= 6:
+                    w = w[:-3]
+                elif w.endswith("و") and len(w) >= 4:
+                    w = w[:-1]
+        else:
+            for suf in _AR_SUF_VERB_2B:
+                if w.endswith(suf) and len(w) >= 5:
+                    w = w[:-2]
+                    verb2b_ok = True
+                    break
+            if not verb2b_ok:
+                w = verb_step2a(w)
+
+    if is_noun:
+        if w.endswith("ة") and len(w) >= 3:
+            w = w[:-1]
+            noun2c2_ok = True
+        if not noun2c2_ok:
+            if not is_defined:
+                for suf in _AR_SUF_NOUN_1A:
+                    if w.endswith(suf):
+                        if suf in _AR_CONJ_NOUN_1 and len(w) >= 4:
+                            w = w[:-1]
+                            break
+                        if suf in _AR_CONJ_NOUN_2 and len(w) >= 5:
+                            w = w[:-2]
+                            break
+                        if suf in _AR_CONJ_NOUN_3 and len(w) >= 6:
+                            w = w[:-3]
+                            break
+                w = noun_step2a(w)
+                if not noun2a_ok:
+                    w = noun_step2b(w)
+                if not noun2b_ok and not noun2a_ok:
+                    w = noun_step2c1(w)
+            else:
+                if w.endswith("ن") and len(w) > 5:
+                    w = w[:-1]
+                    noun1b_ok = True
+                if noun1b_ok:
+                    w = noun_step2a(w)
+                    if not noun2a_ok:
+                        w = noun_step2b(w)
+                    if not noun2b_ok and not noun2a_ok:
+                        w = noun_step2c1(w)
+                else:
+                    if not is_defined:
+                        w = noun_step2a(w)
+                    w = noun_step2b(w)
+        if w.endswith("ي") and len(w) >= 3:
+            w = w[:-1]                      # ya' nisbiya
+    if not is_noun and is_verb:
+        if w.endswith("ى"):
+            w = w[:-1] + "ي"           # alef maqsura -> yeh
+
+    # Prefixes.
+    for p, rep in _AR_PFX_STEP1.items():
+        if w.startswith(p) and len(w) > 3:
+            w = rep + w[len(p):]
+            break
+    pfx2a_ok = False
+    for p in _AR_PFX_2A:
+        if w.startswith(p) and len(w) > 5:
+            w = w[len(p):]
+            pfx2a_ok = True
+            break
+    if not pfx2a_ok:
+        for p in _AR_PFX_2B:
+            if w.startswith(p) and len(w) > 3:
+                if w[:2] not in _AR_PFX_1:
+                    w = w[len(p):]
+                break
+    pfx3a_ok = False
+    for p in _AR_PFX_3A:
+        if w.startswith(p):
+            if p in _AR_ARTICLES_2 and len(w) > 4:
+                w = w[len(p):]
+                pfx3a_ok = True
+                break
+            if p in _AR_ARTICLES_3 and len(w) > 5:
+                w = w[len(p):]
+                break
+    pfx3b_ok = False
+    if not pfx3a_ok and is_noun:
+        for p in _AR_PFX_3B:
+            if w.startswith(p):
+                if len(w) > 3:
+                    if p == "ب":
+                        w = w[len(p):]
+                        pfx3b_ok = True
+                        break
+                    if p in _AR_PREP_2:
+                        w = p[1] + w[len(p):]
+                        pfx3b_ok = True
+                        break
+                if p in _AR_PREP_1 and len(w) > 4:
+                    w = w[len(p):]
+                    pfx3b_ok = True
+                    break
+    elif not pfx3b_ok and is_verb:
+        for p in _AR_PFX_3_VERB:
+            if w.startswith(p) and len(w) > 4:
+                w = p[1] + w[len(p):]
+                break
+        for p in _AR_PFX_4_VERB:
+            if w.startswith(p) and len(w) > 4:
+                w = "است" + w[len(p):]
+                break
+
+    # Post-normalization: hamza forms.
+    for h in _AR_LAST_HAMZAT:
+        if w.endswith(h):
+            w = w[: -len(h)] + "ء"
+            break
+    w = _AR_INITIAL_HAMZAT.sub("ا", w)
+    w = w.replace("ؤ", "و").replace("ئ", "ي")
+    w = _AR_ALEFAT.sub("ا", w)
+    return w
+
+
 _STEMMERS: dict[str, Callable[[str], str]] = {
     "en": porter2.stem,
     "da": stem_da,
@@ -1563,6 +2319,10 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "hi": stem_hi,
     "id": stem_id,
     "tr": stem_tr,
+    "fi": stem_fi,
+    "hu": stem_hu,
+    "ro": stem_ro,
+    "ar": stem_ar,
 }
 
 _ALIASES = {
@@ -1573,30 +2333,12 @@ _ALIASES = {
     "hindi": "hi", "indonesian": "id", "turkish": "tr",
 }
 
-# Languages the reference stems via libstemmer that have no hand-rolled
-# implementation above; covered through NLTK's faithful Python ports of
-# the same published Snowball algorithms (nltk.stem.snowball).
-_NLTK_LANGS = {
-    "fi": "finnish", "hu": "hungarian", "ro": "romanian", "ar": "arabic",
-}
-
-
-def _nltk_stemmer(nltk_name: str) -> Optional[Callable[[str], str]]:
-    try:
-        from nltk.stem.snowball import SnowballStemmer
-    except Exception:  # pragma: no cover - nltk is baked into the image
-        return None
-    return SnowballStemmer(nltk_name).stem
-
-
 def get_stemmer(lang: str) -> Optional[Callable[[str], str]]:
     """Stemmer for a language code/name, or None when unsupported
     (the caller passes tokens through, like sb_stemmer_new -> NULL)."""
     lang = (lang or "").lower()
     lang = _ALIASES.get(lang, lang)
     fn = _STEMMERS.get(lang)
-    if fn is None and lang in _NLTK_LANGS:
-        fn = _nltk_stemmer(_NLTK_LANGS[lang])
     if fn is None:
         return None
     # Tokens repeat heavily within and across documents: memoize.
