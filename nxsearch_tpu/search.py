@@ -757,12 +757,16 @@ def _build_plans(dev, queries: list[Query], sp: SearchParams,
     n_csr = (w_m > 0).sum(axis=1)        # logical CSR terms (df > 0)
 
     # Queries whose windows overflow the column cap keep the
-    # per-query planner's legacy tiered plane.
+    # per-query planner's legacy tiered plane.  no_prefix must thread
+    # through: a certification-fallback batch re-entering the prefix
+    # planner here would recurse forever (observed on the 8.8M tier,
+    # whose mix has over-wide rows).
     over = n_w > _WINDOW_MAX_COLS
     if bool(over.any()):
         for j in np.nonzero(over)[0]:
             i = simple[j]
-            plans[i] = _build_plan(dev, queries[i], sp)
+            plans[i] = _build_plan(dev, queries[i], sp,
+                                   no_prefix=no_prefix)
         w_m[over] = 0
         n_w[over] = 0
 
@@ -2028,6 +2032,10 @@ def collect_query_batch(dev, st: _PendingBatch,
         _count("prefix_fallback", len(fallback_ix))
         fb_queries = [st.queries[i] for i in fallback_ix]
         fb_st = submit_query_batch(dev, fb_queries, sp, no_prefix=True)
+        # A no-prefix batch must never contain prefix groups -- a leak
+        # here would recurse unboundedly.
+        assert not any(p[3] == "prefix" for p in fb_st.pending), \
+            "no_prefix planning leaked a prefix plan"
         fb_responses = collect_query_batch(dev, fb_st, sp)
         for i, resp in zip(fallback_ix, fb_responses):
             responses[i] = resp

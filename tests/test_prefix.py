@@ -192,6 +192,36 @@ def test_prefix_boolean_stays_classic(tmp_path, small_cap):
     nxs.close()
 
 
+def test_no_prefix_batch_never_plans_prefix(tmp_path, small_cap,
+                                            monkeypatch):
+    """A no_prefix batch must stay classic even for rows that hit the
+    vectorized planner's over-wide per-query fallback (that path once
+    dropped the flag and recursed through the certification fallback
+    forever)."""
+    rng = np.random.default_rng(23)
+    words = [f"t{i:03d}" for i in range(40)]
+    nxs = Nxs(str(tmp_path))
+    idx = nxs.index_create("t")
+    idx.add_many((i + 1, " ".join(rng.choice(words, size=10)))
+                 for i in range(400))
+    sp_obj = Params().set_uint("limit", 10)
+    sp = S.get_search_params(idx.algo, sp_obj)
+    idx._read_synced()
+    try:
+        # Shrink the column cap so a multi-term query overflows into
+        # the per-query fallback inside the vectorized classic tail.
+        monkeypatch.setattr(S, "_WINDOW_MAX_COLS", 2)
+        from nxsearch_tpu.query.parser import parse_query
+        from nxsearch_tpu.query.prepare import prepare
+        q = prepare(parse_query("t000 t001 t002 t003"), idx.pipeline,
+                    idx.dev.host.term_lookup, fuzzymatch=False)
+        plans = S._build_plans(idx.dev, [q], sp, no_prefix=True)
+        assert plans[0] is not None and not plans[0].pf
+    finally:
+        idx._rw.read_release()
+    nxs.close()
+
+
 def test_prefix_batch_matches_sequential(tmp_path, small_cap):
     """search_many (vectorized prefix planner + group fallback) equals
     per-query search for a mixed batch."""
