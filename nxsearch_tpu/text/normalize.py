@@ -5,62 +5,20 @@ which uses ICU's NFKC_Casefold normalizer (src/utils/utf8.c:69,268) and
 the transliteration rule ``"NFKD; [:Nonspacing Mark:] Remove;
 Latin-ASCII; NFKC"`` for diacritic substitution (src/utils/utf8.c:30-31).
 
-Implemented host-side with unicodedata (NFKC/NFKD + casefold) plus an
-explicit Latin-ASCII fold table for the non-decomposable Latin letters
-the ICU transliterator handles.
+Implemented host-side with unicodedata (NFKC/NFKD + casefold) plus the
+vendored ICU Latin-ASCII table (latin_ascii_data.py, generated from
+the real ICU transform by tools/gen_latin_ascii.py; ICU applies
+Latin-ASCII to the NFKD/mark-stripped string and the transform is
+per-character over that repertoire, so a table lookup per decomposed
+character is equivalent -- verified by the executable A/B sweep in
+tests/test_icu_parity.py against the system ICU libraries).
 """
 
 from __future__ import annotations
 
 import unicodedata
 
-# Latin-ASCII transliterations for letters with no NFKD decomposition,
-# matching ICU's Latin-ASCII transform for the common cases.
-_LATIN_ASCII = {
-    "ß": "ss",  # ß
-    "æ": "ae",  # æ
-    "ð": "d",   # ð
-    "ø": "o",   # ø
-    "þ": "th",  # þ
-    "đ": "d",   # đ
-    "ħ": "h",   # ħ
-    "ı": "i",   # ı
-    "ĸ": "k",   # ĸ
-    "ł": "l",   # ł
-    "ŋ": "ng",  # ŋ
-    "œ": "oe",  # œ
-    "ŧ": "t",   # ŧ
-    "ſ": "s",   # ſ
-    # Latin Extended-B letters with hooks/bars/horns (CLDR
-    # Latin-ASCII folds each to its base letter).  The normalizer
-    # casefolds before this table runs, so lowercase keys suffice
-    # for the pipeline; uppercase forms casefold into these.
-    "ƀ": "b", "ɓ": "b", "ƃ": "b",
-    "ƈ": "c",
-    "ƌ": "d", "ɖ": "d", "ɗ": "d", "ȡ": "d",
-    "ǝ": "e", "ɇ": "e",
-    "ƒ": "f",
-    "ǥ": "g", "ɠ": "g",
-    "ƕ": "hv",
-    "ɉ": "j",
-    "ƙ": "k",
-    "ƚ": "l", "ȴ": "l", "ɫ": "l",
-    "ƞ": "n", "ȵ": "n",
-    "ơ": "o",
-    "ƥ": "p",
-    "ƭ": "t", "ƫ": "t", "ȶ": "t", "ŉ": "'n",
-    "ư": "u",
-    "ƴ": "y", "ɏ": "y",
-    "ƶ": "z", "ȥ": "z",
-    # Modifier-letter apostrophes (Latin-ASCII maps both to ').
-    "ʼ": "'", "ʻ": "'", "ʹ": "'",
-    # Punctuation folds (Latin-ASCII also maps these).
-    "‘": "'", "’": "'", "‚": "'", "‛": "'",
-    "“": '"', "”": '"', "„": '"',
-    "‐": "-", "‑": "-", "‒": "-", "–": "-",
-    "—": "-", "―": "-", "«": '"', "»": '"',
-    " ": " ",
-}
+from .latin_ascii_data import LATIN_ASCII as _LATIN_ASCII
 
 
 def _is_default_ignorable(ch: str) -> bool:
