@@ -198,21 +198,35 @@ class FuzzyMatcher:
             return
         import jax.numpy as jnp
 
-        from .ops.levenshtein import fuzzy_best_batch
+        from .ops.levenshtein import (fuzzy_best_batch,
+                                      fuzzy_best_pallas_batch)
         self._refresh_device()
-        # Chunked: the vmapped Peq matrix is M x T x 32 u32.
-        chunk = 8
+        # Chunked.  The Pallas kernel keeps DP state in [BLK] lane
+        # vectors and re-reads nothing, so large chunks are free; the
+        # jnp fallback's vmapped Peq matrix is M x T x 32 u32 in HBM
+        # (1 GB at M=8 over a 1M vocab), capping its chunk at 8.
+        chunk = 64 if self._use_pallas else 8
         for at in range(0, len(pending), chunk):
             part = pending[at: at + chunk]
-            qb = np.zeros((len(part), _MAX_DEVICE_BYTES), dtype=np.uint8)
-            ql = np.zeros(len(part), dtype=np.int32)
+            # Pad the row count to a pow2 bucket (>= 8): one compiled
+            # executable per bucket instead of one per miss count.
+            rows = max(8, 1 << (len(part) - 1).bit_length()) \
+                if self._use_pallas else len(part)
+            qb = np.zeros((rows, _MAX_DEVICE_BYTES), dtype=np.uint8)
+            ql = np.zeros(rows, dtype=np.int32)
             for i, (_, q) in enumerate(part):
                 qb[i, : len(q)] = np.frombuffer(q, dtype=np.uint8)
                 ql[i] = len(q)
-            idxs, _dists = fuzzy_best_batch(
-                self._dev_row_bytes(), self._dev_len, self._dev_total,
-                jnp.asarray(qb), jnp.asarray(ql),
-                jnp.int32(self.tolerance))
+            if self._use_pallas:
+                idxs, _dists = fuzzy_best_pallas_batch(
+                    self._dev_bytes, self._dev_len, self._dev_total,
+                    jnp.asarray(qb), jnp.asarray(ql),
+                    jnp.int32(self.tolerance))
+            else:
+                idxs, _dists = fuzzy_best_batch(
+                    self._dev_row_bytes(), self._dev_len, self._dev_total,
+                    jnp.asarray(qb), jnp.asarray(ql),
+                    jnp.int32(self.tolerance))
             idxs = np.asarray(idxs)
             for i, (value, _) in enumerate(part):
                 best = int(idxs[i])

@@ -146,6 +146,29 @@ def fuzzy_best_batch(vocab_bytes: jax.Array,   # uint8[T, L]
 
 
 @jax.jit
+def fuzzy_best_pallas_batch(vocab_t: jax.Array,     # uint8[32, T_pad]
+                            vocab_len: jax.Array,   # int32[T_pad]
+                            term_total: jax.Array,  # uint32[T_pad]
+                            q_bytes: jax.Array,     # uint8[M, 32]
+                            q_len: jax.Array,       # int32[M]
+                            tolerance: jax.Array,   # int32
+                            ) -> tuple[jax.Array, jax.Array]:
+    """Batched fuzzy_best_pallas: M queries, one kernel dispatch.
+
+    The kernel holds each vocab tile in VMEM across all M queries
+    (HBM reads the vocabulary once per batch); the jnp fuzzy_best_batch
+    materializes an [M, T, 32] Peq in HBM, capping M at 8.
+    """
+    from .pallas.fuzzy import myers_distances_pallas_batch
+    dist = myers_distances_pallas_batch(
+        vocab_t, vocab_len[None, :],
+        q_bytes.astype(jnp.int32),
+        q_len[:, None].astype(jnp.int32))
+    return jax.vmap(select_best, in_axes=(0, None, None, None))(
+        dist, vocab_len, term_total, tolerance)
+
+
+@jax.jit
 def fuzzy_best_pallas(vocab_t: jax.Array,     # uint8[32, T_pad]
                       vocab_len: jax.Array,   # int32[T_pad]
                       term_total: jax.Array,  # uint32[T_pad]

@@ -44,8 +44,27 @@ def _myers_kernel(q_ref, qlen_ref, vocab_ref, vlen_ref, out_ref):
     vlen_ref: VMEM int32[1, BLK]
     out_ref:  VMEM int32[1, BLK]
     """
+    out_ref[0, :] = _myers_tile(q_ref, qlen_ref, 0, vocab_ref, vlen_ref)
+
+
+def _myers_kernel_batch(q_ref, qlen_ref, vocab_ref, vlen_ref, out_ref):
+    """Batched grid (tile, query): q_ref/qlen_ref hold ALL M queries
+    (SMEM int32[M, 32] / int32[M, 1], full-array blocks -- Mosaic's
+    block-divisibility rule forbids (1, 32) row blocks of an [M, 32]
+    array); the row is selected by the inner grid index.  out_ref is
+    the full [M, BLK] column block, revisited across the inner query
+    axis (its index map ignores the query index, so Mosaic keeps it
+    resident and flushes once per tile); each iteration stores its
+    own row -- a (1, BLK) output block would violate the 8-row
+    block-divisibility rule on the [M, T_pad] output."""
+    row = pl.program_id(1)
+    score = _myers_tile(q_ref, qlen_ref, row, vocab_ref, vlen_ref)
+    out_ref[pl.ds(row, 1), :] = score[None, :]
+
+
+def _myers_tile(q_ref, qlen_ref, row, vocab_ref, vlen_ref):
     blk = vocab_ref.shape[1]
-    m = qlen_ref[0, 0]
+    m = qlen_ref[row, 0]
     mu = m.astype(jnp.uint32)
     full = jnp.uint32(0xFFFFFFFF)
     mask_m = jax.lax.select(
@@ -67,7 +86,7 @@ def _myers_kernel(q_ref, qlen_ref, vocab_ref, vlen_ref, out_ref):
     chars_all = vocab_ref[:, :].astype(jnp.int32)
 
     def peq_body(i, acc):
-        hit = (chars_all == q_ref[0, i]) & (i < m)
+        hit = (chars_all == q_ref[row, i]) & (i < m)
         return acc | (hit.astype(jnp.uint32) << i.astype(jnp.uint32))
 
     peq_all = lax.fori_loop(
@@ -98,7 +117,7 @@ def _myers_kernel(q_ref, qlen_ref, vocab_ref, vlen_ref, out_ref):
         pv = jnp.where(active, new_pv, pv)
         mv = jnp.where(active, new_mv, mv)
 
-    out_ref[0, :] = score
+    return score
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -129,5 +148,48 @@ def myers_distances_pallas(
         out_specs=pl.BlockSpec((1, BLOCK_TERMS), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, t_pad), jnp.int32),
+        interpret=interpret,
+    )(q_bytes, q_len, vocab_t, vocab_len)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def myers_distances_pallas_batch(
+    vocab_t: jax.Array,    # uint8[32, T_pad] position-major
+    vocab_len: jax.Array,  # int32[1, T_pad]
+    q_bytes: jax.Array,    # int32[M, 32]
+    q_len: jax.Array,      # int32[M, 1]
+    *,
+    interpret: bool = False,
+):
+    """int32[M, T_pad]: distances of M queries to every vocab term.
+
+    Same kernel body as the single-query call; the grid's inner axis
+    iterates queries with the vocab tile's index map held constant, so
+    Pallas keeps the [32, BLK] tile resident in VMEM across all M
+    queries -- the vocabulary is read from HBM once per *batch*, not
+    once per query.  The jnp batch path (ops/levenshtein.
+    fuzzy_best_batch) materializes a [M, T, 32] u32 Peq matrix in HBM
+    (1 GB at M=8, T=1M), capping its chunk size at 8; this kernel's
+    state is [BLK] vectors, so M=64 chunks are free.
+    """
+    m_q = q_bytes.shape[0]
+    t_pad = vocab_t.shape[1]
+    grid = (t_pad // BLOCK_TERMS, m_q)
+    return pl.pallas_call(
+        _myers_kernel_batch,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_q, QUERY_WIDTH), lambda i, m: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((m_q, 1), lambda i, m: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((QUERY_WIDTH, BLOCK_TERMS), lambda i, m: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_TERMS), lambda i, m: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_q, BLOCK_TERMS), lambda i, m: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_q, t_pad), jnp.int32),
         interpret=interpret,
     )(q_bytes, q_len, vocab_t, vocab_len)

@@ -146,6 +146,46 @@ def test_pallas_kernel_matches_jnp():
         assert np.array_equal(ref, out), q
 
 
+def test_pallas_batch_kernel_matches_jnp():
+    """The batched grid (queries on the inner axis, vocab tile held
+    in VMEM) must match the jnp Myers sweep row-for-row, including
+    zero-length padded query rows not poisoning real rows."""
+    from nxsearch_tpu.ops.pallas.fuzzy import (BLOCK_TERMS,
+                                               myers_distances_pallas_batch)
+    rng = random.Random(7)
+    n = BLOCK_TERMS * 2
+    words = ["".join(rng.choice(string.ascii_lowercase[:5])
+                     for _ in range(rng.randint(1, MAX_TERM_BYTES)))
+             for _ in range(n)]
+    vb = np.zeros((n, MAX_TERM_BYTES), np.uint8)
+    vl = np.zeros(n, np.int32)
+    for i, w in enumerate(words):
+        e = w.encode()
+        vb[i, : len(e)] = np.frombuffer(e, np.uint8)
+        vl[i] = len(e)
+    queries = ["abc", "abcde" * 6, "z", "aaaaa", "bcd", ""]  # "" = pad row
+    m = len(queries)
+    qb = np.zeros((m, MAX_TERM_BYTES), np.uint8)
+    ql = np.zeros(m, np.int32)
+    for i, q in enumerate(queries):
+        e = q.encode()
+        qb[i, : len(e)] = np.frombuffer(e, np.uint8)
+        ql[i] = len(e)
+    out = np.asarray(myers_distances_pallas_batch(
+        jnp.asarray(np.ascontiguousarray(vb.T)),
+        jnp.asarray(vl[None, :]),
+        jnp.asarray(qb.astype(np.int32)),
+        jnp.asarray(ql[:, None]),
+        interpret=INTERPRET))
+    for i, q in enumerate(queries):
+        if not q:
+            continue
+        ref = np.asarray(myers_distances(
+            jnp.asarray(vb), jnp.asarray(vl), jnp.asarray(qb[i]),
+            jnp.int32(ql[i])))
+        assert np.array_equal(ref, out[i]), q
+
+
 def test_device_and_host_paths_agree(tmp_path, monkeypatch):
     rng = random.Random(99)
     words = list({
