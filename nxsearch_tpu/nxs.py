@@ -253,6 +253,77 @@ class Index:
         finally:
             self._rw.read_release()
 
+    def prewarm(self, params: Optional[Params] = None, *,
+                rows: tuple = (1, 64, 512), seed: int = 0) -> int:
+        """Compile-warm this index's serving signatures.
+
+        Synthesizes a representative query mix from the index's OWN
+        term distribution -- df-stratified 1-4 term OR queries across
+        every log2 document-frequency tier, boolean (AND / AND NOT)
+        forms, and guaranteed-miss typo terms for the fuzzy sweep --
+        and runs it through the sequential and batched search paths,
+        discarding results.  Each distinct plan signature compiles
+        once; with the persistent XLA compilation cache enabled the
+        executables also survive process restarts, so no production
+        query ever pays a first-of-its-shape multi-second compile
+        inside a latency percentile.  ``rows`` picks the batch row
+        counts to warm (1 covers the sequential path; serving batch
+        shapes re-pad onto the pow2 grid, so one mid and one large
+        count cover the steady-state groups).
+
+        Returns the number of warmup queries executed.  No reference
+        analogue: the C engine has no compile step (this is the
+        TPU-native counterpart of its page-cache warmup at mmap
+        time).
+        """
+        import numpy as np
+        df = np.asarray(self.host.term_df.a[: len(self.host.term_values)])
+        live = np.nonzero(df > 0)[0]
+        if live.size == 0:
+            return 0
+        rng = np.random.default_rng(seed)
+        # Up to 8 terms per log2-df tier: enough to fill multi-term
+        # queries without repeating one term (repeats would dedupe).
+        tier_of = np.frexp(df[live].astype(np.float64))[1]
+        pool: list[list[str]] = []
+        for t in np.unique(tier_of):
+            members = live[tier_of == t][:8]
+            pool.append([self.host.term_values[i] for i in members])
+        queries: list[str] = []
+        for tier in pool:
+            queries.append(tier[0])
+            for n in (2, 3, 4):
+                # Mix this tier with rng-drawn other tiers: covers the
+                # cross-tier plan shapes (wide head + narrow tail).
+                toks = [tier[0]]
+                while len(toks) < n:
+                    other = pool[int(rng.integers(len(pool)))]
+                    toks.append(other[int(rng.integers(len(other)))])
+                queries.append(" ".join(toks))
+            if len(tier) >= 2:
+                queries.append(f"{tier[0]} AND {tier[1]}")
+                queries.append(f"{tier[0]} AND NOT {tier[1]}")
+        # Fuzzy sweep signatures: misses that resolve through the
+        # Levenshtein path (tolerance 2 finds no vocab word for a
+        # 3-char suffix mutation of a real term; either way the sweep
+        # itself compiles, which is the point).
+        sp = get_search_params(self.algo, params)
+        if sp.fuzzymatch:
+            for tier in pool[:8]:
+                queries.append(tier[0] + "0qz")
+        n_run = 0
+        for r in sorted(set(rows)):
+            if r <= 1:
+                for q in queries[: min(len(queries), 16)]:
+                    self.search(q, params)
+                    n_run += 1
+                continue
+            batch = [queries[int(i)] for i in
+                     rng.integers(len(queries), size=r)]
+            self.search_many(batch, params)
+            n_run += r
+        return n_run
+
     def stats(self) -> dict:
         """Live index statistics (observability; counts mirror the
         reference's idx_get_doc_count/token_count internals)."""

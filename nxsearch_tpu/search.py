@@ -1911,9 +1911,19 @@ def _submit_plans(dev, plans: list, queries: list[Query],
                          queries=queries)
 
 
-def collect_query_batch(dev, st: _PendingBatch,
-                        sp: SearchParams) -> list[Response]:
-    """Fetch a submitted batch's device results and build responses."""
+def collect_query_batch(dev, st: _PendingBatch, sp: SearchParams,
+                        defer_fallback: bool = False):
+    """Fetch a submitted batch's device results and build responses.
+
+    With ``defer_fallback=True`` the uncertified prefix rows are NOT
+    re-run here; the call returns ``(responses, fallback_ix)`` and the
+    caller must pass them through ``_submit_fallback`` /
+    ``_finish_fallback``.  The pipelined serving loop uses this to
+    enqueue the re-run sub-batch BEFORE the next batch's device groups
+    (a fallback submitted after them would wait behind a whole batch
+    of device work, serializing the pipeline -- measured as collect
+    phases of ~500 ms/batch, half the batch budget, in r3 profiling).
+    """
     import os as _os
     import time as _time
 
@@ -2027,18 +2037,10 @@ def collect_query_batch(dev, st: _PendingBatch,
         _to_responses_group(dev, members, scores, slots, plans, sp,
                             responses)
 
-    if fallback_ix:
-        # One classic sub-batch covers every uncertified prefix row.
-        _count("prefix_fallback", len(fallback_ix))
-        fb_queries = [st.queries[i] for i in fallback_ix]
-        fb_st = submit_query_batch(dev, fb_queries, sp, no_prefix=True)
-        # A no-prefix batch must never contain prefix groups -- a leak
-        # here would recurse unboundedly.
-        assert not any(p[3] == "prefix" for p in fb_st.pending), \
-            "no_prefix planning leaked a prefix plan"
-        fb_responses = collect_query_batch(dev, fb_st, sp)
-        for i, resp in zip(fallback_ix, fb_responses):
-            responses[i] = resp
+    if fallback_ix and not defer_fallback:
+        _finish_fallback(dev, _submit_fallback(dev, st, fallback_ix, sp),
+                         fallback_ix, sp, responses)
+        fallback_ix = []
 
     _trace_log = _trace_logger()
     if _trace_log.isEnabledFor(10):      # logging.DEBUG
@@ -2048,7 +2050,31 @@ def collect_query_batch(dev, st: _PendingBatch,
             "respond %.1f ms",
             len(chunked), (st.t_submitted - st.t_dispatch) * 1e3,
             (_t_resp - _t_fetch) * 1e3, (_t_end - _t_resp) * 1e3)
+    if defer_fallback:
+        return responses, fallback_ix
     return responses  # type: ignore[return-value]
+
+
+def _submit_fallback(dev, st: _PendingBatch, fallback_ix: list[int],
+                     sp: SearchParams) -> _PendingBatch:
+    """Dispatch one classic sub-batch covering every uncertified
+    prefix row (async; pair with _finish_fallback)."""
+    _count("prefix_fallback", len(fallback_ix))
+    fb_queries = [st.queries[i] for i in fallback_ix]
+    fb_st = submit_query_batch(dev, fb_queries, sp, no_prefix=True)
+    # A no-prefix batch must never contain prefix groups -- a leak
+    # here would recurse unboundedly.
+    assert not any(p[3] == "prefix" for p in fb_st.pending), \
+        "no_prefix planning leaked a prefix plan"
+    return fb_st
+
+
+def _finish_fallback(dev, fb_st: _PendingBatch, fallback_ix: list[int],
+                     sp: SearchParams, responses: list) -> None:
+    """Collect a fallback sub-batch into the main responses."""
+    fb_responses = collect_query_batch(dev, fb_st, sp)
+    for i, resp in zip(fallback_ix, fb_responses):
+        responses[i] = resp
 
 
 @functools.lru_cache(maxsize=1)
@@ -2262,11 +2288,23 @@ def search_many_pipelined(dev, pipeline, batches: list[list[str]],
         with phase("pipeline.prepare"):
             prepared = _prepare_many(dev, pipeline, query_strs, sp,
                                      fuzzy_lookup, fuzzy_prefetch)
+        if prev_st is not None:
+            # Fetch + unpack batch i-1 and enqueue its uncertified
+            # re-run BEFORE batch i's device groups: the fallback
+            # executes right behind i-1's own groups instead of
+            # waiting for all of batch i's device work.
+            with phase("pipeline.collect"):
+                resp_prev, fb_ix = collect_query_batch(
+                    dev, prev_st, sp, defer_fallback=True)
+                fb_st = _submit_fallback(dev, prev_st, fb_ix, sp) \
+                    if fb_ix else None
         with phase("pipeline.submit"):
             st = submit_query_batch(dev, prepared, sp)
         if prev_st is not None:
-            with phase("pipeline.collect"):
-                out[prev_i] = collect_query_batch(dev, prev_st, sp)
+            with phase("pipeline.fallback"):
+                if fb_st is not None:
+                    _finish_fallback(dev, fb_st, fb_ix, sp, resp_prev)
+                out[prev_i] = resp_prev
         prev_st, prev_i = st, i
     if prev_st is not None:
         with phase("pipeline.collect"):

@@ -37,6 +37,15 @@ CONFIGS = {
     # (the profiled head-merge searchsorted cost ~33 ms/query dwarfs a
     # 512-col full sort at ~2 ms).
     "nohead": {"_HEAD_MIN_DF": 1 << 30, "_HEAD_MIN_DF_PAIR": 1 << 30},
+    # Impact-prefix knobs (r3): deeper rescore -> higher certification
+    # (fewer classic re-runs) at the cost of wider rescore lanes; group
+    # coalescing threshold 2048 merges ALL prefix groups of a batch
+    # into one dispatch (r3 profile: ~50 ms fixed cost per group
+    # through the tunnel vs near-invisible marginal lane cost).
+    "M64": {"_PREFIX_M": 64},
+    "pfco": {"_COALESCE_MIN_ROWS": 2048},
+    "M64-pfco": {"_PREFIX_M": 64, "_COALESCE_MIN_ROWS": 2048},
+    "M16": {"_PREFIX_M": 16},
 }
 
 
