@@ -1424,6 +1424,13 @@ def execute_query_batch(dev, queries: list[Query],
 # with row count, dispatch overhead does not.
 _COALESCE_MIN_ROWS = 64
 _COALESCE_MAX_COLS = 64
+# Prefix groups coalesce unconditionally: hardware A/B (r3, 8.8M tier)
+# measured one merged 2048-row dispatch at 319 ms vs six fine groups
+# at 382 ms plus five spare dispatch round trips -- padded window
+# columns are cheap (zero-length windows score nothing) while each
+# extra dispatch costs ~50 ms fixed through a tunneled device.
+# 2417 -> 2618 QPS (tools/tpu_sweep.py 'pfco').
+_COALESCE_MIN_ROWS_PF = 1 << 30
 
 
 def _coalesce_sliced_groups(groups: dict, plans: list) -> dict:
@@ -1470,7 +1477,7 @@ def _coalesce_prefix_groups(groups: dict, plans: list) -> dict:
     passes are no-ops.  Same dispatch-overhead argument as
     _coalesce_sliced_groups."""
     small = [key for key, members in groups.items()
-             if key[0] == "pf" and len(members) < _COALESCE_MIN_ROWS
+             if key[0] == "pf" and len(members) < _COALESCE_MIN_ROWS_PF
              and key[1] <= _COALESCE_MAX_COLS]
     small = [k for k in small if k[2] == small[0][2]]
     if len(small) < 2:

@@ -43,8 +43,9 @@ CONFIGS = {
     # into one dispatch (r3 profile: ~50 ms fixed cost per group
     # through the tunnel vs near-invisible marginal lane cost).
     "M64": {"_PREFIX_M": 64},
-    "pfco": {"_COALESCE_MIN_ROWS": 2048},
-    "M64-pfco": {"_PREFIX_M": 64, "_COALESCE_MIN_ROWS": 2048},
+    # pf coalescing is unconditional since the r3 A/B (2417 -> 2618
+    # QPS); "pffine" restores the old fine grouping for comparison.
+    "pffine": {"_COALESCE_MIN_ROWS_PF": 64},
     "M16": {"_PREFIX_M": 16},
 }
 
@@ -60,7 +61,19 @@ def main():
     ap.add_argument("--configs", type=str, default="default")
     ap.add_argument("--profile", action="store_true",
                     help="per-group device timing on one batch")
+    ap.add_argument("--debug-pipeline", action="store_true",
+                    help="log per-phase ms (prepare/collect/submit/"
+                         "fallback) during the pipelined pass")
     args = ap.parse_args()
+
+    if args.debug_pipeline:
+        import logging
+        tl = logging.getLogger("nxsearch_tpu.trace")
+        tl.setLevel(logging.DEBUG)
+        h = logging.StreamHandler()
+        h.setFormatter(logging.Formatter("    %(message)s"))
+        tl.addHandler(h)
+        tl.propagate = False
 
     import bench as benchmod
     benchmod.enable_compile_cache(args.docs, args.mean_len)
