@@ -377,6 +377,17 @@ def main(argv=None) -> None:
                     help="index base directory (default: $NXS_BASEDIR)")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--prewarm", action="append", default=[],
+                    metavar="INDEX",
+                    help="open INDEX and compile-warm its serving "
+                         "signatures before accepting traffic "
+                         "(repeatable); with the persistent compile "
+                         "cache, restarts reload executables instead "
+                         "of recompiling")
+    ap.add_argument("--jax-cache", default=None, metavar="DIR",
+                    help="persistent XLA compilation cache directory "
+                         "(default: <basedir>/.jax_cache; 'off' "
+                         "disables)")
     args = ap.parse_args(argv)
     if not args.basedir:
         raise SystemExit("--basedir or NXS_BASEDIR required")
@@ -384,7 +395,26 @@ def main(argv=None) -> None:
     from ..utils.malloc import tune_host_allocator
     tune_host_allocator()
 
+    if args.jax_cache != "off":
+        # Persistent compile cache: a first-of-its-shape query pays a
+        # multi-second XLA compile exactly once per deployment, not
+        # once per process (the TPU-native analogue of the
+        # reference's mmap page-cache persistence).
+        import jax
+        cache_dir = args.jax_cache or os.path.join(args.basedir,
+                                                   ".jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+
     svc = SearchService(args.basedir)
+    for name in args.prewarm:
+        t0 = time.monotonic()
+        with svc.cache.lease(name) as idx:
+            n = idx.prewarm()
+        print(f"prewarmed '{name}': {n} signatures-covering queries "
+              f"in {time.monotonic() - t0:.1f}s", flush=True)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(svc))
     print(f"nxsearch-tpu service on {args.host}:{args.port} "
           f"(basedir={args.basedir})")
