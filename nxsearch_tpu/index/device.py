@@ -214,57 +214,6 @@ def _pack_ltf_column(pack, *, p_pad: int):
     return pack[:p_pad, 1]
 
 
-def block_bounds_metadata(term_starts: np.ndarray,
-                          postings_slot: np.ndarray,
-                          ltf: np.ndarray,
-                          doc_len: np.ndarray,
-                          s_pad: int,
-                          p_pad: int,
-                          adl_cap: float) -> tuple[np.ndarray, np.ndarray]:
-    """Block-max pruning metadata for the pruned executor.
-
-    Returns (bmax_ltf f32[p_pad], bmax_bm25 f32[p_pad]): per-(term,
-    slot-block) group maxima broadcast to every posting of the group.
-
-    - ``bmax_ltf`` = max log-tf: times live IDF it upper-bounds the
-      TF-IDF contribution of any posting in the group.
-    - ``bmax_bm25`` = max over the group's postings of the *actual*
-      BM25 tf term  g(ltf_p, dl_p) = ltf/(ltf + k(1-b) + (kb/adl)dl)
-      evaluated at ``adl_cap``.  g is increasing in adl, so the bound
-      stays a true upper bound for any live adl <= adl_cap (the
-      router re-checks this; a snapshot rebuild refreshes the cap).
-      This per-posting form is far tighter than g(max ltf, min dl):
-      the shortest doc in a block rarely contains the term.
-
-    Both are monotone-safe under IDF/alive drift: IDF multiplies at
-    query time, and removals only shrink the true maxima.
-    """
-    from ..ops.pallas.segsum import BLOCK_SLOTS
-    from ..ops.scoring import BM25_B, BM25_K1
-
-    n_post = len(postings_slot)
-    n_blocks = s_pad // BLOCK_SLOTS
-    bmax_ltf = np.zeros(p_pad, dtype=np.float32)
-    bmax_bm25 = np.zeros(p_pad, dtype=np.float32)
-    if n_post:
-        counts = np.diff(term_starts)
-        t_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-        blk = postings_slot.astype(np.int64) // BLOCK_SLOTS
-        gkey = t_of * n_blocks + blk
-        starts = np.flatnonzero(np.r_[True, gkey[1:] != gkey[:-1]])
-        sizes = np.diff(np.append(starts, n_post))
-        lt = ltf[:n_post].astype(np.float64)
-        bmax_ltf[:n_post] = np.repeat(
-            np.maximum.reduceat(lt, starts), sizes)
-        dl = doc_len[postings_slot].astype(np.float64)
-        c1 = BM25_K1 * (1.0 - BM25_B)
-        c2 = BM25_K1 * BM25_B / max(adl_cap, 1e-9)
-        g = lt / (lt + c1 + c2 * dl)
-        bmax_bm25[:n_post] = np.repeat(
-            np.maximum.reduceat(g, starts), sizes)
-    return bmax_ltf, bmax_bm25
-
-
 class DeviceIndex:
     """Base device snapshot + host delta for one HostIndex."""
 
@@ -332,13 +281,6 @@ class DeviceIndex:
         self.doc_len = None
         self.alive_mask = None
         self._alive_all = True      # no dead slot in the base snapshot
-        # Block-max pruning metadata (ops/executor._blockdense_pruned_core):
-        # per-(term, slot-block) contribution maxima (see
-        # block_bounds_metadata).  The BM25 bound is valid while the
-        # live adl stays <= adl_cap; a rebuild refreshes the cap.
-        self.bmax_ltf = None
-        self.bmax_bm25 = None
-        self.adl_cap = 0.0
         # Device slot -> host slot (device order is dl-ascending; see
         # _full_rebuild).  None until the first rebuild.
         self.slot_perm = None
@@ -657,31 +599,11 @@ class DeviceIndex:
         (preferred: half the upload bytes; ltf computed on device) or
         ``ltf_real`` float32 (when a count overflows u16, or from a
         v1 layout cache)."""
-        # 25% adl headroom: the BM25 bound is recomputed on every
-        # rebuild, and the delta budget caps how far adl can move
-        # between rebuilds -- far below this margin.
-        adl_build = (token_count // doc_count) if doc_count else 1.0
-        self.adl_cap = float(max(adl_build, 1.0)) * 1.25
-
         def ltf_range(lo: int, hi: int) -> np.ndarray:
             if ltf_real is not None:
                 return ltf_real[lo:hi]
             return np.log(tf16[lo:hi].astype(np.float64) + 1.0).astype(
                 np.float32)
-
-        if os.environ.get("NXS_ENABLE_PRUNED"):
-            slot_pad = np.zeros(p_pad, dtype=np.int32)
-            slot_pad[:n_post] = slot_real
-            ltf_pad = np.zeros(p_pad, dtype=np.float32)
-            ltf_pad[:n_post] = ltf_range(0, n_post)
-            bmax_ltf, bmax_bm25 = block_bounds_metadata(
-                term_starts, slot_pad[:n_post], ltf_pad,
-                dlen, s_pad, p_pad, self.adl_cap)
-        else:
-            # The block-max pruned executor is experimental (gated off
-            # in the router); skip its per-posting metadata -- 2x f32
-            # the postings size in HBM and a host reduceat per rebuild.
-            bmax_ltf = bmax_bm25 = None
 
         t_phase = time.monotonic()
         # Column device arrays derive lazily from the pack (no upload,
@@ -752,7 +674,7 @@ class DeviceIndex:
                    (slot_g.nbytes + vals.nbytes) / 1e9)
         t_phase = time.monotonic()
 
-        adl_build = float(adl_build)
+        adl_build = float((token_count // doc_count) if doc_count else 1.0)
         pack = self._build_prefix(pack, wide, term_starts, counts,
                                   cap=cap, p_pad=p_pad,
                                   adl_build=adl_build)
@@ -791,9 +713,6 @@ class DeviceIndex:
                    time.monotonic() - t_phase, len(heavy))
         t_phase = time.monotonic()
         self.doc_len = dlen_dev
-        self.bmax_ltf = self._put(bmax_ltf) if bmax_ltf is not None else None
-        self.bmax_bm25 = (self._put(bmax_bm25)
-                          if bmax_bm25 is not None else None)
         self.slot_perm = perm
         self._alive_cached = doc_alive
         self._alive_all = bool(self._alive_cached.all())

@@ -624,8 +624,8 @@ def prefix_topk(
     slots = jnp.take_along_axis(slot_sorted, ixf, axis=1)
     slots = jnp.where(scores > 0.0, slots, 0.0)
 
-    # Certification (ulp-inflated bounds, as in the block-max pruned
-    # executor): the k-th exact score must strictly dominate both the
+    # Certification (ulp-inflated bounds): the k-th exact score must
+    # strictly dominate both the
     # best unselected candidate's upper bound and the all-tails bound
     # of documents with no plane lane.  total_tail == 0 means the
     # plane was complete: exact by construction.
@@ -998,136 +998,12 @@ def _blockdense_core(
     return jnp.stack([scores, slots.astype(jnp.float32)], axis=1)
 
 
-def _blockdense_pruned_core(
-    postings_slot, postings_ltf, doc_len, alive_mask,
-    postings_bound,  # f32[P_pad]: per-(term, slot-block) max tf-part
-                     # of the contribution, broadcast to every posting
-                     # of the group; algo-appropriate (the caller
-                     # passes bmax_bm25 or bmax_ltf from
-                     # index.device.block_bounds_metadata)
-    q_start,    # int32[N, Q]
-    q_len,      # int32[N, Q]
-    q_idf,      # float32[N, Q]
-    adl,        # float32 scalar
-    prog_ops,   # int32[N, L]
-    prog_args,  # int32[N, L]
-    *, k: int, algo: int, n_slots: int, n_sel: int, use_mask: bool,
-    depth: int = 8, interpret: bool = False,
-):
-    """Block-max pruned search (TPU Block-Max WAND/MaxScore analogue).
-
-    A cheap XLA bound pass computes, per (query, slot-block), an upper
-    bound on any document score in that block:
-        ub = sum_q idf_q * bound(q, g)
-    where bound(q, g) is the precomputed per-(term, block) max of the
-    contribution's tf part (index.device.block_bounds_metadata; valid
-    under adl/IDF/alive drift between snapshot rebuilds).  The kernel
-    then scores only the top ``n_sel`` blocks per query exactly; the
-    result carries an exactness flag: the k-th candidate score must
-    dominate the best unscored block's bound, otherwise the caller
-    falls back to the full sweep.  The reference's analogous
-    efficiency is scoring only bitmap-matching docs (search.c:236-271);
-    this skips blocks that provably cannot reach the top-k instead.
-
-    Returns packed f32[N, 3, k']: scores, slot indexes (by value), and
-    an exactness flag broadcast along the last axis.
-    """
-    from .pallas.segsum import (BLOCK_SLOTS, MAX_KERNEL_TERMS,
-                                alive_factors, blockdense_scores_pruned,
-                                csr_block_bounds)
-    from .scoring import BM25_B, BM25_K1
-
-    n_batch, n_terms = q_start.shape
-    n_blocks = n_slots // BLOCK_SLOTS
-    assert n_sel < n_blocks, "router must keep n_sel below the block count"
-    c1 = jnp.float32(BM25_K1 * (1.0 - BM25_B))
-    c2 = (jnp.float32(BM25_K1 * BM25_B)
-          / jnp.maximum(adl, 1e-9)).astype(jnp.float32)
-
-    bounds = csr_block_bounds(
-        postings_slot, q_start.reshape(-1), q_len.reshape(-1),
-        n_blocks=n_blocks).reshape(n_batch, n_terms, n_blocks + 1)
-    lo = bounds[:, :, :-1]
-    hi = bounds[:, :, 1:]
-    has = hi > lo
-    p_max = postings_slot.shape[0]
-    bmax = jnp.where(has, postings_bound[jnp.minimum(lo, p_max - 1)], 0.0)
-    ub = (bmax * q_idf[:, :, None]).sum(axis=1)            # [N, G]
-
-    top_ub, sel = lax.top_k(ub, n_sel + 1)
-    sel_blocks = sel[:, :n_sel].astype(jnp.int32)
-    # Inflate the unscored-block bound by a few ulps: the bound pass
-    # and the kernel may round differently; a too-small bound could
-    # wrongly certify exactness, a too-large one only costs fallbacks.
-    # A zero bound means no occupied block went unscored -- exact by
-    # construction, so it must not be inflated above the k-th score.
-    rest = top_ub[:, n_sel]
-    ub_rest = jnp.where(
-        rest > 0.0,
-        rest * jnp.float32(1.0 + 1e-5) + jnp.float32(1e-10),
-        0.0)
-
-    sel_lo = jnp.take_along_axis(lo, sel_blocks[:, None, :], axis=2)
-    sel_hi = jnp.take_along_axis(hi, sel_blocks[:, None, :], axis=2)
-
-    alive_f = alive_factors(alive_mask)
-    total = jnp.zeros((n_batch, n_sel, BLOCK_SLOTS), jnp.float32)
-    bits_total = jnp.zeros((n_batch, n_sel, BLOCK_SLOTS), jnp.uint32)
-    for g0 in range(0, n_terms, MAX_KERNEL_TERMS):
-        qi = q_idf[:, g0: g0 + MAX_KERNEL_TERMS]
-        gq = qi.shape[1]
-        coef = jnp.stack(
-            [qi,
-             jnp.full((n_batch, gq), c1),
-             jnp.broadcast_to(c2, (n_batch, gq)),
-             jnp.zeros((n_batch, gq), jnp.float32)], axis=2)
-        sc, bits = blockdense_scores_pruned(
-            postings_slot, postings_ltf, doc_len, alive_f,
-            sel_blocks,
-            sel_lo[:, g0: g0 + MAX_KERNEL_TERMS],
-            sel_hi[:, g0: g0 + MAX_KERNEL_TERMS],
-            coef, algo=algo, use_mask=use_mask, interpret=interpret)
-        total = total + sc
-        if use_mask:
-            bits_total = bits_total | (bits << jnp.uint32(min(g0, 31)))
-
-    flat = total.reshape(n_batch, n_sel * BLOCK_SLOTS)
-    if use_mask:
-        keep = jax.vmap(
-            lambda b, po, pa: eval_program_bits(b, po, pa, depth=depth)
-        )(bits_total.reshape(n_batch, -1), prog_ops, prog_args)
-        flat = jnp.where(keep, flat, 0.0)
-    gslot = (sel_blocks[:, :, None] * BLOCK_SLOTS
-             + jnp.arange(BLOCK_SLOTS, dtype=jnp.int32)[None, None, :]
-             ).reshape(n_batch, -1)
-    k_eff = min(k, n_sel * BLOCK_SLOTS)
-    scores, ix = lax.top_k(flat, k_eff)
-    slots = jnp.take_along_axis(gslot, ix, axis=1)
-    # Exact when the k-th candidate dominates every unscored block's
-    # bound (ties excluded, matching the capped min-heap's
-    # replace-only-if-larger semantics, algo/heap.c:68-78).
-    exact = (scores[:, k_eff - 1] >= ub_rest).astype(jnp.float32)
-    assert n_slots < (1 << 24), "slot indexes must stay exact in f32"
-    return jnp.stack([scores, slots.astype(jnp.float32),
-                      jnp.broadcast_to(exact[:, None], scores.shape)],
-                     axis=1)
-
-
-device_search_pruned_batch = functools.partial(
-    jax.jit,
-    static_argnames=("k", "algo", "n_slots", "n_sel", "use_mask",
-                     "depth", "interpret"),
-)(_blockdense_pruned_core)
-
-
-def unpack_pruned(packed: "jax.Array | object"):
-    """Host-side split of the packed [N, 3, k] pruned result into
-    (scores f32[N, k], slots i32[N, k], exact bool[N])."""
-    import numpy as np
-
-    arr = np.asarray(packed)
-    return (arr[:, 0, :], arr[:, 1, :].astype(np.int32),
-            arr[:, 2, 0] > 0.5)
+# The 1024-slot block-max pruned executor (TPU Block-Max WAND
+# analogue) lived here through r2 and was removed in r3: its
+# exactness certification never fired on realistic tf/arrival
+# distributions (measured 100% fallback), so every query paid the
+# bound pass AND the full sweep.  Skip-work is now the impact-prefix
+# path (prefix_topk above), which certifies ~85% of the bench mix.
 
 
 def unpack_blockdense(packed: "jax.Array | object"):

@@ -21,17 +21,12 @@ remove both by exploiting two structural facts:
    each posting meets its document's length at the (posting, slot)
    cell the compare selects.
 
-Two kernels share that accumulation core:
-
-- ``blockdense_scores``: the full sweep, grid (N, G) -- every slot
-  block of the corpus is scored.  Exact, used for small corpora and
-  as the fallback when pruning cannot prove exactness.
-- ``blockdense_scores_pruned``: grid (N, B) over B *selected* blocks
-  per query (block-max pruning, the TPU analogue of Block-Max
-  WAND/MaxScore -- the reference's corresponding efficiency is
-  scoring only bitmap-matching docs, search.c:236-271).  Block ids
-  arrive as data, so doc-length/alive tiles DMA from HBM at dynamic
-  offsets instead of through BlockSpec index maps.
+The accumulation core drives ``blockdense_scores``: the full sweep,
+grid (N, G) -- every slot block of the corpus is scored.  Exact,
+used for small corpora and for masked work the sliced planes cannot
+express.  (A block-max pruned sibling kernel existed through r2 and
+was removed in r3: its certification never fired on realistic
+distributions, so it only added a bound pass on top of the sweep.)
 
 Compute is tiled [TILE_POSTINGS, R] with a ``pl.when`` skip per tile,
 so a (term, block) subrange with L postings costs
@@ -207,68 +202,6 @@ def _make_kernel(n_terms: int, algo: int, use_mask: bool, n_sub: int):
     return kernel
 
 
-def _make_pruned_kernel(n_terms: int, algo: int, use_mask: bool,
-                        n_sub: int):
-    """Pruned kernel: grid (N, B) over per-query selected blocks.
-
-    The block id is runtime data (sel_ref), so the doc-length and
-    alive tiles DMA from HBM at dynamic offsets -- BlockSpec index
-    maps cannot express data-dependent blocks.
-    """
-    r = BLOCK_SLOTS
-
-    def kernel(sel_ref,       # SMEM int32[1, 1, B]: global block ids
-               lo_ref,        # SMEM int32[1, Q, B]
-               hi_ref,        # SMEM int32[1, Q, B]
-               coef_ref,      # SMEM f32[1, Q, 4]
-               pslot_hbm,     # ANY int32[P]
-               pltf_hbm,      # ANY f32[P]
-               dlen_hbm,      # ANY f32[S]
-               alive_hbm,     # ANY f32[S]
-               out_ref,       # VMEM f32[1, 1, 1, R]
-               bits_ref,      # VMEM u32[1, 1, 1, R]
-               slot_scr, ltf_scr, dlen_scr, alive_scr,
-               pres_ref, acc_ref, sem, sem2):
-        b = pl.program_id(1)
-        g = sel_ref[0, 0, b]
-        base = g * r
-        # Block-aligned slices (base is a multiple of R = the 1-D
-        # tiling), fetched once per program into 1-D scratch (1-D->2-D
-        # DMAs hit a Mosaic tiling-mismatch limitation).
-        cp = pltpu.make_async_copy(
-            dlen_hbm.at[pl.ds(pl.multiple_of(base, r), r)],
-            dlen_scr, sem)
-        cp.start()
-        cp.wait()
-        cp = pltpu.make_async_copy(
-            alive_hbm.at[pl.ds(pl.multiple_of(base, r), r)],
-            alive_scr, sem)
-        cp.start()
-        cp.wait()
-        dlen_row = dlen_scr[:]
-
-        acc_ref[0, :] = jnp.zeros((r,), jnp.float32)
-        bits_ref[0, 0, 0, :] = jnp.zeros((r,), jnp.uint32)
-
-        for q in range(n_terms):
-            if use_mask:
-                pres_ref[0, :] = jnp.zeros((r,), jnp.float32)
-            _accumulate_term(
-                q, lo_ref[0, q, b], hi_ref[0, q, b], coef_ref,
-                pslot_hbm, pltf_hbm, dlen_row, slot_scr, ltf_scr,
-                acc_ref, pres_ref, sem, sem2, base,
-                algo=algo, use_mask=use_mask, n_sub=n_sub)
-            if use_mask:
-                bits_ref[0, 0, 0, :] = bits_ref[0, 0, 0, :] | jnp.where(
-                    pres_ref[0, :] > 0.0,
-                    jnp.uint32(1) << jnp.uint32(min(q, 31)),
-                    jnp.uint32(0))
-
-        out_ref[0, 0, 0, :] = acc_ref[0, :] * alive_scr[:]
-
-    return kernel
-
-
 def alive_factors(alive_mask: jax.Array) -> jax.Array:
     """Packed u32 bitmap -> per-slot 0/1 f32 factors (block shapes of
     R/32 u32 words violate Mosaic tile constraints, so the expansion
@@ -342,78 +275,3 @@ def blockdense_scores(
     )(bounds, coef, postings_slot, postings_ltf,
       doc_len[None, :], alive_f[None, :])
     return scores[:, 0, :], bits[:, 0, :]
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("algo", "use_mask", "interpret"),
-)
-def blockdense_scores_pruned(
-    postings_slot: jax.Array,   # int32[P]
-    postings_ltf: jax.Array,    # float32[P]
-    doc_len: jax.Array,         # float32[S_pad]
-    alive_f: jax.Array,         # float32[S_pad] 0/1 factors
-    sel_blocks: jax.Array,      # int32[N, B]: selected block ids
-    sel_lo: jax.Array,          # int32[N, Q, B]
-    sel_hi: jax.Array,          # int32[N, Q, B]
-    coef: jax.Array,            # float32[N, Q, 4]
-    *,
-    algo: int,
-    use_mask: bool,
-    interpret: bool = False,
-):
-    """Scores for per-query selected blocks only: grid (N, B).
-    Returns (scores f32[N, B, R], bits u32[N, B, R])."""
-    n_batch, n_terms, n_sel = sel_lo.shape
-    grid = (n_batch, n_sel)
-    n_sub = 2
-
-    kernel = _make_pruned_kernel(n_terms, algo, use_mask, n_sub)
-    # Whole per-query rows in SMEM (Q*B ints are tiny): Mosaic requires
-    # SMEM block dims to divide (8, 128) or equal the array dims, so a
-    # per-b (1, 1) window is not expressible.
-    scores, bits = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, n_sel), lambda n, b: (n, 0, 0),
-                         memory_space=pltpu.SMEM),    # sel_blocks
-            pl.BlockSpec((1, n_terms, n_sel), lambda n, b: (n, 0, 0),
-                         memory_space=pltpu.SMEM),    # sel_lo
-            pl.BlockSpec((1, n_terms, n_sel), lambda n, b: (n, 0, 0),
-                         memory_space=pltpu.SMEM),    # sel_hi
-            pl.BlockSpec((1,) + coef.shape[1:], lambda n, b: (n, 0, 0),
-                         memory_space=pltpu.SMEM),    # coef
-            pl.BlockSpec(memory_space=pl.ANY),     # postings_slot
-            pl.BlockSpec(memory_space=pl.ANY),     # postings_ltf
-            pl.BlockSpec(memory_space=pl.ANY),     # doc_len
-            pl.BlockSpec(memory_space=pl.ANY),     # alive factors
-        ],
-        out_specs=[
-            # 4-D with a singleton axis: Mosaic requires the last two
-            # block dims to divide (8, 128) or equal the array dims.
-            pl.BlockSpec((1, 1, 1, BLOCK_SLOTS), lambda n, b: (n, b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, BLOCK_SLOTS), lambda n, b: (n, b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_batch, n_sel, 1, BLOCK_SLOTS),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((n_batch, n_sel, 1, BLOCK_SLOTS),
-                                 jnp.uint32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((SUB_POSTINGS,), jnp.int32),
-            pltpu.VMEM((SUB_POSTINGS,), jnp.float32),
-            pltpu.VMEM((BLOCK_SLOTS,), jnp.float32),   # dlen (1-D DMA)
-            pltpu.VMEM((BLOCK_SLOTS,), jnp.float32),   # alive (1-D DMA)
-            pltpu.VMEM((1, BLOCK_SLOTS), jnp.float32),
-            pltpu.VMEM((1, BLOCK_SLOTS), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(sel_blocks[:, None, :], sel_lo, sel_hi, coef,
-      postings_slot, postings_ltf, doc_len, alive_f)
-    return scores[:, :, 0, :], bits[:, :, 0, :]

@@ -43,8 +43,8 @@ _PURE_OR_ROOT = Expr.leaf("<batched-pure-or>")
 _ALGO_BY_NAME = {"BM25": ALGO_BM25, "TF-IDF": ALGO_TFIDF}
 
 # Executor-path counters (observability; reset freely).  Keys:
-# pruned / pruned_exact / pruned_fallback / full / dense / candidate
-# count QUERIES routed through each path.
+# prefix / prefix_exact / prefix_fallback / sliced / full / dense /
+# candidate count QUERIES routed through each path.
 EXEC_STATS: dict[str, int] = {}
 
 
@@ -1084,39 +1084,13 @@ def _use_blockdense(plan: _Plan, sharded: bool, n_slots: int) -> bool:
             and (not plan.use_mask or plan.q_start.shape[-1] <= 32))
 
 
-# Block-max pruning: number of slot blocks scored exactly per query.
-_N_SEL = 64
-# Pruning pays off only when most blocks can be skipped, and its
-# exactness check must certify the k-th result -- deep result lists
-# (large limit) rarely certify, so they keep the full sweep.
-_PRUNE_MIN_BLOCKS = 4 * _N_SEL
-_PRUNE_MAX_K = 128
-
-
-def _use_pruned(plan: _Plan, sharded: bool, dev, k: int,
-                algo: int) -> bool:
-    from .ops.pallas.segsum import BLOCK_SLOTS
-
-    import os
-    if not os.environ.get("NXS_ENABLE_PRUNED"):
-        # Block-max certification never fires on realistic tf/arrival
-        # distributions at 1024-slot granularity (measured 100%
-        # fallback, r2): the pruned pass would only add overhead.
-        # Kept behind an env flag for experimentation.
-        return False
-    if not (_use_blockdense(plan, sharded, dev.n_slots)
-            and not plan.use_rows
-            and getattr(dev, "bmax_bm25", None) is not None
-            and dev.n_slots // BLOCK_SLOTS >= _PRUNE_MIN_BLOCKS
-            and k <= _PRUNE_MAX_K):
-        return False
-    # The BM25 block bound was computed at adl_cap; it upper-bounds
-    # live scores only while adl <= adl_cap (g grows with adl).
-    return algo != ALGO_BM25 or dev.adl <= dev.adl_cap
-
-
-def _prune_bound(dev, algo: int):
-    return dev.bmax_bm25 if algo == ALGO_BM25 else dev.bmax_ltf
+# Block-max pruning at 1024-slot granularity was implemented in r2
+# and REMOVED in r3: its certification never fired on realistic
+# tf/arrival distributions (measured 100% fallback), so it only
+# added overhead.  The skip-work answer to the reference's
+# matching-docs-only scoring loop (src/query/search.c:236-271) is
+# the impact-prefix pruned path (ops/executor.prefix_topk), which
+# IS on by default (_prefix_mode above).
 
 
 def _kernel_crows(dev, plan: _Plan,
@@ -1230,26 +1204,6 @@ def execute_query(dev, query: Query, sp: SearchParams,
     use_mask, use_dense = plan.use_mask, plan.use_dense
     budget, depth = plan.budget, plan.depth
     k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
-
-    if _use_pruned(plan, sharded, dev, k, sp.algo):
-        from .ops.executor import device_search_pruned_batch, unpack_pruned
-        packed = device_search_pruned_batch(
-            dev.postings_slot, dev.postings_ltf, dev.doc_len,
-            dev.alive_mask, _prune_bound(dev, sp.algo),
-            jnp.asarray(q_start[None]), jnp.asarray(q_len[None]),
-            jnp.asarray(q_idf[None]), dev.adl_dev,
-            jnp.asarray(prog_ops[None]), jnp.asarray(prog_args[None]),
-            k=k, algo=sp.algo, n_slots=dev.n_slots, n_sel=_N_SEL,
-            use_mask=use_mask, depth=depth,
-        )
-        scores, slots, exact = unpack_pruned(packed)
-        _count("pruned")
-        if exact[0]:
-            _count("pruned_exact")
-            return _to_response(dev, scores[0], slots[0], sp.limit,
-                                delta=_delta_results(dev, plan, sp))
-        # Pruning could not certify the top-k: full sweep below.
-        _count("pruned_fallback")
 
     if _use_sliced(plan, sharded, dev):
         from .ops.executor import (device_search_sliced_packed,
@@ -1784,8 +1738,7 @@ def _submit_plans(dev, plans: list, queries: list[Query],
             pending.append((members, packed, None, "sliced"))
             continue
         if _use_blockdense(sample, sharded, dev.n_slots):
-            from .ops.executor import (device_search_blockdense_batch,
-                                       device_search_pruned_batch)
+            from .ops.executor import device_search_blockdense_batch
             n = len(members)
             n_pad = _row_pad(n)
             q_pad = sample.q_start.shape[-1]
@@ -1809,21 +1762,6 @@ def _submit_plans(dev, plans: list, queries: list[Query],
                 if p.d_qpos is not None:
                     d_qpos[row] = p.d_qpos
                     d_row[row] = p.d_row
-            if _use_pruned(sample, sharded, dev, k, sp.algo):
-                packed = device_search_pruned_batch(
-                    dev.postings_slot, dev.postings_ltf, dev.doc_len,
-                    dev.alive_mask, _prune_bound(dev, sp.algo),
-                    jnp.asarray(q_start), jnp.asarray(q_len),
-                    jnp.asarray(q_idf), dev.adl_dev,
-                    jnp.asarray(prog_ops), jnp.asarray(prog_args),
-                    k=k, algo=sp.algo, n_slots=dev.n_slots,
-                    n_sel=_N_SEL, use_mask=sample.use_mask,
-                    depth=sample.depth,
-                )
-                group_arrays = (q_start, q_len, q_idf, prog_ops,
-                                prog_args, sample)
-                pending.append((members, packed, group_arrays, "pruned"))
-                continue
             from .ops.executor import device_search_blockdense_cached
             all_tids = []
             for i in members:
@@ -1954,7 +1892,7 @@ def collect_query_batch(dev, st: _PendingBatch, sp: SearchParams,
                        (_now - _pt) * 1e6 / max(len(_members), 1))
             _pt = _now
 
-    from .ops.executor import unpack_blockdense, unpack_pruned
+    from .ops.executor import unpack_blockdense
 
     _t_fetch = _time.perf_counter()
     # Consolidate the packed groups' results into ONE device->host
@@ -1984,42 +1922,7 @@ def collect_query_batch(dev, st: _PendingBatch, sp: SearchParams,
     _t_resp = _time.perf_counter()
     fallback_ix: list[int] = []
     for members, scores, slots, tag in pending:
-        if tag == "pruned":
-            group_arrays = slots
-            scores, slots, exact = unpack_pruned(scores)
-            # np.asarray over a device array can be read-only; the
-            # fallback overwrites rows in place.
-            scores = np.array(scores)
-            slots = np.array(slots)
-            failed = [row for row in range(len(members))
-                      if not exact[row]]
-            _count("pruned", len(members))
-            _count("pruned_exact", len(members) - len(failed))
-            _count("pruned_fallback", len(failed))
-            if failed:
-                # Pruning could not certify these rows' top-k: rerun
-                # them through the full sweep (same group signature).
-                from .ops.executor import device_search_blockdense_batch
-                (q_start, q_len, q_idf, prog_ops, prog_args,
-                 sample) = group_arrays
-                sel = np.asarray(failed, dtype=np.int64)
-                f_pad = _bucket(len(failed), 8)
-                pad = np.zeros(f_pad - len(failed), dtype=np.int64)
-                rows = np.concatenate([sel, pad])
-                packed = device_search_blockdense_batch(
-                    dev.postings_slot, dev.postings_ltf, dev.doc_len,
-                    dev.alive_mask,
-                    jnp.asarray(q_start[rows]), jnp.asarray(q_len[rows]),
-                    jnp.asarray(q_idf[rows]), dev.adl_dev,
-                    jnp.asarray(prog_ops[rows]),
-                    jnp.asarray(prog_args[rows]),
-                    k=k, algo=sp.algo, n_slots=dev.n_slots,
-                    use_mask=sample.use_mask, depth=sample.depth,
-                )
-                f_scores, f_slots = unpack_blockdense(packed)
-                scores[sel] = f_scores[: len(failed)]
-                slots[sel] = f_slots[: len(failed)]
-        elif tag == "packed":
+        if tag == "packed":
             scores, slots = unpack_blockdense(scores)
         elif tag == "sliced":
             from .ops.executor import unpack_sliced

@@ -43,6 +43,10 @@ CONFIGS = {
     # into one dispatch (r3 profile: ~50 ms fixed cost per group
     # through the tunnel vs near-invisible marginal lane cost).
     "M64": {"_PREFIX_M": 64},
+    # Masked dense-row hybrid (VERDICT r2 parked-flag A/B): only
+    # affects masked (AND / AND NOT) queries -- run with --mixed.
+    "hybrid": {"_MASKED_HYBRID": True},
+    "grid15": {"_ROW_GRID_15": True},
     # pf coalescing is unconditional since the r3 A/B (2417 -> 2618
     # QPS); "pffine" restores the old fine grouping for comparison.
     "pffine": {"_COALESCE_MIN_ROWS_PF": 64},

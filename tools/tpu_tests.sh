@@ -16,6 +16,6 @@ set -e
 cd "$(dirname "$0")/.."
 NXS_TEST_PLATFORM=tpu exec python -m pytest \
     tests/test_search.py tests/test_sliced.py tests/test_batch.py \
-    tests/test_blockdense.py tests/test_fuzzy.py tests/test_pruned.py \
+    tests/test_blockdense.py tests/test_fuzzy.py \
     tests/test_incremental.py \
     -q "$@"
