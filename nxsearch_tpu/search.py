@@ -157,8 +157,12 @@ def _head_tier(n: int, cap: int) -> int:
 # signatures than the tier grid it replaces.
 _WINDOW_T = int(os.environ.get("NXS_WINDOW_T", "1024"))
 # Column cap: wider queries (> _WINDOW_MAX_COLS * T0 sliced postings)
-# keep the legacy tiered plane / other executors.
-_WINDOW_MAX_COLS = 512
+# keep the legacy tiered plane / other executors.  NOTE (ADVICE r2):
+# the window default moving 2048 -> 1024 halved this boundary to
+# ~512k sliced postings/query; queries beyond it are rare in the
+# bench mixes (the prefix path serves pure-OR first) -- raise via
+# NXS_WINDOW_MAX_COLS if a workload routes wide queries here.
+_WINDOW_MAX_COLS = int(os.environ.get("NXS_WINDOW_MAX_COLS", "512"))
 
 
 def _window_t0(cap: int) -> int:
@@ -207,6 +211,13 @@ _MASKED_HYBRID = os.environ.get("NXS_MASKED_HYBRID", "0") == "1"
 # 1.5x grid (8, 12, 16, 24, 32, ...) halves the worst case for ~2x
 # the one-time executable compiles.  Staged for hardware A/B.
 _ROW_GRID_15 = os.environ.get("NXS_ROW_GRID15", "0") == "1"
+# Cap on the summed plane-lane estimate of concurrently in-flight
+# dispatch groups (each holds sort/plane workspace in HBM until it
+# completes; the persistent snapshot already claims most of HBM on
+# big corpora).  2**27 lanes ~ 0.5 GB of planes, a few GB with sort
+# copies -- fits the v5e headroom beside the 8.8M-doc snapshot.
+_OUTSTANDING_ELEMS_CAP = int(
+    os.environ.get("NXS_OUTSTANDING_ELEMS", str(1 << 27)))
 
 
 def _row_pad(n: int) -> int:
@@ -1536,13 +1547,38 @@ def _submit_plans(dev, plans: list, queries: list[Query],
 
     # Launch every group's device call first (dispatch is async), then
     # collect -- device work and transfers for all groups overlap.
+    # Overlap is bounded: every in-flight dispatch holds its sort /
+    # plane workspace in HBM simultaneously, and on big corpora the
+    # persistent snapshot already claims most of the device memory
+    # (observed: RESOURCE_EXHAUSTED on the 8.8M-doc mixed trace).
+    # When the outstanding-lane estimate exceeds the cap, block on the
+    # oldest dispatch before launching the next -- serialization only
+    # under memory pressure.
     from .ops.executor import device_search_dense_batch
     import time as _time
     _t_dispatch = _time.perf_counter()
     sharded = sharded_flag
     pending = []
+    pend_est = []            # per-pending plane-lane estimate (aligned)
+    outstanding = 0          # lane estimate across in-flight groups
+    awaited = 0              # pending[:awaited] are known complete
     for key, members in chunked:
         sample = plans[members[0]]
+        est = _row_pad(len(members)) * (
+            max(key[1] * key[2] + key[8], 1) if key[0] == "sl"
+            else max(key[1] * key[2], 1) if key[0] in ("pf", "ssl")
+            else max(dev.n_slots, 1) if key[0] == "bd"
+            else max(getattr(sample, "budget", 0) or 0, 1 << 12))
+        while (outstanding + est > _OUTSTANDING_ELEMS_CAP
+               and awaited < len(pending)):
+            import jax as _jax
+            _jax.block_until_ready(
+                [x for x in pending[awaited][1:3]
+                 if hasattr(x, "device")])
+            outstanding -= pend_est[awaited]
+            awaited += 1
+        outstanding += est
+        pend_est.append(est)   # every branch appends exactly one
         if key[0] == "ssl":
             from .parallel.sharded import sharded_search_sliced_batch
             n = len(members)
