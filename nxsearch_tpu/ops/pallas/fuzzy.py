@@ -86,19 +86,22 @@ def _myers_tile(q_ref, qlen_ref, row, vocab_ref, vlen_ref):
     score0 = jnp.full((blk,), m, jnp.int32)
 
     # Peq: bit i of peq_all[j, t] is set where q[i] == term t's byte
-    # j.  The query loop runs qlen times (dynamic fori bound; only
-    # the scalar q byte is read dynamically, from SMEM), and term
-    # rows build in 8-sublane groups, each group skipped outright
-    # when every term in the tile ends before it.
+    # j.  The query loop is STATICALLY unrolled (a dynamic fori_loop
+    # here costs ~100 cycles of scalar loop overhead per iteration --
+    # it dominated the kernel at ~75 us per (tile, query) grid step).
+    # Exactness of the unroll: extra matches against zero-padded q
+    # bytes can only set peq bits i >= qlen, and bit i >= qlen of xh/
+    # ph never reaches the score (inc/dec read bit qlen-1; carries in
+    # the xh add propagate upward only) or the state (masked to
+    # mask_m).  Term rows build in 8-sublane groups, each group
+    # skipped outright when every term in the tile ends before it.
     def _build_group(g0):
         chars = vocab_ref[g0: g0 + 8, :].astype(jnp.int32)
-
-        def peq_body(i, acc):
+        acc = jnp.zeros((8, blk), jnp.uint32)
+        for i in range(QUERY_WIDTH):
             hit = chars == q_ref[row, i]
-            return acc | (hit.astype(jnp.uint32) << i.astype(jnp.uint32))
-
-        return lax.fori_loop(0, m, peq_body,
-                             jnp.zeros((8, blk), jnp.uint32))
+            acc = acc | (hit.astype(jnp.uint32) << jnp.uint32(i))
+        return acc
 
     zeros_g = jnp.zeros((8, blk), jnp.uint32)
     peq_all = jnp.concatenate(

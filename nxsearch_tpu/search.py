@@ -1396,6 +1396,17 @@ _COALESCE_MAX_COLS = 64
 # extra dispatch costs ~50 ms fixed through a tunneled device.
 # 2417 -> 2618 QPS (tools/tpu_sweep.py 'pfco').
 _COALESCE_MIN_ROWS_PF = 1 << 30
+# Column tiers for the merge: "8" buckets small pf groups into a
+# narrow (qs <= 8) and a wide dispatch instead of padding every row to
+# the batch-max window count (most damped-Zipf rows have 2-4 windows;
+# one 16-wide row would force every lane to 16).  Lanes scale with the
+# tier width, so the split cuts the merged plane roughly in half for
+# one extra dispatch round trip.  Hardware A/B at the 8.8M tier
+# (tools/tpu_sweep.py): single merged group 2694 QPS, tiers=(4,) 2668,
+# tiers=(8,) 2847 -- the qs<=8 tier captures ~98% of rows at half the
+# pad width.  Empty NXS_PF_TIERS = single merged group.
+_PF_TIERS = tuple(
+    int(x) for x in os.environ.get("NXS_PF_TIERS", "8").split(",") if x)
 
 
 def _coalesce_sliced_groups(groups: dict, plans: list) -> dict:
@@ -1444,20 +1455,33 @@ def _coalesce_prefix_groups(groups: dict, plans: list) -> dict:
     small = [key for key, members in groups.items()
              if key[0] == "pf" and len(members) < _COALESCE_MIN_ROWS_PF
              and key[1] <= _COALESCE_MAX_COLS]
+    if not small:
+        return groups
     small = [k for k in small if k[2] == small[0][2]]
     if len(small) < 2:
         return groups
-    members: list[int] = []
-    qs_g = r_g = run_g = 1
     T = small[0][2]
+    tiers: dict[int, list[tuple]] = {}
     for key in small:
-        members.extend(groups.pop(key))
-        qs_g = max(qs_g, key[1])
-        r_g = max(r_g, key[3])
-        run_g = max(run_g, key[4])
-    merged = ("pf", qs_g, T, r_g, run_g)
-    groups.setdefault(merged, []).extend(members)
-    _count("coalesced_pf", len(members))
+        for bound in _PF_TIERS:
+            if key[1] <= bound:
+                tiers.setdefault(bound, []).append(key)
+                break
+        else:
+            tiers.setdefault(1 << 30, []).append(key)
+    for keys in tiers.values():
+        if len(keys) < 2:
+            continue
+        members: list[int] = []
+        qs_g = r_g = run_g = 1
+        for key in keys:
+            members.extend(groups.pop(key))
+            qs_g = max(qs_g, key[1])
+            r_g = max(r_g, key[3])
+            run_g = max(run_g, key[4])
+        merged = ("pf", qs_g, T, r_g, run_g)
+        groups.setdefault(merged, []).extend(members)
+        _count("coalesced_pf", len(members))
     return groups
 
 

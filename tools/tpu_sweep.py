@@ -51,6 +51,11 @@ CONFIGS = {
     # QPS); "pffine" restores the old fine grouping for comparison.
     "pffine": {"_COALESCE_MIN_ROWS_PF": 64},
     "M16": {"_PREFIX_M": 16},
+    # Tiered pf merge: narrow rows (qs <= bound) get their own
+    # dispatch instead of padding to the batch-max window count.
+    "pft4": {"_PF_TIERS": (4,)},
+    "pft8": {"_PF_TIERS": (8,)},
+    "pft48": {"_PF_TIERS": (4, 8)},
 }
 
 
