@@ -29,9 +29,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# One native tile per vector op (8 sublanes x 128 lanes): keeps
-# register pressure low through the unrolled Myers steps.
-BLOCK_TERMS = 1024
+# Terms per vocabulary tile.  Bigger tiles amortize the per-grid-step
+# scalar prologue (hardware sweep, 1M vocab, M=64: blk 1024 93 ms,
+# 4096 76 ms, 8192 76 ms per chunk); clamped to the padded vocab size
+# for small dictionaries.
+BLOCK_TERMS = 8192
 QUERY_WIDTH = 32
 
 
@@ -88,19 +90,33 @@ def _myers_tile(q_ref, qlen_ref, row, vocab_ref, vlen_ref):
     # Peq: bit i of peq_all[j, t] is set where q[i] == term t's byte
     # j.  The query loop is STATICALLY unrolled (a dynamic fori_loop
     # here costs ~100 cycles of scalar loop overhead per iteration --
-    # it dominated the kernel at ~75 us per (tile, query) grid step).
-    # Exactness of the unroll: extra matches against zero-padded q
-    # bytes can only set peq bits i >= qlen, and bit i >= qlen of xh/
-    # ph never reaches the score (inc/dec read bit qlen-1; carries in
-    # the xh add propagate upward only) or the state (masked to
-    # mask_m).  Term rows build in 8-sublane groups, each group
-    # skipped outright when every term in the tile ends before it.
+    # it dominated the kernel at ~75 us per (tile, query) grid step)
+    # and branch-gated per 8-byte chunk on the query's real length
+    # (typical query tokens are 5-10 bytes; the tail 24 compares are
+    # dead work).  Exactness of both cuts: extra matches against
+    # zero-padded q bytes can only set peq bits i >= qlen, and bit
+    # i >= qlen of xh/ph never reaches the score (inc/dec read bit
+    # qlen-1; carries in the xh add propagate upward only) or the
+    # state (masked to mask_m) -- so bits >= qlen may be anything,
+    # including the zeros the skipped chunks leave.  Term rows build
+    # in 8-sublane groups, each group skipped outright when every
+    # term in the tile ends before it.
     def _build_group(g0):
         chars = vocab_ref[g0: g0 + 8, :].astype(jnp.int32)
-        acc = jnp.zeros((8, blk), jnp.uint32)
-        for i in range(QUERY_WIDTH):
-            hit = chars == q_ref[row, i]
-            acc = acc | (hit.astype(jnp.uint32) << jnp.uint32(i))
+        zeros8 = jnp.zeros((8, blk), jnp.uint32)
+
+        def _byte_chunk(i0):
+            part = zeros8
+            for i in range(i0, i0 + 8):
+                hit = chars == q_ref[row, i]
+                part = part | (hit.astype(jnp.uint32) << jnp.uint32(i))
+            return part
+
+        acc = _byte_chunk(0)  # qlen >= 1 always
+        for i0 in range(8, QUERY_WIDTH, 8):
+            acc = acc | lax.cond(i0 < m,
+                                 functools.partial(_byte_chunk, i0),
+                                 lambda: zeros8)
         return acc
 
     zeros_g = jnp.zeros((8, blk), jnp.uint32)
@@ -154,7 +170,8 @@ def myers_distances_pallas(
 ):
     """int32[1, T_pad] exact Levenshtein distances."""
     t_pad = vocab_t.shape[1]
-    grid = (t_pad // BLOCK_TERMS,)
+    blk = min(BLOCK_TERMS, t_pad)
+    grid = (t_pad // blk,)
     return pl.pallas_call(
         _myers_kernel,
         grid=grid,
@@ -163,19 +180,19 @@ def myers_distances_pallas(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((QUERY_WIDTH, BLOCK_TERMS), lambda i: (0, i),
+            pl.BlockSpec((QUERY_WIDTH, blk), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_TERMS), lambda i: (0, i),
+            pl.BlockSpec((1, blk), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK_TERMS), lambda i: (0, i),
+        out_specs=pl.BlockSpec((1, blk), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, t_pad), jnp.int32),
         interpret=interpret,
     )(q_bytes, q_len, vocab_t, vocab_len)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "block"))
 def myers_distances_pallas_batch(
     vocab_t: jax.Array,    # uint8[32, T_pad] position-major
     vocab_len: jax.Array,  # int32[1, T_pad]
@@ -183,6 +200,7 @@ def myers_distances_pallas_batch(
     q_len: jax.Array,      # int32[M, 1]
     *,
     interpret: bool = False,
+    block: int | None = None,
 ):
     """int32[M, T_pad]: distances of M queries to every vocab term.
 
@@ -197,7 +215,8 @@ def myers_distances_pallas_batch(
     """
     m_q = q_bytes.shape[0]
     t_pad = vocab_t.shape[1]
-    grid = (t_pad // BLOCK_TERMS, m_q)
+    blk = min(block or BLOCK_TERMS, t_pad)
+    grid = (t_pad // blk, m_q)
     return pl.pallas_call(
         _myers_kernel_batch,
         grid=grid,
@@ -206,12 +225,12 @@ def myers_distances_pallas_batch(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((m_q, 1), lambda i, m: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((QUERY_WIDTH, BLOCK_TERMS), lambda i, m: (0, i),
+            pl.BlockSpec((QUERY_WIDTH, blk), lambda i, m: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_TERMS), lambda i, m: (0, i),
+            pl.BlockSpec((1, blk), lambda i, m: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m_q, BLOCK_TERMS), lambda i, m: (0, i),
+        out_specs=pl.BlockSpec((m_q, blk), lambda i, m: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_q, t_pad), jnp.int32),
         interpret=interpret,

@@ -53,15 +53,18 @@ def main():
                 qb[i, : len(t)] = np.frombuffer(t, dtype=np.uint8)
                 ql[i, 0] = len(t)
             qb_d, ql_d = jnp.asarray(qb), jnp.asarray(ql)
+            # np.asarray of a reduction forces the full computation
+            # through the tunnel (block_until_ready on a remote axon
+            # buffer can return at enqueue, not completion).
             d = F.myers_distances_pallas_batch(
-                vocab_t, vocab_l, qb_d, ql_d)
-            jax.block_until_ready(d)  # compile + warm
+                vocab_t, vocab_l, qb_d, ql_d, block=blk)
+            _sync = np.asarray(d.min())  # compile + warm
             t0 = time.perf_counter()
             reps = 3
             for _ in range(reps):
                 d = F.myers_distances_pallas_batch(
-                    vocab_t, vocab_l, qb_d, ql_d)
-                jax.block_until_ready(d)
+                    vocab_t, vocab_l, qb_d, ql_d, block=blk)
+                _sync = np.asarray(d.min())
             dt = (time.perf_counter() - t0) / reps
             steps = (t_pad // blk) * m
             print(f"blk={blk:5d} M={m:3d}: {dt * 1e3:8.1f} ms "
