@@ -493,6 +493,13 @@ def prefix_topk(
     slot before the final top_k).
 
     Returns packed f32[N, 3, k']: scores, slots (by value), exact flag.
+
+    ``R == 0`` (no wide terms in the group) is the complete-plane fast
+    path: every term's windows cover its full CSR range, so the result
+    is exact by construction -- presence bits leave the sort (two
+    operands instead of three) and the bound/rescore/certification
+    epilogue is skipped entirely.  On the damped-Zipf serving mix
+    ~90% of rows have no wide term, so this is the dominant signature.
     """
     assert algo == ALGO_BM25, "impact prefixes are built for BM25"
     n_batch, n_terms = q_start.shape
@@ -513,22 +520,29 @@ def prefix_topk(
         contrib = jnp.where(valid & alive, contrib, 0.0)
     else:
         contrib = jnp.where(valid, contrib, 0.0)
-    bits = jnp.where(valid, col_bit[:, :, None].astype(jnp.uint32),
-                     jnp.uint32(0))
 
     flat = n_terms * T
     key = jnp.where(valid, slot_f, jnp.float32(jnp.inf)).reshape(
         n_batch, flat)
     contrib_f = contrib.reshape(n_batch, flat)
-    bits_f = bits.reshape(n_batch, flat)
+    use_bits = R > 0
+    if use_bits:
+        bits = jnp.where(valid, col_bit[:, :, None].astype(jnp.uint32),
+                         jnp.uint32(0))
+        bits_f = bits.reshape(n_batch, flat)
     if n_logical == 1:
         # One logical term: windows partition slot-sorted postings, so
         # the concatenated lanes are already ascending and each doc
         # occurs once.
-        key_s, contrib_s, bits_s = key, contrib_f, bits_f
-    else:
+        key_s, contrib_s = key, contrib_f
+        bits_s = bits_f if use_bits else None
+    elif use_bits:
         key_s, contrib_s, bits_s = lax.sort(
             (key, contrib_f, bits_f), dimension=1, num_keys=1)
+    else:
+        key_s, contrib_s = lax.sort(
+            (key, contrib_f), dimension=1, num_keys=1)
+        bits_s = None
 
     diff = key_s[:, 1:] != key_s[:, :-1]
     ones = jnp.ones((n_batch, 1), jnp.bool_)
@@ -549,12 +563,27 @@ def prefix_topk(
             [jnp.broadcast_to(zf, (n_batch, off)), contrib_s[:, :-off]],
             axis=1)
         run = run + jnp.where(eq, c_prev, 0.0)
-        b_prev = jnp.concatenate(
-            [jnp.broadcast_to(zb, (n_batch, off)), bits_s[:, :-off]],
-            axis=1)
-        run_bits = run_bits | jnp.where(eq, b_prev, jnp.uint32(0))
+        if use_bits:
+            b_prev = jnp.concatenate(
+                [jnp.broadcast_to(zb, (n_batch, off)), bits_s[:, :-off]],
+                axis=1)
+            run_bits = run_bits | jnp.where(eq, b_prev, jnp.uint32(0))
 
     is_doc = last & jnp.isfinite(key_s)
+    if not use_bits:
+        # Complete plane: exact by construction -- straight top-k over
+        # the aggregated per-document sums, no candidate selection.
+        segsum = jnp.where(is_doc, run, 0.0)
+        k_eff = min(k, flat)
+        scores, ix = lax.top_k(segsum, k_eff)
+        slots = jnp.take_along_axis(key_s, ix, axis=1)
+        slots = jnp.where(scores > 0.0, slots, 0.0)
+        exact1 = jnp.ones((n_batch, 1), jnp.float32)
+        assert n_slots < (1 << 24), \
+            "slot indexes must stay exact in f32"
+        return jnp.stack(
+            [scores, slots,
+             jnp.broadcast_to(exact1, scores.shape)], axis=1)
     total_tail = w_tail.sum(axis=1)                       # [N]
     have = jnp.zeros((n_batch, flat), jnp.float32)
     for j in range(R):
@@ -671,10 +700,16 @@ def prefix_topk_packed(
     q_len = take_i32(qs, (qs,))
     q_idf = take_f32(qs, (qs,))
     col_bit = take_i32(qs, (qs,))
-    w_tail = take_f32(R, (R,))
-    w_start = take_i32(R, (R,))
-    w_len = take_i32(R, (R,))
-    w_idf = take_f32(R, (R,))
+    if R > 0:
+        w_tail = take_f32(R, (R,))
+        w_start = take_i32(R, (R,))
+        w_len = take_i32(R, (R,))
+        w_idf = take_f32(R, (R,))
+    else:
+        w_tail = jnp.zeros((n, 0), jnp.float32)
+        w_start = jnp.zeros((n, 0), jnp.int32)
+        w_len = jnp.zeros((n, 0), jnp.int32)
+        w_idf = jnp.zeros((n, 0), jnp.float32)
     return prefix_topk(
         postings_pack, alive_mask, q_start, q_len, q_idf, adl,
         col_bit, w_tail, w_start, w_len, w_idf,

@@ -171,6 +171,8 @@ def myers_distances_pallas(
     """int32[1, T_pad] exact Levenshtein distances."""
     t_pad = vocab_t.shape[1]
     blk = min(BLOCK_TERMS, t_pad)
+    assert t_pad % blk == 0, \
+        f"vocab pad {t_pad} not divisible by block {blk}"
     grid = (t_pad // blk,)
     return pl.pallas_call(
         _myers_kernel,
@@ -216,6 +218,8 @@ def myers_distances_pallas_batch(
     m_q = q_bytes.shape[0]
     t_pad = vocab_t.shape[1]
     blk = min(block or BLOCK_TERMS, t_pad)
+    assert t_pad % blk == 0, \
+        f"vocab pad {t_pad} not divisible by block {blk}"
     grid = (t_pad // blk, m_q)
     return pl.pallas_call(
         _myers_kernel_batch,

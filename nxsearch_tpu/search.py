@@ -374,7 +374,9 @@ def _build_plan_prefix(dev, tokens, q_start, q_len, q_idf,
     sl_len[: len(starts)] = lens
     sl_idf[: len(starts)] = idfs
     pf_bits[: len(starts)] = bits
-    r_pad = _bucket(max(len(w_tail), 1), 1)
+    # No wide terms: R = 0 routes the complete-plane fast path in
+    # prefix_topk (2-operand sort, no rescore epilogue, always exact).
+    r_pad = _bucket(len(w_tail), 1) if w_tail else 0
     pf_tail = np.zeros(r_pad, dtype=np.float32)
     pf_start = np.zeros(r_pad, dtype=np.int32)
     pf_len = np.zeros(r_pad, dtype=np.int32)
@@ -945,8 +947,11 @@ def _plans_prefix(dev, sp, queries, plans, simple, counts, offs,
         pf_len_m[over] = 0
 
     n_run = np.where(n_live <= 1, 1, _pow2ceil(n_live))
-    r_pad = np.where(n_wide <= 1, 1, _pow2ceil(np.minimum(
-        n_wide, _PREFIX_MAX_WIDE)))
+    # n_wide == 0 -> R = 0: the complete-plane fast path (2-operand
+    # sort, no bound/rescore epilogue, exact by construction).
+    r_pad = np.where(n_wide == 0, 0,
+                     np.where(n_wide <= 1, 1, _pow2ceil(np.minimum(
+                         n_wide, _PREFIX_MAX_WIDE))))
     q_pad = _pow2ceil(np.maximum(counts, _MIN_TERMS))
     for j, i in enumerate(simple):
         if plans[i] is not None:
@@ -1174,6 +1179,41 @@ def _to_response(dev, scores, slots, limit: int, delta=None) -> Response:
     return Response(results)
 
 
+def _dispatch_sliced_single(dev, plan: _Plan, sp: SearchParams, k: int):
+    """Asynchronously dispatch ONE query's sliced-executor call;
+    returns the packed device array (unpack with unpack_sliced)."""
+    from .ops.executor import (device_search_sliced_packed,
+                               pack_sliced_group)
+    use_mask = plan.use_mask
+    t_head = plan.h_T
+    with_rows = bool(use_mask and plan.n_run)
+    buf = pack_sliced_group(
+        plan.sl_start[None], plan.sl_len[None], plan.sl_idf[None],
+        plan.prog_ops[None] if use_mask else None,
+        plan.prog_args[None] if use_mask else None,
+        plan.d_row[None] if plan.use_rows else None,
+        plan.d_idf[None] if plan.use_rows else None,
+        np.asarray([plan.h_start], np.int32) if t_head else None,
+        np.asarray([plan.h_len], np.int32) if t_head else None,
+        np.asarray([plan.h_idf], np.float32) if t_head else None,
+        np.asarray([plan.h_row], np.int32) if t_head else None,
+        np.asarray([plan.h_pass], np.bool_) if t_head else None,
+        plan.sl_rows[None] if with_rows else None,
+        plan.d_qpos[None] if (use_mask and plan.use_rows) else None,
+        plan.d_pass[None] if (use_mask and plan.use_rows) else None)
+    return device_search_sliced_packed(
+        dev.postings_pack, dev.alive_mask, dev.doc_len,
+        jnp.asarray(buf), dev.adl_dev,
+        dev.dense_rows if plan.use_rows else None,
+        qs=len(plan.sl_start), L=len(plan.prog_ops),
+        D=_MAX_DENSE_PER_QUERY,
+        T=plan.sl_T, k=k, algo=sp.algo, n_slots=dev.n_slots,
+        use_mask=use_mask, single=plan.single,
+        alive_all=dev.alive_all, use_rows=plan.use_rows,
+        depth=plan.depth, T_head=t_head, n_run=plan.n_run,
+    )
+
+
 def execute_query(dev, query: Query, sp: SearchParams,
                   no_prefix: bool = False) -> Response:
     """Run the prepared query against the device snapshot.
@@ -1188,7 +1228,8 @@ def execute_query(dev, query: Query, sp: SearchParams,
 
     if plan.pf:
         from .ops.executor import (device_search_prefix_packed,
-                                   pack_prefix_group, unpack_prefix)
+                                   pack_prefix_group, unpack_prefix,
+                                   unpack_sliced)
         k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
         buf = pack_prefix_group(
             plan.sl_start[None], plan.sl_len[None], plan.sl_idf[None],
@@ -1201,13 +1242,42 @@ def execute_query(dev, query: Query, sp: SearchParams,
             algo=sp.algo, n_slots=dev.n_slots,
             alive_all=dev.alive_all, n_run=plan.n_run,
             k_ret=min(sp.limit, k))
-        scores, slots, exact = unpack_prefix(packed)
         _count("prefix")
+        cplan = cpacked = None
+        if len(plan.pf_tail):
+            # Wide terms present: the certificate can fail.  Dispatch
+            # the classic twin SPECULATIVELY in the same launch wave
+            # and fetch both results in one consolidated transfer, so
+            # an uncertified query costs zero extra round trips
+            # (one-call search parity: src/query/search.c:285; the
+            # sequential p50 regression diagnosed in r3 was this
+            # fallback's re-plan + second round trip).
+            cplan = _build_plan(dev, query, sp, no_prefix=True)
+            if cplan is not None and _use_sliced(cplan, sharded, dev):
+                cpacked = _dispatch_sliced_single(dev, cplan, sp, k)
+        if cpacked is not None:
+            both = np.asarray(jnp.concatenate(
+                [packed.reshape(-1), cpacked.reshape(-1)]))
+            pf_arr = both[: packed.size].reshape(packed.shape)
+            scores, slots, exact = unpack_prefix(pf_arr)
+            if exact[0]:
+                _count("prefix_exact")
+                return _to_response(dev, scores[0], slots[0], sp.limit,
+                                    delta=_delta_results(dev, plan, sp))
+            _count("prefix_fallback")
+            _count("prefix_spec_used")
+            cl = both[packed.size:].reshape(cpacked.shape)
+            s2, l2 = unpack_sliced(cl)
+            _count("sliced")
+            return _to_response(dev, s2[0], l2[0], sp.limit,
+                                delta=_delta_results(dev, cplan, sp))
+        scores, slots, exact = unpack_prefix(packed)
         if exact[0]:
             _count("prefix_exact")
             return _to_response(dev, scores[0], slots[0], sp.limit,
                                 delta=_delta_results(dev, plan, sp))
-        # Certification failed: the classic plan is exact.
+        # Certification failed and no speculative twin was eligible:
+        # the classic plan is exact.
         _count("prefix_fallback")
         return execute_query(dev, query, sp, no_prefix=True)
     q_start, q_len, q_idf = plan.q_start, plan.q_len, plan.q_idf
@@ -1217,38 +1287,11 @@ def execute_query(dev, query: Query, sp: SearchParams,
     k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
 
     if _use_sliced(plan, sharded, dev):
-        from .ops.executor import (device_search_sliced_packed,
-                                   pack_sliced_group, unpack_sliced)
-        t_head = plan.h_T
-        with_rows = bool(use_mask and plan.n_run)
-        buf = pack_sliced_group(
-            plan.sl_start[None], plan.sl_len[None], plan.sl_idf[None],
-            prog_ops[None] if use_mask else None,
-            prog_args[None] if use_mask else None,
-            plan.d_row[None] if plan.use_rows else None,
-            plan.d_idf[None] if plan.use_rows else None,
-            np.asarray([plan.h_start], np.int32) if t_head else None,
-            np.asarray([plan.h_len], np.int32) if t_head else None,
-            np.asarray([plan.h_idf], np.float32) if t_head else None,
-            np.asarray([plan.h_row], np.int32) if t_head else None,
-            np.asarray([plan.h_pass], np.bool_) if t_head else None,
-            plan.sl_rows[None] if with_rows else None,
-            plan.d_qpos[None] if (use_mask and plan.use_rows) else None,
-            plan.d_pass[None] if (use_mask and plan.use_rows) else None)
-        packed = device_search_sliced_packed(
-            dev.postings_pack, dev.alive_mask, dev.doc_len,
-            jnp.asarray(buf), dev.adl_dev,
-            dev.dense_rows if plan.use_rows else None,
-            qs=len(plan.sl_start), L=len(plan.prog_ops),
-            D=_MAX_DENSE_PER_QUERY,
-            T=plan.sl_T, k=k, algo=sp.algo, n_slots=dev.n_slots,
-            use_mask=use_mask, single=plan.single,
-            alive_all=dev.alive_all, use_rows=plan.use_rows, depth=depth,
-            T_head=t_head, n_run=plan.n_run,
-        )
+        from .ops.executor import unpack_sliced
+        packed = _dispatch_sliced_single(dev, plan, sp, k)
         scores, slots = unpack_sliced(packed)
         _count("sliced")
-        if t_head:
+        if plan.h_T:
             _count("sliced_head")
         return _to_response(dev, scores[0], slots[0], sp.limit,
                             delta=_delta_results(dev, plan, sp))
@@ -1405,8 +1448,8 @@ _COALESCE_MIN_ROWS_PF = 1 << 30
 # (tools/tpu_sweep.py): single merged group 2694 QPS, tiers=(4,) 2668,
 # tiers=(8,) 2847 -- the qs<=8 tier captures ~98% of rows at half the
 # pad width.  Empty NXS_PF_TIERS = single merged group.
-_PF_TIERS = tuple(
-    int(x) for x in os.environ.get("NXS_PF_TIERS", "8").split(",") if x)
+_PF_TIERS = tuple(sorted(
+    int(x) for x in os.environ.get("NXS_PF_TIERS", "8").split(",") if x))
 
 
 def _coalesce_sliced_groups(groups: dict, plans: list) -> dict:
@@ -1461,19 +1504,23 @@ def _coalesce_prefix_groups(groups: dict, plans: list) -> dict:
     if len(small) < 2:
         return groups
     T = small[0][2]
-    tiers: dict[int, list[tuple]] = {}
+    # Tier separately by (qs bound, has-wide): merging an R = 0 group
+    # into an R > 0 one would hand the complete-plane rows the full
+    # 3-operand sort + rescore epilogue back.
+    tiers: dict[tuple, list[tuple]] = {}
     for key in small:
         for bound in _PF_TIERS:
             if key[1] <= bound:
-                tiers.setdefault(bound, []).append(key)
+                tiers.setdefault((bound, key[3] > 0), []).append(key)
                 break
         else:
-            tiers.setdefault(1 << 30, []).append(key)
+            tiers.setdefault((1 << 30, key[3] > 0), []).append(key)
     for keys in tiers.values():
         if len(keys) < 2:
             continue
         members: list[int] = []
-        qs_g = r_g = run_g = 1
+        qs_g = run_g = 1
+        r_g = 0                # stays 0 for an all-R=0 tier
         for key in keys:
             members.extend(groups.pop(key))
             qs_g = max(qs_g, key[1])

@@ -43,7 +43,6 @@ def main():
     vocab_l = jax.device_put(vl)
 
     for blk in (int(b) for b in args.blocks.split(",")):
-        F.BLOCK_TERMS = blk
         for m in (int(c) for c in args.chunks.split(",")):
             qb = np.zeros((m, 32), dtype=np.int32)
             ql = np.zeros((m, 1), dtype=np.int32)
