@@ -342,6 +342,7 @@ def main() -> None:
 
         from nxsearch_tpu.search import EXEC_STATS
         log(f"exec stats: {EXEC_STATS}")
+        exec_stats = dict(sorted(EXEC_STATS.items()))
         nxs.close()
 
     print(json.dumps({
@@ -361,6 +362,10 @@ def main() -> None:
             "seq_cold_max_ms": round(cold_max, 1),
             **({"fuzzy_qps": round(fz_qps, 1),
                 "fuzzy_p50_ms": round(fz_p50, 2)} if fz_qps else {}),
+            # Executor-path counters for the whole run: the prefix
+            # exact/fallback split makes the pruned path's
+            # certification rate visible per bench run.
+            "exec_stats": exec_stats,
             # BASELINE.json's real-data configs (20NG, Wikipedia
             # abstracts, MS MARCO) cannot be fetched here: zero
             # network egress.  They run as synthetic Zipf

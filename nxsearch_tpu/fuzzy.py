@@ -37,6 +37,12 @@ TOLERANCE = 2
 
 _DEVICE_THRESHOLD = 4096   # below this, host DP beats a device dispatch
 _MAX_DEVICE_BYTES = 32
+# Transposed-Myers batch kernel (ops/pallas/fuzzy.py
+# _myers_rev_kernel_batch): per-tile char table built once and shared
+# by all queries of a chunk.  Exact twin of the forward kernel
+# (property-tested); flag guards the hardware A/B.
+import os as _os
+_USE_REV_KERNEL = _os.environ.get("NXS_FUZZY_REV", "0") == "1"
 
 
 def levdist(a: bytes, b: bytes, cutoff: Optional[int] = None) -> int:
@@ -199,13 +205,22 @@ class FuzzyMatcher:
         import jax.numpy as jnp
 
         from .ops.levenshtein import (fuzzy_best_batch,
-                                      fuzzy_best_pallas_batch)
+                                      fuzzy_best_pallas_batch,
+                                      fuzzy_best_pallas_batch_rev)
         self._refresh_device()
         # Chunked.  The Pallas kernel keeps DP state in [BLK] lane
         # vectors and re-reads nothing, so large chunks are free; the
         # jnp fallback's vmapped Peq matrix is M x T x 32 u32 in HBM
         # (1 GB at M=8 over a 1M vocab), capping its chunk at 8.
         chunk = 64 if self._use_pallas else 8
+        kernel = fuzzy_best_pallas_batch
+        if self._use_pallas and _USE_REV_KERNEL:
+            kernel = fuzzy_best_pallas_batch_rev
+        # Dispatch every chunk first (async), then fetch all results
+        # in one consolidated transfer: each fetch is a full round
+        # trip on remote-TPU setups (~27 ms), so a 512-miss batch paid
+        # 8 serial RTTs here before the single-fetch rework.
+        launched: list = []
         for at in range(0, len(pending), chunk):
             part = pending[at: at + chunk]
             # Pad the row count to a pow2 bucket (>= 8): one compiled
@@ -218,7 +233,7 @@ class FuzzyMatcher:
                 qb[i, : len(q)] = np.frombuffer(q, dtype=np.uint8)
                 ql[i] = len(q)
             if self._use_pallas:
-                idxs, _dists = fuzzy_best_pallas_batch(
+                idxs, _dists = kernel(
                     self._dev_bytes, self._dev_len, self._dev_total,
                     jnp.asarray(qb), jnp.asarray(ql),
                     jnp.int32(self.tolerance))
@@ -227,7 +242,18 @@ class FuzzyMatcher:
                     self._dev_row_bytes(), self._dev_len, self._dev_total,
                     jnp.asarray(qb), jnp.asarray(ql),
                     jnp.int32(self.tolerance))
-            idxs = np.asarray(idxs)
+            launched.append((part, idxs))
+        if len(launched) == 1:
+            parts_idxs = [np.asarray(launched[0][1])]
+        else:
+            flat = np.asarray(jnp.concatenate(
+                [ix for _, ix in launched]))
+            parts_idxs = []
+            at = 0
+            for part, ix in launched:
+                parts_idxs.append(flat[at: at + ix.shape[0]])
+                at += ix.shape[0]
+        for (part, _), idxs in zip(launched, parts_idxs):
             for i, (value, _) in enumerate(part):
                 best = int(idxs[i])
                 memo[value] = best + 1 if best >= 0 else None

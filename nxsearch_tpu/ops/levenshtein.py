@@ -169,6 +169,26 @@ def fuzzy_best_pallas_batch(vocab_t: jax.Array,     # uint8[32, T_pad]
 
 
 @jax.jit
+def fuzzy_best_pallas_batch_rev(vocab_t: jax.Array,     # uint8[32, T_pad]
+                                vocab_len: jax.Array,   # int32[T_pad]
+                                term_total: jax.Array,  # uint32[T_pad]
+                                q_bytes: jax.Array,     # uint8[M, 32]
+                                q_len: jax.Array,       # int32[M]
+                                tolerance: jax.Array,   # int32
+                                ) -> tuple[jax.Array, jax.Array]:
+    """Batched fuzzy match via the transposed-Myers kernel: the
+    per-tile char table is built once and shared across the whole
+    query chunk (see ops/pallas/fuzzy._myers_rev_kernel_batch)."""
+    from .pallas.fuzzy import myers_rev_distances_pallas_batch
+    dist = myers_rev_distances_pallas_batch(
+        vocab_t, vocab_len[None, :],
+        q_bytes.astype(jnp.int32),
+        q_len[:, None].astype(jnp.int32))
+    return jax.vmap(select_best, in_axes=(0, None, None, None))(
+        dist, vocab_len, term_total, tolerance)
+
+
+@jax.jit
 def fuzzy_best_pallas(vocab_t: jax.Array,     # uint8[32, T_pad]
                       vocab_len: jax.Array,   # int32[T_pad]
                       term_total: jax.Array,  # uint32[T_pad]

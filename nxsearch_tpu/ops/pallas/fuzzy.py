@@ -159,6 +159,137 @@ def _myers_tile(q_ref, qlen_ref, row, vocab_ref, vlen_ref):
     return state[2]
 
 
+def _myers_rev_kernel_batch(q_ref, qlen_ref, vocab_ref, vlen_ref,
+                            out_ref, table_ref):
+    """Transposed Myers: pattern = TERM (per lane), text = QUERY.
+
+    Edit distance is symmetric, so swapping the roles is exact -- and
+    it moves the O(pattern x alphabet) Peq preprocessing from
+    per-(tile, query) to per-tile: ``table_ref`` (VMEM scratch
+    u32[256, BLK]) holds, for every byte value c, the bitmask over
+    term positions j where term[j] == c.  It is built ONCE per
+    vocabulary tile (inner grid axis = queries revisits the tile; the
+    scratch persists across grid steps) and each query's DP step i
+    just reads row q[i] -- the per-query work drops from the full
+    Peq build (~8 x 8 gated [8, BLK] compares) to qlen row reads plus
+    qlen Myers steps of [BLK] u32 lane ops.
+
+    Per-lane state: PV/MV masked to the term's own length n
+    (mask = (1 << n) - 1), score starts at n, and the score
+    increment reads the per-lane high bit 1 << (n - 1).  Steps run
+    over query positions i < qlen (scalar-gated static unroll).
+    Numerically identical to _myers_kernel_batch (property-tested).
+    """
+    row = pl.program_id(1)
+    blk = vocab_ref.shape[1]
+
+    @pl.when(row == 0)
+    def _build_table():
+        vmax = jnp.max(vlen_ref[0, :])
+        cvals = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
+        table = jnp.zeros((256, blk), jnp.uint32)
+        # Unrolled over term positions, branch-gated per 8-byte chunk
+        # on the tile's longest term (typical vocab terms are 6-9
+        # bytes, so 3 of 4 chunks are dead work).
+        def _chunk(tbl, *, g0):
+            chars = vocab_ref[g0: g0 + 8, :].astype(jnp.int32)
+            for j in range(8):
+                hit = cvals == chars[j][None, :]        # [256, blk]
+                tbl = tbl | (hit.astype(jnp.uint32)
+                             << jnp.uint32(g0 + j))
+            return tbl
+
+        table = _chunk(table, g0=0)   # vmax >= 1 always (live tiles)
+        for g0 in range(8, QUERY_WIDTH, 8):
+            table = lax.cond(g0 < vmax,
+                             functools.partial(_chunk, g0=g0),
+                             lambda t: t, table)
+        table_ref[:, :] = table
+
+    vlen = vlen_ref[0, :]
+    n_u = vlen.astype(jnp.uint32)
+    full = jnp.uint32(0xFFFFFFFF)
+    mask_n = jnp.where(
+        vlen >= 32, full,
+        (jnp.uint32(1) << jnp.minimum(n_u, jnp.uint32(31)))
+        - jnp.uint32(1))
+    high_bit = jnp.uint32(1) << jnp.minimum(
+        n_u - jnp.uint32(1), jnp.uint32(31))
+
+    m = qlen_ref[row, 0]
+    pv0 = mask_n
+    mv0 = jnp.zeros((blk,), jnp.uint32)
+    score0 = vlen
+
+    def _step(state, *, i):
+        pv, mv, score = state
+        # Dynamic single-row read of the char table by the query byte.
+        eq = table_ref[pl.ds(q_ref[row, i], 1), :][0]
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+        inc = ((ph & high_bit) != 0).astype(jnp.int32)
+        dec = ((mh & high_bit) != 0).astype(jnp.int32)
+        score = score + inc - dec
+        ph = (ph << 1) | jnp.uint32(1)
+        mh = mh << 1
+        pv = (mh | ~(xv | ph)) & mask_n
+        mv = (ph & xv) & mask_n
+        return (pv, mv, score)
+
+    state = (pv0, mv0, score0)
+    for i in range(QUERY_WIDTH):
+        state = lax.cond(i < m,
+                         functools.partial(_step, i=i),
+                         lambda s: s, state)
+    out_ref[pl.ds(row, 1), :] = state[2][None, :]
+
+
+# Terms per tile for the transposed kernel: the 256-row char table is
+# the VMEM budget driver (256 x BLK x 4 B = 4 MB at 4096).
+BLOCK_TERMS_REV = 4096
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block"))
+def myers_rev_distances_pallas_batch(
+    vocab_t: jax.Array,    # uint8[32, T_pad] position-major
+    vocab_len: jax.Array,  # int32[1, T_pad]
+    q_bytes: jax.Array,    # int32[M, 32]
+    q_len: jax.Array,      # int32[M, 1]
+    *,
+    interpret: bool = False,
+    block: int | None = None,
+):
+    """int32[M, T_pad]: transposed-Myers batch distances (exact twin
+    of myers_distances_pallas_batch; see _myers_rev_kernel_batch)."""
+    m_q = q_bytes.shape[0]
+    t_pad = vocab_t.shape[1]
+    blk = min(block or BLOCK_TERMS_REV, t_pad)
+    assert t_pad % blk == 0, \
+        f"vocab pad {t_pad} not divisible by block {blk}"
+    grid = (t_pad // blk, m_q)
+    return pl.pallas_call(
+        _myers_rev_kernel_batch,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_q, QUERY_WIDTH), lambda i, m: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((m_q, 1), lambda i, m: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((QUERY_WIDTH, blk), lambda i, m: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda i, m: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_q, blk), lambda i, m: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_q, t_pad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((256, blk), jnp.uint32)],
+        interpret=interpret,
+    )(q_bytes, q_len, vocab_t, vocab_len)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def myers_distances_pallas(
     vocab_t: jax.Array,    # uint8[32, T_pad] position-major, T_pad % BLK == 0

@@ -186,6 +186,49 @@ def test_pallas_batch_kernel_matches_jnp():
         assert np.array_equal(ref, out[i]), q
 
 
+def test_pallas_rev_batch_kernel_matches_jnp():
+    """The transposed-Myers batch kernel (pattern = term per lane,
+    per-tile char table shared across the query chunk) must match the
+    jnp Myers sweep row-for-row, including zero-length padded query
+    rows and full-width 32-byte terms (per-lane mask/high-bit)."""
+    from nxsearch_tpu.ops.pallas.fuzzy import \
+        myers_rev_distances_pallas_batch
+    rng = random.Random(11)
+    n = 512
+    words = ["".join(rng.choice(string.ascii_lowercase[:5])
+                     for _ in range(rng.randint(1, MAX_TERM_BYTES)))
+             for _ in range(n - 4)]
+    vb = np.zeros((n, MAX_TERM_BYTES), np.uint8)   # 4 pad lanes
+    vl = np.zeros(n, np.int32)
+    for i, w in enumerate(words):
+        e = w.encode()
+        vb[i, : len(e)] = np.frombuffer(e, np.uint8)
+        vl[i] = len(e)
+    queries = ["abc", "abcde" * 6, "z", "aaaaa", "bcd", "",  # "" = pad
+               "a" * 32]
+    m = len(queries)
+    qb = np.zeros((m, MAX_TERM_BYTES), np.uint8)
+    ql = np.zeros(m, np.int32)
+    for i, q in enumerate(queries):
+        e = q.encode()
+        qb[i, : len(e)] = np.frombuffer(e, np.uint8)
+        ql[i] = len(e)
+    out = np.asarray(myers_rev_distances_pallas_batch(
+        jnp.asarray(np.ascontiguousarray(vb.T)),
+        jnp.asarray(vl[None, :]),
+        jnp.asarray(qb.astype(np.int32)),
+        jnp.asarray(ql[:, None]),
+        interpret=INTERPRET, block=256))
+    live = vl > 0
+    for i, q in enumerate(queries):
+        if not q:
+            continue
+        ref = np.asarray(myers_distances(
+            jnp.asarray(vb), jnp.asarray(vl), jnp.asarray(qb[i]),
+            jnp.int32(ql[i])))
+        assert np.array_equal(ref[live], out[i][live]), q
+
+
 def test_device_and_host_paths_agree(tmp_path, monkeypatch):
     rng = random.Random(99)
     words = list({
