@@ -16,6 +16,36 @@ from typing import Optional
 from .filters import FilterPipeline
 from .wordbreak import words
 
+# Dictionary-segmented scripts: ICU UBRK_WORD breaks these via
+# dictionaries (CJK ideographs, Kana, Thai, Lao, Khmer, Myanmar --
+# src/core/tokenizer.c:265); pure UAX#29 rules cannot (one word per
+# ideograph).  Texts containing them route through the system ICU
+# binding when present (NXS_ICU_BREAK=0 forces the Python path).
+import os as _os
+import re as _re
+
+_DICT_SCRIPTS = _re.compile(
+    "[฀-໿က-႟ក-៿぀-ヿ"
+    "㐀-䶿一-鿿豈-﫿]")
+_ICU_BREAK = _os.environ.get("NXS_ICU_BREAK", "1") == "1"
+_icu_words = None          # resolved lazily: False = unavailable
+
+
+def _dictionary_words(text: str):
+    """ICU word-break for dictionary-script text, or None to use the
+    Python UAX#29 segmenter (ICU absent, disabled, or not needed)."""
+    global _icu_words
+    if not _ICU_BREAK or _DICT_SCRIPTS.search(text) is None:
+        return None
+    if _icu_words is None:
+        try:
+            from . import icu_ctypes
+            _icu_words = icu_ctypes.icu_word_tokens \
+                if icu_ctypes.available() else False
+        except Exception:      # pragma: no cover - loader hard failure
+            _icu_words = False
+    return _icu_words(text) if _icu_words else None
+
 # tokenset_resolve() flags (reference: src/core/tokenizer.h:20-22).
 TOKENSET_STAGE = 0x01       # unresolved tokens go to the staging list
 TOKENSET_TRIM = 0x02        # unresolved tokens are removed
@@ -121,8 +151,12 @@ def tokenize(pipeline: FilterPipeline, text: str) -> TokenSet:
             tset.seen = seen
             return tset
 
+    # Dictionary-segmented scripts (CJK/Thai/...) use the system ICU
+    # break iterator when present, matching the reference's UBRK_WORD
+    # behavior; all other text keeps the Python UAX#29 segmenter.
+    segmented = _dictionary_words(text)
     tset = TokenSet()
-    for word in words(text):
+    for word in (words(text) if segmented is None else segmented):
         value = pipeline.run(word)
         if value is None:
             continue

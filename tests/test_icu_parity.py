@@ -201,15 +201,52 @@ def test_tokenizer_ab_ubrk(line):
 
 
 @pytest.mark.xfail(strict=True, reason=(
-    "known divergence: ICU's UBRK_WORD segments Han/Kana runs with "
-    "frequency DICTIONARIES (not UAX #29 rules); wordbreak.py "
-    "implements the rule-based UAX #29 segmentation, which emits "
-    "per-ideograph tokens.  Reproducing the dictionaries offline is "
-    "out of scope; CJK recall behavior differs from the reference "
-    "accordingly."))
+    "known divergence of the PYTHON segmenter alone: ICU's UBRK_WORD "
+    "segments Han/Kana runs with frequency DICTIONARIES (not UAX #29 "
+    "rules); wordbreak.py implements the rule-based UAX #29 "
+    "segmentation, which emits per-ideograph tokens.  The ENGINE no "
+    "longer diverges when the system ICU is present: the tokenizer "
+    "routes dictionary-script text through the runtime ICU binding "
+    "(text/tokenizer.py _dictionary_words; covered by "
+    "test_tokenize_cjk_uses_icu_dictionary below)."))
 def test_tokenizer_ab_ubrk_cjk_dictionary():
     from nxsearch_tpu.text.wordbreak import words
 
     icu_words = _icu_words()
     line = "漢字かなカナ mixed ハンカク123"
     assert words(line) == icu_words(line)
+
+
+def test_tokenize_cjk_uses_icu_dictionary(monkeypatch):
+    """Indexing-path parity with the reference on dictionary scripts:
+    tokenize() must segment CJK/Thai text exactly like ICU UBRK_WORD
+    (src/core/tokenizer.c:265-302) when the system ICU is present."""
+    icu_words = _icu_words()          # skips when ICU is absent
+    from nxsearch_tpu.text import tokenizer as tk
+    from nxsearch_tpu.text.filters import FilterPipeline
+
+    class _Identity:
+        native = None
+        _memo = None
+
+        def run(self, v):
+            return v
+
+    for line in ("今日は良い天気ですね。東京都に住んでいます",
+                 "ภาษาไทยเป็นภาษาราชการของประเทศไทย",
+                 "漢字かなカナ mixed ハンカク123"):
+        got = []
+        seen = {}
+        tset = tk.tokenize(_Identity(), line)
+        for tok in tset.tokens:
+            got.extend([tok.value] * tok.count)
+        # tokenize dedupes; compare as multisets of values.
+        exp = icu_words(line)
+        assert sorted(got) == sorted(exp), line
+
+    # NXS_ICU_BREAK=0 must force the Python UAX#29 path.
+    monkeypatch.setattr(tk, "_ICU_BREAK", False)
+    from nxsearch_tpu.text.wordbreak import words
+    tset = tk.tokenize(_Identity(), "東京都")
+    vals = [t.value for t in tset.tokens]
+    assert vals == list(dict.fromkeys(words("東京都")))
