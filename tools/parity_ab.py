@@ -1,21 +1,26 @@
-"""Head-to-head vs the reference C engine (VERDICT r2 item 4).
+"""Head-to-head vs the reference C engine (VERDICT r2 item 4, r3
+item 6: the scaled tier).
 
-Feeds BOTH engines the same synthetic Zipf corpus and query trace:
+Feeds BOTH engines the same synthetic Zipf corpus (ONE file, one
+document per line, doc_id = line number) and the same query trace:
 
-  - reference: the real C binary built by tools/refbuild/build_ref.sh
-    (nxsearch_test, reference benchmark driver utils/benchmark.c),
-    indexing a directory of one-file-per-doc and searching one query
-    per invocation;
+  - reference: the real C engine built by tools/refbuild/build_ref.sh,
+    driven by the in-process ``multisearch`` driver (ingest mode +
+    multi-query search mode) so neither side pays per-file reads or
+    per-invocation index loads;
   - this repo: nxsearch_tpu with filters=["normalizer"], matching the
     reference build's effective pipeline (its libstemmer is an
     identity stub and it ships no stopword files).
 
 Reports: index-build wall-clock ratio (BASELINE.md target: >= 5x),
-and per-query top-10 doc-id/score agreement over the mixed trace
-(recall@10 parity).  Writes PARITY_AB.md.
+BOTH engines' search throughput over the mixed trace (reference:
+in-process sequential; repo: batched serving shape), and per-query
+top-10 doc-id/score agreement (recall@10 parity).  Writes
+PARITY_AB.md.
 
 Usage: python tools/parity_ab.py [--docs N] [--queries N]
-       [--ref-bin PATH] [--out PARITY_AB.md]
+       [--ref-dir /tmp/refbuild/src] [--out PARITY_AB.md]
+The 1M tier: --docs 1000000 --vocab 200000 --queries 512
 """
 
 from __future__ import annotations
@@ -35,23 +40,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_corpus_dir(path: str, docs: int, vocab: int, mean_len: int):
-    """One file per doc, named d{id:07d} so the reference's readdir
-    id assignment can be mapped back to ours."""
+def build_corpus_file(path: str, docs: int, vocab: int, mean_len: int):
+    """One document per line; doc_id = 1-based line number (matching
+    bench.zipf_range's ids)."""
     import bench
-    os.makedirs(path, exist_ok=True)
-    for base in range(0, docs, bench._ZIPF_BLOCK):
-        for doc_id, text in bench.zipf_range(
-                base, min(base + bench._ZIPF_BLOCK, docs), vocab, mean_len):
-            with open(os.path.join(path, f"d{doc_id:07d}"), "w") as f:
+    with open(path, "w") as f:
+        for base in range(0, docs, bench._ZIPF_BLOCK):
+            for _doc_id, text in bench.zipf_range(
+                    base, min(base + bench._ZIPF_BLOCK, docs),
+                    vocab, mean_len):
                 f.write(text)
-
-
-def run_ref(ref_bin: str, basedir: str, *args: str) -> str:
-    env = dict(os.environ, NXS_BASEDIR=basedir)
-    out = subprocess.run([ref_bin, *args], env=env, check=True,
-                         capture_output=True, text=True)
-    return out.stdout
+                f.write("\n")
 
 
 def main() -> None:
@@ -60,46 +59,53 @@ def main() -> None:
     ap.add_argument("--vocab", type=int, default=20_000)
     ap.add_argument("--mean-len", type=int, default=40)
     ap.add_argument("--queries", type=int, default=200)
-    ap.add_argument("--ref-bin", default="/tmp/refbuild/src/nxsearch_test")
+    ap.add_argument("--ref-dir", default="/tmp/refbuild/src")
     ap.add_argument("--out", default=None,
                     help="write PARITY_AB.md to this path")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
-    if not os.path.exists(args.ref_bin):
-        sys.exit(f"reference binary not found: {args.ref_bin} "
-                 f"(run tools/refbuild/build_ref.sh first)")
+    ref_test = os.path.join(args.ref_dir, "nxsearch_test")
+    ref_multi = os.path.join(args.ref_dir, "multisearch")
+    for b in (ref_test, ref_multi):
+        if not os.path.exists(b):
+            sys.exit(f"reference binary not found: {b} "
+                     f"(run tools/refbuild/build_ref.sh first)")
 
     from nxsearch_tpu.utils.malloc import tune_host_allocator
-    tune_host_allocator()
+    tune_host_allocator(
+        prefault_mb=max(512, args.docs * args.mean_len * 12 * 2 >> 20))
 
     work = tempfile.mkdtemp(prefix="parity_ab_")
-    corpus = os.path.join(work, "corpus")
+    corpus = os.path.join(work, "corpus.txt")
     ref_base = os.path.join(work, "ref_base")
     tpu_base = os.path.join(work, "tpu_base")
     os.makedirs(ref_base)
     os.makedirs(tpu_base)
 
     print(f"[corpus] {args.docs} docs, vocab {args.vocab}", flush=True)
-    build_corpus_dir(corpus, args.docs, args.vocab, args.mean_len)
+    build_corpus_file(corpus, args.docs, args.vocab, args.mean_len)
 
-    # --- reference: create + index the directory -----------------
-    run_ref(args.ref_bin, ref_base, "-i", "bench", "-a")
+    def run_ref(binary, *a, timeout=None):
+        env = dict(os.environ, NXS_BASEDIR=ref_base)
+        return subprocess.run([binary, *a], env=env, check=True,
+                              capture_output=True, text=True,
+                              timeout=timeout).stdout
+
+    # --- reference: create + in-process line ingest ---------------
+    run_ref(ref_test, "-i", "bench", "-a")
     t0 = time.perf_counter()
-    out = run_ref(args.ref_bin, ref_base, "-i", "bench", "-p", corpus)
-    ref_index_s = time.perf_counter() - t0
-    # Map the reference's readdir-order ids back to file names.
-    ref2doc = {}
-    for m in re.finditer(r"Indexing (\d+) -- d(\d+)", out):
-        ref2doc[int(m.group(1))] = int(m.group(2))
-    m = re.search(r"indexing: (\d+) ms", out)
-    ref_index_ms = int(m.group(1)) if m else ref_index_s * 1e3
-    print(f"[ref] indexed in {ref_index_ms} ms "
-          f"(wall {ref_index_s:.1f}s incl. file reads)", flush=True)
+    out = run_ref(ref_multi, ref_base, "bench", "--ingest", corpus)
+    ref_index_wall_s = time.perf_counter() - t0
+    m = re.search(r"ingest=([\d.]+) n=(\d+)", out)
+    ref_index_ms = float(m.group(1))
+    print(f"[ref] indexed {m.group(2)} docs in {ref_index_ms:.0f} ms "
+          f"(wall {ref_index_wall_s:.1f}s)", flush=True)
 
     # --- this repo: same docs, normalizer-only pipeline ----------
-    from nxsearch_tpu import Nxs, Params
     import bench as benchmod
+
+    from nxsearch_tpu import Nxs, Params
 
     nxs = Nxs(tpu_base)
     idx = nxs.index_create(
@@ -119,12 +125,12 @@ def main() -> None:
     probs /= probs.sum()
     words = np.array([f"w{i:05d}" for i in range(args.vocab)])
     queries = benchmod.make_mixed_queries(args.queries, words, probs, rng)
-    # The reference resolves typo terms through its BK-tree with the
-    # same tolerance-2 byte semantics; keep them in the trace.
+    qfile = os.path.join(work, "queries.txt")
+    with open(qfile, "w") as f:
+        f.write("\n".join(queries) + "\n")
 
     sp = Params().set_uint("limit", 10)
     n_agree = n_score = n_total = n_fuzzy_div = 0
-    ref_search_ms = 0.0
     mismatches = []
 
     def has_fuzzy_term(q: str) -> bool:
@@ -137,17 +143,34 @@ def main() -> None:
         toks = re.findall(r"[a-z0-9]+", q.lower())
         return any(t not in ("and", "or", "not")
                    and idx.host.term_lookup(t) is None for t in toks)
-    # Repo side: batched resolution (the serving shape) -- one
-    # search_many compiles a handful of signatures instead of one
-    # XLA compile per query width through the remote compile service.
+
+    # Reference side: ONE process, index loaded once, sequential
+    # in-process queries (the library serving shape, search.c:285).
+    out = run_ref(ref_multi, ref_base, "bench", qfile, "10",
+                  timeout=3600)
+    lines = [l for l in out.splitlines() if l.startswith("{")]
+    m = re.search(r"load=([\d.]+) search_total=([\d.]+) n=(\d+)", out)
+    ref_load_ms = float(m.group(1))
+    ref_search_ms = float(m.group(2))
+    assert int(m.group(3)) == len(queries) == len(lines)
+    print(f"[ref] load {ref_load_ms:.0f} ms, {len(queries)} queries in "
+          f"{ref_search_ms:.1f} ms "
+          f"({len(queries) / max(ref_search_ms, 1e-9) * 1e3:.0f} QPS "
+          f"in-process sequential)", flush=True)
+
+    # Repo side: batched resolution (the serving shape).  Two passes:
+    # the first absorbs per-signature compiles, the second is timed.
+    idx.search_many(queries, sp)
+    t0 = time.perf_counter()
     mine_all = idx.search_many(queries, sp)
-    for q, mine in zip(queries, mine_all):
-        out = run_ref(args.ref_bin, ref_base, "-i", "bench", "-s", q)
-        m = re.search(r"search: (\d+) ms", out)
-        ref_search_ms += int(m.group(1)) if m else 0
-        json_line = next(l for l in out.splitlines() if l.startswith("{"))
-        payload = json.loads(json_line)
-        ref_rows = [(ref2doc[r["doc_id"]], r["score"])
+    tpu_search_s = time.perf_counter() - t0
+    tpu_qps = len(queries) / tpu_search_s
+    print(f"[tpu] {len(queries)} queries in {tpu_search_s * 1e3:.1f} ms "
+          f"({tpu_qps:.0f} QPS batched)", flush=True)
+
+    for q, line, mine in zip(queries, lines, mine_all):
+        payload = json.loads(line)
+        ref_rows = [(r["doc_id"], r["score"])
                     for r in payload.get("results", [])][:10]
         my_rows = [(d, s) for d, s in mine][:10]
         n_total += 1
@@ -187,12 +210,16 @@ def main() -> None:
         print(f"  mismatch: {q!r}\n    ref {r[:4]}\n    tpu {m_[:4]}")
 
     ratio = ref_index_ms / max(tpu_index_s * 1e3, 1e-9)
+    ref_qps = len(queries) / max(ref_search_ms, 1e-9) * 1e3
     report = f"""# Reference head-to-head (A/B)
 
 Date: {time.strftime('%Y-%m-%d')}.  Reference binary: the real C
 engine built offline by `tools/refbuild/build_ref.sh` (hand-written
 parser shim for re2c/lemon, identity libstemmer, ICU 69-header/72-lib
-retarget -- see that script's header for why).  Both engines ran the
+retarget -- see that script's header for why), driven in-process by
+`tools/refbuild/multisearch.c` (index loaded once; ingest from the
+same one-doc-per-line corpus file both engines consume -- no per-file
+or per-invocation overhead on either side).  Both engines ran the
 same pipeline (normalize only), corpus and trace.
 
 | metric | reference (C) | nxsearch_tpu | ratio |
@@ -200,8 +227,12 @@ same pipeline (normalize only), corpus and trace.
 | index build, {args.docs} docs x ~{args.mean_len} tokens | \
 {ref_index_ms:.0f} ms | {tpu_index_s * 1e3:.0f} ms | \
 **{ratio:.1f}x** (target >= 5x) |
-| search, {n_total} mixed queries (sequential, per-process) | \
-{ref_search_ms:.0f} ms total | see bench.py serving numbers | - |
+| search, {n_total} mixed queries | {ref_search_ms:.1f} ms \
+({ref_qps:.0f} QPS, in-process sequential) | \
+{tpu_search_s * 1e3:.1f} ms ({tpu_qps:.0f} QPS, batched) | \
+**{tpu_qps / max(ref_qps, 1e-9):.2f}x** |
+| index load (open) | {ref_load_ms:.0f} ms | snapshot fast-open, \
+see bench.py | - |
 
 Parity over {n_total} mixed queries (ranked OR + boolean + fuzzy,
 limit 10):
@@ -219,9 +250,10 @@ limit 10):
   can legitimately choose different replacement terms.
 - remaining unexplained mismatches: {len(mismatches)}
 
-Caveats: the reference times include its per-invocation mmap open;
-its indexing time includes per-file reads (both noted raw above).
-The reference's own printed phase timers are used where available.
+Hardware note: the repo's engine ran on {_device_desc()}; the C
+reference ran on this host's single CPU core.  Reproduce:
+`sh tools/refbuild/build_ref.sh && python tools/parity_ab.py --docs
+{args.docs} --vocab {args.vocab} --queries {args.queries}`.
 """
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -233,6 +265,15 @@ The reference's own printed phase timers are used where available.
     nxs.close()
     if not args.keep:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _device_desc() -> str:
+    try:
+        import jax
+        d = jax.devices()[0]
+        return f"{d.platform}:{d.device_kind}"
+    except Exception:
+        return "unknown device"
 
 
 if __name__ == "__main__":

@@ -66,4 +66,13 @@ gcc $CFLAGS $SRCS utils/benchmark.c \
     "$ICULIB/libicuio.so.72" "$ICULIB/libicudata.so.72" \
     -lm -lpthread -o nxsearch_test
 
-echo "built: $BUILD/src/nxsearch_test"
+# In-process multi-query driver (loads the index once; the serving
+# shape of the reference's library API) for the scaled head-to-head.
+cp "$HERE/multisearch.c" "$BUILD/src/"
+# shellcheck disable=SC2086
+gcc $CFLAGS $SRCS multisearch.c \
+    "$ICULIB/libicuuc.so.72" "$ICULIB/libicui18n.so.72" \
+    "$ICULIB/libicuio.so.72" "$ICULIB/libicudata.so.72" \
+    -lm -lpthread -o multisearch
+
+echo "built: $BUILD/src/nxsearch_test $BUILD/src/multisearch"
