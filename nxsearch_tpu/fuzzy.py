@@ -207,7 +207,9 @@ class FuzzyMatcher:
         from .ops.levenshtein import (fuzzy_best_batch,
                                       fuzzy_best_pallas_batch,
                                       fuzzy_best_pallas_batch_rev)
-        self._refresh_device()
+        from .utils.trace import phase
+        with phase("fuzzy.refresh_device"):
+            self._refresh_device()
         # Chunked.  The Pallas kernel keeps DP state in [BLK] lane
         # vectors and re-reads nothing, so large chunks are free; the
         # jnp fallback's vmapped Peq matrix is M x T x 32 u32 in HBM
@@ -221,6 +223,8 @@ class FuzzyMatcher:
         # trip on remote-TPU setups (~27 ms), so a 512-miss batch paid
         # 8 serial RTTs here before the single-fetch rework.
         launched: list = []
+        import time as _time
+        _t0 = _time.perf_counter()
         for at in range(0, len(pending), chunk):
             part = pending[at: at + chunk]
             # Pad the row count to a pow2 bucket (>= 8): one compiled
@@ -243,6 +247,7 @@ class FuzzyMatcher:
                     jnp.asarray(qb), jnp.asarray(ql),
                     jnp.int32(self.tolerance))
             launched.append((part, idxs))
+        _t1 = _time.perf_counter()
         if len(launched) == 1:
             parts_idxs = [np.asarray(launched[0][1])]
         else:
@@ -253,6 +258,14 @@ class FuzzyMatcher:
             for part, ix in launched:
                 parts_idxs.append(flat[at: at + ix.shape[0]])
                 at += ix.shape[0]
+        from .utils.log import get_logger
+        _log = get_logger("trace")
+        if _log.isEnabledFor(10):
+            _log.debug("fuzzy.prefetch: %d misses, %d chunks, "
+                       "dispatch %.1f ms, fetch %.1f ms",
+                       len(pending), len(launched),
+                       (_t1 - _t0) * 1e3,
+                       (_time.perf_counter() - _t1) * 1e3)
         for (part, _), idxs in zip(launched, parts_idxs):
             for i, (value, _) in enumerate(part):
                 best = int(idxs[i])

@@ -176,15 +176,21 @@ def _prefix_build_dev(pack, starts, lens, dest, c1, c2, *,
     """Impact-prefix build for one tier chunk of wide terms, ON DEVICE.
 
     For each term (CSR ``starts``/``lens``, every len <= tier), selects
-    its top-``cap`` postings by BM25 impact part
+    its top postings by BM25 impact part
     g = ltf / (ltf + c1 + c2*dl) (evaluated at the snapshot adl),
     writes them SLOT-SORTED into the pack's prefix region at per-term
     row ``dest`` (donated scatter; padding terms carry an out-of-range
-    dest and drop), and returns the per-term tail bound: the (cap+1)-th
-    largest impact, i.e. the max impact of any excluded posting.  idf
-    multiplies at query time, so contribution bounds are idf * tail;
-    removals only shrink true maxima, so the bound survives
-    alive-bitmap drift."""
+    dest and drop), and returns per term the tail bound plus the
+    TIE-FREE cut length: the prefix covers the top ``cut <= cap``
+    impacts where ``cut`` is the last strict impact decrease within
+    the cap window, so the tail (the max excluded impact) is STRICTLY
+    below every included impact.  Cutting at the cap itself would
+    routinely land inside a run of tied impacts -- (tf, dl) pairs are
+    quantized, so thousands of postings share one impact value -- and
+    a tied bound can never certify (prefix_topk requires kth > tail
+    strictly).  idf multiplies at query time, so contribution bounds
+    are idf * tail; removals only shrink true maxima, so the bound
+    survives alive-bitmap drift."""
     from jax import lax
 
     def one(s, ln):
@@ -193,15 +199,25 @@ def _prefix_build_dev(pack, starts, lens, dest, c1, c2, *,
         pos = jnp.arange(tier, dtype=jnp.int32)
         part = jnp.where(pos < ln, part, -jnp.inf)
         vals, ix = lax.top_k(part, cap + 1)
+        idxs = jnp.arange(cap + 1, dtype=jnp.int32)
+        # cut = last position with a strict decrease vals[i-1] >
+        # vals[i]; ranks [0, cut) are included, tail = vals[cut].
+        strict = jnp.concatenate(
+            [jnp.zeros((1,), jnp.bool_), vals[1:] < vals[:-1]])
+        cut = jnp.max(jnp.where(strict, idxs, 0))
+        tail = vals[cut]
         rows = win[ix[:cap]]
-        order = jnp.argsort(rows[:, 0])
-        return rows[order], vals[cap]
+        # Slot-sort the included ranks first; excluded boundary ties
+        # sink past the cut (the planner windows only [0, cut)).
+        keep = idxs[:cap] < cut
+        order = jnp.argsort(jnp.where(keep, rows[:, 0], jnp.inf))
+        return rows[order], tail, cut
 
-    rows, tails = jax.vmap(one)(starts, lens)
+    rows, tails, cuts = jax.vmap(one)(starts, lens)
     flat_ix = (dest[:, None]
                + jnp.arange(cap, dtype=dest.dtype)[None, :]).reshape(-1)
     pack = pack.at[flat_ix].set(rows.reshape(-1, 3), mode="drop")
-    return pack, tails
+    return pack, tails, cuts
 
 
 @functools.partial(jax.jit, static_argnames=("p_pad",))
@@ -303,6 +319,7 @@ class DeviceIndex:
         # (the bound is only valid while the live adl matches).
         self.prefix_start_lookup = None
         self.prefix_tail = None
+        self.prefix_len = None      # tie-free cut per wide term
         self.prefix_cap = 0
         self.adl_built = -1.0
         self._guard_len = 0
@@ -740,8 +757,10 @@ class DeviceIndex:
 
         lookup = np.full(self.base_nterms + 1, -1, dtype=np.int32)
         tails = np.zeros(self.base_nterms + 1, dtype=np.float32)
+        plens = np.zeros(self.base_nterms + 1, dtype=np.int32)
         self.prefix_start_lookup = lookup
         self.prefix_tail = tails
+        self.prefix_len = plens
         self.adl_built = adl_build
         self.prefix_cap = cap
         if not len(wide):
@@ -758,6 +777,7 @@ class DeviceIndex:
         dest = (p_pad + np.arange(len(wide), dtype=np.int64) * cap
                 ).astype(np.int32)
         tails_w = np.zeros(len(wide), dtype=np.float32)
+        cuts_w = np.zeros(len(wide), dtype=np.int32)
         c1 = np.float32(BM25_K1 * (1.0 - BM25_B))
         c2 = np.float32(BM25_K1 * BM25_B / max(adl_build, 1e-9))
         pack_len = int(pack.shape[0])
@@ -780,14 +800,16 @@ class DeviceIndex:
                 s_c[:n] = starts_w[g:ge]
                 l_c[:n] = lens_w[g:ge]
                 d_c[:n] = dest[g:ge]
-                pack, t_d = _prefix_build_dev(
+                pack, t_d, c_d = _prefix_build_dev(
                     pack, self._put(s_c), self._put(l_c),
                     self._put(d_c), c1, c2, tier=tier, cap=cap)
                 tails_w[g:ge] = np.asarray(t_d)[:n]
+                cuts_w[g:ge] = np.asarray(c_d)[:n]
             at = hi
 
         lookup[wide + 1] = dest
         tails[wide + 1] = tails_w
+        plens[wide + 1] = cuts_w
         return pack
 
     @property

@@ -326,10 +326,10 @@ def _build_plan_prefix(dev, tokens, q_start, q_len, q_idf,
     region with a tail bound; complete terms window over their full
     CSR range.  None when the query exceeds the wide-term or column
     caps (the caller falls through to the classic plan)."""
-    cap = dev.prefix_cap
     T0 = _window_t0(dev.slice_t_cap)
     lookup = dev.prefix_start_lookup
     tails = dev.prefix_tail
+    plens = dev.prefix_len
     starts: list[int] = []
     lens: list[int] = []
     idfs: list[float] = []
@@ -354,7 +354,9 @@ def _build_plan_prefix(dev, tokens, q_start, q_len, q_idf,
             w_start.append(int(q_start[i]))
             w_len.append(ln)
             w_idf.append(float(q_idf[i]))
-            s, eln, bit = pstart, cap, 1 << j
+            # Windows cover the tie-free cut, not the full cap (ranks
+            # past the cut are boundary ties the build excluded).
+            s, eln, bit = pstart, int(plens[tid]), 1 << j
         else:
             s, eln, bit = int(q_start[i]), ln, 0
         for off in range(0, eln, T0):
@@ -865,12 +867,12 @@ def _plans_prefix(dev, sp, queries, plans, simple, counts, offs,
     planner.  Field-for-field identical to _build_plan_prefix."""
     ns = len(simple)
     mp = st_m.shape[1]
-    cap = dev.prefix_cap
     T0 = _window_t0(dev.slice_t_cap)
     pfx_f = np.where(in_base, dev.prefix_start_lookup[tid_c],
                      np.int32(-1))
     tail_f = np.where(in_base, dev.prefix_tail[tid_c],
                       np.float32(0.0)).astype(np.float32)
+    plen_f = np.where(in_base, dev.prefix_len[tid_c], np.int32(0))
     wide_f = pfx_f >= 0
 
     valid_m = np.zeros((ns, mp), bool)
@@ -881,8 +883,12 @@ def _plans_prefix(dev, sp, queries, plans, simple, counts, offs,
     pfx_m[row_f, col_f] = pfx_f
     tail_m = np.zeros((ns, mp), np.float32)
     tail_m[row_f, col_f] = tail_f
+    plen_m = np.zeros((ns, mp), np.int32)
+    plen_m[row_f, col_f] = plen_f
 
-    ln_eff = np.where(valid_m, np.where(wide_m, cap, ln_m), 0)
+    # Wide terms window over their tie-free cut (<= cap; ranks past
+    # it are boundary ties the build excluded -- see _prefix_build_dev).
+    ln_eff = np.where(valid_m, np.where(wide_m, plen_m, ln_m), 0)
     st_eff = np.where(wide_m, pfx_m, st_m)
     word = np.cumsum(wide_m, axis=1) - 1      # wide index j per cell
     n_wide = wide_m.sum(axis=1)

@@ -42,6 +42,17 @@ def main():
     vocab_t = jax.device_put(np.ascontiguousarray(vb.T))
     vocab_l = jax.device_put(vl)
 
+    which = os.environ.get("NXS_FUZZY_PROF_KERNELS", "fwd,rev")
+    kernels = {k: v for k, v in
+               (("fwd", F.myers_distances_pallas_batch),
+                ("rev", F.myers_rev_distances_pallas_batch))
+               if k in which.split(",")}
+    from nxsearch_tpu.ops import levenshtein as L
+    totals = jax.device_put(
+        np.random.default_rng(1).integers(
+            1, 1000, t_pad).astype(np.uint32))
+    vlen_flat = jax.device_put(np.ascontiguousarray(vl[0]))
+
     for blk in (int(b) for b in args.blocks.split(",")):
         for m in (int(c) for c in args.chunks.split(",")):
             qb = np.zeros((m, 32), dtype=np.int32)
@@ -52,23 +63,35 @@ def main():
                 qb[i, : len(t)] = np.frombuffer(t, dtype=np.uint8)
                 ql[i, 0] = len(t)
             qb_d, ql_d = jnp.asarray(qb), jnp.asarray(ql)
-            # np.asarray of a reduction forces the full computation
-            # through the tunnel (block_until_ready on a remote axon
-            # buffer can return at enqueue, not completion).
-            d = F.myers_distances_pallas_batch(
-                vocab_t, vocab_l, qb_d, ql_d, block=blk)
-            _sync = np.asarray(d.min())  # compile + warm
+            for name, kern in kernels.items():
+                # np.asarray of a reduction forces the full
+                # computation through the tunnel (block_until_ready on
+                # a remote axon buffer can return at enqueue).
+                d = kern(vocab_t, vocab_l, qb_d, ql_d, block=blk)
+                _sync = np.asarray(d.min())  # compile + warm
+                t0 = time.perf_counter()
+                reps = 3
+                for _ in range(reps):
+                    d = kern(vocab_t, vocab_l, qb_d, ql_d, block=blk)
+                    _sync = np.asarray(d.min())
+                dt = (time.perf_counter() - t0) / reps
+                steps = (t_pad // blk) * m
+                print(f"{name} blk={blk:5d} M={m:3d}: {dt * 1e3:8.1f} ms "
+                      f"({dt * 1e6 / steps:6.1f} us/step, "
+                      f"{m / dt:7.0f} lookups/s)", flush=True)
+            # select_best epilogue: distances -> winner per query.
+            d = kernels["fwd"](vocab_t, vocab_l, qb_d, ql_d, block=blk)
+            sel = jax.jit(jax.vmap(L.select_best,
+                                   in_axes=(0, None, None, None)))
+            ix, _ = sel(d, vlen_flat, totals, jnp.int32(2))
+            _sync = np.asarray(ix)
             t0 = time.perf_counter()
-            reps = 3
-            for _ in range(reps):
-                d = F.myers_distances_pallas_batch(
-                    vocab_t, vocab_l, qb_d, ql_d, block=blk)
-                _sync = np.asarray(d.min())
-            dt = (time.perf_counter() - t0) / reps
-            steps = (t_pad // blk) * m
-            print(f"blk={blk:5d} M={m:3d}: {dt * 1e3:8.1f} ms "
-                  f"({dt * 1e6 / steps:6.1f} us/step, "
-                  f"{m / dt:7.0f} lookups/s)", flush=True)
+            for _ in range(3):
+                ix, _ = sel(d, vlen_flat, totals, jnp.int32(2))
+                _sync = np.asarray(ix)
+            print(f"select_best M={m:3d}: "
+                  f"{(time.perf_counter() - t0) / 3 * 1e3:8.1f} ms",
+                  flush=True)
 
 
 if __name__ == "__main__":
