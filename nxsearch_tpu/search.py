@@ -220,6 +220,61 @@ _OUTSTANDING_ELEMS_CAP = int(
     os.environ.get("NXS_OUTSTANDING_ELEMS", str(1 << 27)))
 
 
+class _InflightEntry:
+    """One dispatched device group awaiting completion."""
+    __slots__ = ("est", "arrays", "done")
+
+    def __init__(self, est: int):
+        self.est = est
+        self.arrays = None     # set right after the async dispatch
+        self.done = False
+
+
+# Process-global in-flight dispatch registry.  Pipelined serving keeps
+# several submits' device groups alive at once (batch i, its fallback
+# sub-batch, batch i+1); bounding HBM pressure therefore needs ONE
+# ledger across submits, not one per call (a per-submit ledger let an
+# 8-batch pipelined run OOM the 8.8M-doc snapshot's leftover HBM, and
+# a RESOURCE_EXHAUSTED on this backend permanently wedges the device
+# -- prevention is the only recovery).
+_INFLIGHT: list = []
+_INFLIGHT_TOTAL = [0]
+
+
+def _inflight_admit(est: int) -> _InflightEntry:
+    """Reserve HBM headroom for one group dispatch.
+
+    Blocks on the OLDEST in-flight dispatches (launch order == device
+    execution order) until the global lane estimate fits the cap, then
+    registers and returns this group's entry."""
+    import jax as _jax
+
+    while _INFLIGHT_TOTAL[0] + est > _OUTSTANDING_ELEMS_CAP and _INFLIGHT:
+        ent = _INFLIGHT.pop(0)
+        if not ent.done:
+            if ent.arrays is not None:
+                _jax.block_until_ready(
+                    [x for x in ent.arrays if hasattr(x, "device")])
+            ent.done = True
+            _INFLIGHT_TOTAL[0] -= ent.est
+    ent = _InflightEntry(est)
+    _INFLIGHT.append(ent)
+    _INFLIGHT_TOTAL[0] += est
+    return ent
+
+
+def _inflight_release(entries) -> None:
+    """Mark collected groups complete and return their reservation."""
+    for ent in entries:
+        if not ent.done:
+            ent.done = True
+            _INFLIGHT_TOTAL[0] -= ent.est
+            try:
+                _INFLIGHT.remove(ent)
+            except ValueError:
+                pass
+
+
 def _row_pad(n: int) -> int:
     """Group row count -> padded row count on the configured grid."""
     p = _bucket(n, 8)
@@ -1408,6 +1463,8 @@ class _PendingBatch:
     # Prepared queries, kept for the impact-prefix certification
     # fallback (uncertified rows re-plan classically at collect time).
     queries: list = None
+    # Global in-flight ledger entries, released when collected.
+    inflight: list = None
 
 
 def execute_query_batch(dev, queries: list[Query],
@@ -1458,6 +1515,16 @@ _PF_TIERS = tuple(sorted(
     int(x) for x in os.environ.get("NXS_PF_TIERS", "8").split(",") if x))
 
 
+def _ladder(v: int, rungs: tuple) -> int:
+    """Smallest rung >= v (v itself beyond the top rung): quantizes
+    merged-group dimensions onto a fixed ladder so coalesced dispatch
+    signatures do not vary with batch composition."""
+    for r in rungs:
+        if v <= r:
+            return r
+    return v
+
+
 def _coalesce_sliced_groups(groups: dict, plans: list) -> dict:
     small = [key for key, members in groups.items()
              if key[0] == "sl" and len(members) < _COALESCE_MIN_ROWS
@@ -1480,13 +1547,22 @@ def _coalesce_sliced_groups(groups: dict, plans: list) -> dict:
         members: list[int] = []
         for key in keys:
             members.extend(groups.pop(key))
+        # Quantize the merged shape onto a coarse ladder instead of
+        # the member maxima: maxima differ run to run (the certified
+        # fallback mix varies with query content), so max-shaped
+        # merges mint fresh executable signatures mid-serving -- each
+        # a 1-2 s persistent-cache load stalling the whole batch
+        # (measured: ~11 s submit phases on the fuzzy tier, r4).  A
+        # {8, 64, 512}-rung ladder pins the signature while padded
+        # lanes stay cheap (zero-length window columns score nothing).
         qs_g = max(len(plans[i].sl_start) for i in members)
-        qs_g = _qs_pad(qs_g)
+        qs_g = _ladder(_qs_pad(qs_g), (8, 64, 512))
         L_g = max(len(plans[i].prog_ops) for i in members) \
             if use_mask else 0
         depth_g = max(plans[i].depth for i in members)
         h_g = max(plans[i].h_T for i in members)
-        n_run_g = max(plans[i].n_run for i in members)
+        n_run_g = _ladder(
+            max(plans[i].n_run for i in members), (1, 4, 16))
         merged = ("sl", qs_g, T, L_g, use_mask, depth_g, False,
                   use_rows, h_g, n_run_g)
         groups.setdefault(merged, []).extend(members)
@@ -1532,6 +1608,14 @@ def _coalesce_prefix_groups(groups: dict, plans: list) -> dict:
             qs_g = max(qs_g, key[1])
             r_g = max(r_g, key[3])
             run_g = max(run_g, key[4])
+        # Ladder-quantize the merged dims (same signature-stability
+        # argument as _coalesce_sliced_groups): the wide tier always
+        # dispatches at R=4 / the tier's qs bound, the R=0 tier at its
+        # qs bound, so every batch reuses the same few executables.
+        if r_g:
+            r_g = _PREFIX_MAX_WIDE
+        qs_g = _ladder(qs_g, _PF_TIERS)
+        run_g = _ladder(run_g, (4, 8))
         merged = ("pf", qs_g, T, r_g, run_g)
         groups.setdefault(merged, []).extend(members)
         _count("coalesced_pf", len(members))
@@ -1628,34 +1712,37 @@ def _submit_plans(dev, plans: list, queries: list[Query],
     # plane workspace in HBM simultaneously, and on big corpora the
     # persistent snapshot already claims most of the device memory
     # (observed: RESOURCE_EXHAUSTED on the 8.8M-doc mixed trace).
-    # When the outstanding-lane estimate exceeds the cap, block on the
-    # oldest dispatch before launching the next -- serialization only
-    # under memory pressure.
+    # The outstanding-lane accounting is GLOBAL (_inflight_admit):
+    # pipelined serving keeps batch i's groups + its fallback sub-batch
+    # + batch i+1's groups in flight simultaneously, so a per-submit
+    # cap underestimates pressure by ~3x (observed: an 8-batch
+    # pipelined run OOMing where single batches fit, r4).  When the
+    # estimate exceeds the cap, the oldest in-flight dispatch
+    # anywhere is awaited first -- serialization only under pressure.
     from .ops.executor import device_search_dense_batch
     import time as _time
     _t_dispatch = _time.perf_counter()
     sharded = sharded_flag
     pending = []
-    pend_est = []            # per-pending plane-lane estimate (aligned)
-    outstanding = 0          # lane estimate across in-flight groups
-    awaited = 0              # pending[:awaited] are known complete
+    inflight: list = []
+
+    def _attach_last():
+        # Bind the previous iteration's dispatched result arrays to its
+        # in-flight entry (each loop branch appends exactly one pending
+        # tuple), so later admits can block on it under HBM pressure.
+        if pending and inflight and inflight[-1].arrays is None:
+            inflight[-1].arrays = tuple(
+                x for x in pending[-1][1:3] if hasattr(x, "device"))
+
     for key, members in chunked:
+        _attach_last()
         sample = plans[members[0]]
         est = _row_pad(len(members)) * (
             max(key[1] * key[2] + key[8], 1) if key[0] == "sl"
             else max(key[1] * key[2], 1) if key[0] in ("pf", "ssl")
             else max(dev.n_slots, 1) if key[0] == "bd"
             else max(getattr(sample, "budget", 0) or 0, 1 << 12))
-        while (outstanding + est > _OUTSTANDING_ELEMS_CAP
-               and awaited < len(pending)):
-            import jax as _jax
-            _jax.block_until_ready(
-                [x for x in pending[awaited][1:3]
-                 if hasattr(x, "device")])
-            outstanding -= pend_est[awaited]
-            awaited += 1
-        outstanding += est
-        pend_est.append(est)   # every branch appends exactly one
+        inflight.append(_inflight_admit(est))
         if key[0] == "ssl":
             from .parallel.sharded import sharded_search_sliced_batch
             n = len(members)
@@ -1962,11 +2049,12 @@ def _submit_plans(dev, plans: list, queries: list[Query],
             )
         pending.append((members, scores, slots, None))
 
+    _attach_last()
     return _PendingBatch(plans=plans, responses=responses,
                          chunked=chunked, pending=pending, k=k,
                          t_dispatch=_t_dispatch,
                          t_submitted=_time.perf_counter(),
-                         queries=queries)
+                         queries=queries, inflight=inflight)
 
 
 def collect_query_batch(dev, st: _PendingBatch, sp: SearchParams,
@@ -2059,6 +2147,10 @@ def collect_query_batch(dev, st: _PendingBatch, sp: SearchParams,
             slots = np.asarray(slots)
         _to_responses_group(dev, members, scores, slots, plans, sp,
                             responses)
+
+    # Every group's results are on host: return the HBM reservation
+    # before any fallback sub-batch dispatches.
+    _inflight_release(st.inflight or ())
 
     if fallback_ix and not defer_fallback:
         _finish_fallback(dev, _submit_fallback(dev, st, fallback_ix, sp),
