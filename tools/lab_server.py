@@ -49,8 +49,22 @@ def main():
     idx = nxs.index_open("bench")
     sp = Params().set_uint("limit", 10)
     t0 = time.perf_counter()
-    idx.search_many(B.make_queries(256, words, probs, rng), sp)
-    log(f"[lab] ready; first batch (snapshot build) "
+    qs = B.make_queries(8192, words, probs, np.random.default_rng(42))
+    for at in range(0, len(qs), 2048):
+        try:
+            idx.search_many(qs[at: at + 2048], sp)
+        except Exception as e:
+            log(f"[lab] warmup batch @{at} failed: {e!r}; retrying")
+            time.sleep(5)
+            idx.search_many(qs[at: at + 2048], sp)
+    try:
+        idx.search_many(
+            B.make_fuzzy_queries(512, words, probs, rng, "w"), sp)
+    except Exception as e:
+        log(f"[lab] fuzzy warmup failed: {e!r}")
+    for q in qs[:8]:
+        idx.search(q, sp)
+    log(f"[lab] ready; snapshot build + warmup "
         f"{time.perf_counter() - t0:.1f}s")
 
     ns = dict(nxs=nxs, idx=idx, sp=sp, B=B, np=np, words=words,

@@ -30,6 +30,14 @@ def main():
                     help="boolean + fuzzy trace mix")
     args = ap.parse_args()
 
+    # Device calls are stubbed, but the index-open path still builds
+    # small device arrays: force the CPU backend via jax.config (the
+    # axon sitecustomize imports jax before JAX_PLATFORMS is read, so
+    # the env var alone does NOT stick -- running this tool on the
+    # real chip would fight a concurrent bench for HBM).
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
     import bench as benchmod
     benchmod.enable_compile_cache(args.docs, args.mean_len)
     rng = np.random.default_rng(42)
@@ -99,6 +107,18 @@ def main():
         return (np.zeros((n, kk), np.float32),
                 np.zeros((n, kk), np.int32))
 
+    def fake_prefix(postings_pack, alive_mask, buf, adl, *, qs, R, T,
+                    k, M, algo, n_slots, alive_all, n_run, k_ret=0):
+        per = 4 * qs + 4 * R
+        n_pad = int(np.asarray(buf).shape[0]) // per
+        calls.append(dict(kind="prefix", rows=n_pad, qs=qs, T=T, R=R,
+                          n_run=n_run))
+        kk = min(k, qs * T) if R == 0 else min(k, min(M, qs * T))
+        out = np.zeros((n_pad, 3, kk), np.float32)
+        out[:, 2, :] = 1.0          # certified: no fallback re-run
+        return out
+
+    E.device_search_prefix_packed = fake_prefix
     E.device_search_sliced_packed = fake_sliced
     E.device_search_blockdense_cached = fake_bd_cached
     E.device_search_blockdense_batch = fake_bd_batch
@@ -115,6 +135,13 @@ def main():
         sort_lanes = head_lanes = plane_lanes = 0
         fetch_mb = 0.0
         for c in calls:
+            if c["kind"] == "prefix":
+                lanes = c["rows"] * c["qs"] * c["T"]
+                plane_lanes += lanes
+                if c["n_run"] != 1:
+                    sort_lanes += lanes
+                fetch_mb += lanes * 12 / 1e6
+                continue
             if c["kind"] != "sliced":
                 continue
             lanes = c["rows"] * c["qs"] * c["T"]
@@ -141,6 +168,9 @@ def main():
                       f"n_run={c['n_run']} mask={int(c['mask'])} "
                       f"single={int(c['single'])} "
                       f"hybrid={int(c['rows_hybrid'])}")
+            elif c["kind"] == "prefix":
+                print(f"    prefix rows={c['rows']:<5} qs={c['qs']:<4} "
+                      f"T={c['T']:<6} R={c['R']} n_run={c['n_run']}")
             else:
                 print(f"    {c['kind']} rows={c['rows']}")
 
