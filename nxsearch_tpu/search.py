@@ -2099,25 +2099,32 @@ def collect_query_batch(dev, st: _PendingBatch, sp: SearchParams,
     # Consolidate the packed groups' results into ONE device->host
     # fetch: each fetch is a full round trip (a network hop on remote
     # setups, ~27 ms measured), so a mixed batch of a dozen signature
-    # groups would otherwise pay a dozen RTTs.  All packed results are
-    # [N_i, 2, k] with a shared k -- one tiny concat dispatch joins
-    # them, one fetch brings everything back, and rows slice out below.
-    by_shape: dict[tuple, list[int]] = {}
-    for i, p in enumerate(pending):
-        if p[3] in ("packed", "sliced", "prefix"):
-            # k' can differ per group (small slice tiers cap k at the
-            # plane width): concat only groups with equal result rows.
-            by_shape.setdefault(tuple(p[1].shape[1:]), []).append(i)
-    for packed_ix in by_shape.values():
-        if len(packed_ix) < 2:
-            continue
-        big = jnp.concatenate([pending[i][1] for i in packed_ix], axis=0)
-        arr = np.asarray(big)
-        at = 0
+    # groups would otherwise pay a dozen RTTs.  Result shapes differ
+    # across kinds ([N, 3, k'] prefix vs [N, 2, k'] classic, k' capped
+    # by small slice tiers), so each group flattens to [N, d] and pads
+    # d to the batch maximum -- a few cheap device copies buy a single
+    # transfer for the whole batch.
+    packed_ix = [i for i, p in enumerate(pending)
+                 if p[3] in ("packed", "sliced", "prefix")]
+    if len(packed_ix) >= 2:
+        flats = []
+        dims = []
         for i in packed_ix:
+            a = pending[i][1]
+            d = int(np.prod(a.shape[1:]))
+            flats.append(a.reshape(a.shape[0], d))
+            dims.append(d)
+        d_max = max(dims)
+        flats = [jnp.pad(f, ((0, 0), (0, d_max - f.shape[1])))
+                 if f.shape[1] < d_max else f for f in flats]
+        arr = np.asarray(jnp.concatenate(flats, axis=0))
+        at = 0
+        for i, d in zip(packed_ix, dims):
             members_i, packed_i, extra_i, tag_i = pending[i]
             n_i = packed_i.shape[0]
-            pending[i] = (members_i, arr[at: at + n_i], extra_i, tag_i)
+            sl = arr[at: at + n_i, :d].reshape(
+                (n_i,) + tuple(packed_i.shape[1:]))
+            pending[i] = (members_i, sl, extra_i, tag_i)
             at += n_i
 
     _t_resp = _time.perf_counter()
