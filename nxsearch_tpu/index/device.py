@@ -250,7 +250,13 @@ class DeviceIndex:
     # highest-df first).
     DENSE_DF_DIV = 16
     MAX_DENSE_ROWS = 128
-    DENSE_ROWS_MAX_BYTES = 1536 << 20
+    # 384 MB (10 rows at the 8.8M tier): pure-OR serving runs the
+    # impact-prefix path and never touches dense rows, so a bigger
+    # tier spends scarce HBM on a rarely-hit hybrid path.  The
+    # tunneled backend's free HBM varies outside this process
+    # (observed intermittent RESOURCE_EXHAUSTED at a ~8.5 GB resident
+    # set on a 16 GB chip) -- static headroom is the cheapest defense.
+    DENSE_ROWS_MAX_BYTES = 384 << 20
 
     # Per-term bounds-cache rows (must exceed the unique kernel terms
     # of one dispatch chunk; LRU beyond that).

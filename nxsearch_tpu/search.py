@@ -275,6 +275,49 @@ def _inflight_release(entries) -> None:
                 pass
 
 
+def _inflight_drain() -> None:
+    """Block on every in-flight dispatch and return all reservations
+    (the OOM-recovery path: free the chip before retrying)."""
+    import jax as _jax
+
+    while _INFLIGHT:
+        ent = _INFLIGHT.pop(0)
+        if not ent.done:
+            if ent.arrays is not None:
+                try:
+                    _jax.block_until_ready(
+                        [x for x in ent.arrays if hasattr(x, "device")])
+                except Exception:
+                    pass     # a poisoned result still frees on GC
+            ent.done = True
+            _INFLIGHT_TOTAL[0] -= ent.est
+
+
+def _dispatch_oom_retry(fn):
+    """Run one group dispatch; on RESOURCE_EXHAUSTED drain the global
+    in-flight ledger, collect garbage and retry with backoff.
+
+    The tunneled backend's free HBM varies outside this process's
+    control (pool staging / co-tenancy), and an unhandled exhaustion
+    wedges the session permanently -- a drained retry is the only
+    graceful degradation available."""
+    import gc
+    import time as _t
+
+    for attempt in range(4):
+        try:
+            return fn()
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 3:
+                raise
+            _trace_logger().warning(
+                "dispatch RESOURCE_EXHAUSTED; draining in-flight work "
+                "and retrying (attempt %d)", attempt + 1)
+            _inflight_drain()
+            gc.collect()
+            _t.sleep(1.5 ** attempt)
+
+
 def _row_pad(n: int) -> int:
     """Group row count -> padded row count on the configured grid."""
     p = _bucket(n, 8)
@@ -1839,12 +1882,13 @@ def _submit_plans(dev, plans: list, queries: list[Query],
                 pf_idf[row, :r] = p.pf_idf
             buf = pack_prefix_group(sl_start, sl_len, sl_idf, pf_bits,
                                     pf_tail, pf_start, pf_len, pf_idf)
-            packed = device_search_prefix_packed(
-                dev.postings_pack, dev.alive_mask, jnp.asarray(buf),
-                dev.adl_dev, qs=qs_pad, R=r_pad, T=T_g, k=k,
-                M=_PREFIX_M, algo=sp.algo, n_slots=dev.n_slots,
-                alive_all=dev.alive_all, n_run=n_run_g,
-                k_ret=min(sp.limit, k))
+            packed = _dispatch_oom_retry(lambda: (
+                device_search_prefix_packed(
+                    dev.postings_pack, dev.alive_mask, jnp.asarray(buf),
+                    dev.adl_dev, qs=qs_pad, R=r_pad, T=T_g, k=k,
+                    M=_PREFIX_M, algo=sp.algo, n_slots=dev.n_slots,
+                    alive_all=dev.alive_all, n_run=n_run_g,
+                    k_ret=min(sp.limit, k))))
             _count("prefix", n)
             pending.append((members, packed, None, "prefix"))
             continue
@@ -1922,16 +1966,17 @@ def _submit_plans(dev, plans: list, queries: list[Query],
                 sl_rows,
                 d_bit if masked_rows else None,
                 d_pass if masked_rows else None)
-            packed = device_search_sliced_packed(
-                dev.postings_pack, dev.alive_mask, dev.doc_len,
-                jnp.asarray(buf), dev.adl_dev,
-                dev.dense_rows if use_rows_g else None,
-                qs=qs_pad, L=prog_len, D=_MAX_DENSE_PER_QUERY,
-                T=T_g, k=k, algo=sp.algo, n_slots=dev.n_slots,
-                use_mask=use_mask_g, single=single_g,
-                alive_all=dev.alive_all, use_rows=use_rows_g,
-                depth=depth_g, T_head=t_head, n_run=n_run_g,
-            )
+            packed = _dispatch_oom_retry(lambda: (
+                device_search_sliced_packed(
+                    dev.postings_pack, dev.alive_mask, dev.doc_len,
+                    jnp.asarray(buf), dev.adl_dev,
+                    dev.dense_rows if use_rows_g else None,
+                    qs=qs_pad, L=prog_len, D=_MAX_DENSE_PER_QUERY,
+                    T=T_g, k=k, algo=sp.algo, n_slots=dev.n_slots,
+                    use_mask=use_mask_g, single=single_g,
+                    alive_all=dev.alive_all, use_rows=use_rows_g,
+                    depth=depth_g, T_head=t_head, n_run=n_run_g,
+                )))
             _count("sliced", n)
             if t_head:
                 _count("sliced_head", n)
@@ -1974,17 +2019,19 @@ def _submit_plans(dev, plans: list, queries: list[Query],
             q_crow = np.zeros((n_pad, q_pad), dtype=np.int32)
             for row, i in enumerate(members):
                 q_crow[row] = _kernel_crows(dev, plans[i], crow_map)
-            packed = device_search_blockdense_cached(
-                dev.postings_slot, dev.postings_ltf, dev.doc_len,
-                dev.alive_mask, dev._bounds_cache,
-                jnp.asarray(q_crow),
-                jnp.asarray(q_idf), dev.adl_dev,
-                jnp.asarray(prog_ops), jnp.asarray(prog_args),
-                dev.dense_rows, jnp.asarray(d_qpos), jnp.asarray(d_row),
-                k=k, algo=sp.algo, n_slots=dev.n_slots,
-                use_mask=sample.use_mask, depth=sample.depth,
-                use_rows=sample.use_rows,
-            )
+            packed = _dispatch_oom_retry(lambda: (
+                device_search_blockdense_cached(
+                    dev.postings_slot, dev.postings_ltf, dev.doc_len,
+                    dev.alive_mask, dev._bounds_cache,
+                    jnp.asarray(q_crow),
+                    jnp.asarray(q_idf), dev.adl_dev,
+                    jnp.asarray(prog_ops), jnp.asarray(prog_args),
+                    dev.dense_rows, jnp.asarray(d_qpos),
+                    jnp.asarray(d_row),
+                    k=k, algo=sp.algo, n_slots=dev.n_slots,
+                    use_mask=sample.use_mask, depth=sample.depth,
+                    use_rows=sample.use_rows,
+                )))
             _count("blockdense", n)
             pending.append((members, packed, None, "packed"))
             continue
@@ -2025,28 +2072,30 @@ def _submit_plans(dev, plans: list, queries: list[Query],
             )
             _count("sharded_fallback", n)
         elif sample.use_dense:
-            scores, slots = device_search_dense_batch(
-                dev.postings_slot, dev.postings_ltf, dev.doc_len,
-                dev.alive_mask,
-                jnp.asarray(q_start), jnp.asarray(q_len),
-                jnp.asarray(q_idf), dev.adl_dev,
-                jnp.asarray(prog_ops), jnp.asarray(prog_args),
-                budget=sample.budget, k=k, algo=sp.algo,
-                n_slots=dev.n_slots,
-                use_mask=sample.use_mask, depth=sample.depth,
-            )
+            scores, slots = _dispatch_oom_retry(lambda: (
+                device_search_dense_batch(
+                    dev.postings_slot, dev.postings_ltf, dev.doc_len,
+                    dev.alive_mask,
+                    jnp.asarray(q_start), jnp.asarray(q_len),
+                    jnp.asarray(q_idf), dev.adl_dev,
+                    jnp.asarray(prog_ops), jnp.asarray(prog_args),
+                    budget=sample.budget, k=k, algo=sp.algo,
+                    n_slots=dev.n_slots,
+                    use_mask=sample.use_mask, depth=sample.depth,
+                )))
             _count("dense", n)
         else:
             _count("candidate", n)
-            scores, slots = device_search_batch(
-                dev.postings_slot, dev.postings_ltf, dev.doc_len,
-                dev.alive_mask,
-                jnp.asarray(q_start), jnp.asarray(q_len),
-                jnp.asarray(q_idf), dev.adl_dev,
-                jnp.asarray(prog_ops), jnp.asarray(prog_args),
-                budget=sample.budget, k=k, algo=sp.algo,
-                use_mask=sample.use_mask, depth=sample.depth,
-            )
+            scores, slots = _dispatch_oom_retry(lambda: (
+                device_search_batch(
+                    dev.postings_slot, dev.postings_ltf, dev.doc_len,
+                    dev.alive_mask,
+                    jnp.asarray(q_start), jnp.asarray(q_len),
+                    jnp.asarray(q_idf), dev.adl_dev,
+                    jnp.asarray(prog_ops), jnp.asarray(prog_args),
+                    budget=sample.budget, k=k, algo=sp.algo,
+                    use_mask=sample.use_mask, depth=sample.depth,
+                )))
         pending.append((members, scores, slots, None))
 
     _attach_last()
