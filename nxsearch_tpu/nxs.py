@@ -322,6 +322,28 @@ class Index:
                      rng.integers(len(queries), size=r)]
             self.search_many(batch, params)
             n_run += r
+        # The classic no-prefix ladder: impact-prefix certification
+        # fallbacks re-plan through it with full window columns, so a
+        # serving batch can hit these signatures at any time (which
+        # typo mix fails certification varies per batch); the group
+        # shapes are ladder-pinned, so one pass per rung covers them.
+        from .search import (_prepare_many, collect_query_batch,
+                            submit_query_batch)
+        self._read_synced()
+        try:
+            for r in sorted({min(max(x, 2), 64) for x in rows}):
+                batch = [queries[int(i)] for i in
+                         rng.integers(len(queries), size=r)]
+                prepared = _prepare_many(
+                    self.dev, self.pipeline, batch, sp,
+                    self._fuzzy_lookup if sp.fuzzymatch else None,
+                    self._fuzzy_prefetch if sp.fuzzymatch else None)
+                st = submit_query_batch(self.dev, prepared, sp,
+                                        no_prefix=True)
+                collect_query_batch(self.dev, st, sp)
+                n_run += r
+        finally:
+            self._rw.read_release()
         return n_run
 
     def stats(self) -> dict:

@@ -40,8 +40,10 @@ def test_prewarm_runs_and_serves(idx):
 def test_prewarm_covers_boolean_and_fuzzy(idx):
     # fuzzymatch defaults on: the typo terms exercise the Levenshtein
     # sweep signatures; boolean forms exercise the masked plans.
+    # rows=(8,) runs one 8-row batched pass plus the 8-row no-prefix
+    # (classic fallback ladder) pass.
     n = idx.prewarm(rows=(8,))
-    assert n == 8
+    assert n == 16
 
 
 def test_prewarm_empty_index(tmp_path):
