@@ -304,18 +304,23 @@ def _dispatch_oom_retry(fn):
     import gc
     import time as _t
 
-    for attempt in range(4):
+    attempts = 7
+    for attempt in range(attempts):
         try:
             return fn()
         except Exception as e:
-            if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 3:
+            if "RESOURCE_EXHAUSTED" not in str(e) \
+                    or attempt == attempts - 1:
                 raise
             _trace_logger().warning(
                 "dispatch RESOURCE_EXHAUSTED; draining in-flight work "
                 "and retrying (attempt %d)", attempt + 1)
             _inflight_drain()
             gc.collect()
-            _t.sleep(1.5 ** attempt)
+            # Exhaustion on this backend is usually external (pool
+            # co-tenancy) and clears on its own timescale: back off up
+            # to ~30 s so a transient squeeze does not kill serving.
+            _t.sleep(min(2.0 ** attempt, 30.0))
 
 
 def _row_pad(n: int) -> int:
@@ -2156,25 +2161,36 @@ def collect_query_batch(dev, st: _PendingBatch, sp: SearchParams,
     packed_ix = [i for i, p in enumerate(pending)
                  if p[3] in ("packed", "sliced", "prefix")]
     if len(packed_ix) >= 2:
-        flats = []
-        dims = []
-        for i in packed_ix:
-            a = pending[i][1]
-            d = int(np.prod(a.shape[1:]))
-            flats.append(a.reshape(a.shape[0], d))
-            dims.append(d)
-        d_max = max(dims)
-        flats = [jnp.pad(f, ((0, 0), (0, d_max - f.shape[1])))
-                 if f.shape[1] < d_max else f for f in flats]
-        arr = np.asarray(jnp.concatenate(flats, axis=0))
-        at = 0
-        for i, d in zip(packed_ix, dims):
-            members_i, packed_i, extra_i, tag_i = pending[i]
-            n_i = packed_i.shape[0]
-            sl = arr[at: at + n_i, :d].reshape(
-                (n_i,) + tuple(packed_i.shape[1:]))
-            pending[i] = (members_i, sl, extra_i, tag_i)
-            at += n_i
+        try:
+            flats = []
+            dims = []
+            for i in packed_ix:
+                a = pending[i][1]
+                d = int(np.prod(a.shape[1:]))
+                flats.append(a.reshape(a.shape[0], d))
+                dims.append(d)
+            d_max = max(dims)
+            flats = [jnp.pad(f, ((0, 0), (0, d_max - f.shape[1])))
+                     if f.shape[1] < d_max else f for f in flats]
+            arr = np.asarray(jnp.concatenate(flats, axis=0))
+            at = 0
+            for i, d in zip(packed_ix, dims):
+                members_i, packed_i, extra_i, tag_i = pending[i]
+                n_i = packed_i.shape[0]
+                sl = arr[at: at + n_i, :d].reshape(
+                    (n_i,) + tuple(packed_i.shape[1:]))
+                pending[i] = (members_i, sl, extra_i, tag_i)
+                at += n_i
+        except Exception as e:
+            # The pad/concat enqueue can hit a transient backend
+            # RESOURCE_EXHAUSTED; the group results themselves are
+            # usually healthy, so fall back to per-group fetches
+            # (extra RTTs, exact results) instead of failing the batch.
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            _trace_logger().warning(
+                "fetch consolidation RESOURCE_EXHAUSTED; falling back "
+                "to per-group fetches")
 
     _t_resp = _time.perf_counter()
     fallback_ix: list[int] = []
