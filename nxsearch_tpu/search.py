@@ -157,12 +157,15 @@ def _head_tier(n: int, cap: int) -> int:
 # signatures than the tier grid it replaces.
 _WINDOW_T = int(os.environ.get("NXS_WINDOW_T", "1024"))
 # Column cap: wider queries (> _WINDOW_MAX_COLS * T0 sliced postings)
-# keep the legacy tiered plane / other executors.  NOTE (ADVICE r2):
-# the window default moving 2048 -> 1024 halved this boundary to
-# ~512k sliced postings/query; queries beyond it are rare in the
-# bench mixes (the prefix path serves pure-OR first) -- raise via
-# NXS_WINDOW_MAX_COLS if a workload routes wide queries here.
-_WINDOW_MAX_COLS = int(os.environ.get("NXS_WINDOW_MAX_COLS", "512"))
+# keep the legacy tiered plane / other executors.  4096 * T0=1024
+# covers a ~4.2M-df term, i.e. every term of the 8.8M-doc tier, so
+# certification fallbacks of monster-term queries stay on the sliced
+# path: the alternative (blockdense) derives the 3.9 GB legacy
+# slot/ltf columns on first use, which measured as THE trigger of
+# RESOURCE_EXHAUSTED wedges next to the 6.3 GB pack (r4).  A
+# 4096-window row is ~4.2M sort-plane lanes (~15 ms) -- rare and
+# cheap against a 4 GB allocation spike.
+_WINDOW_MAX_COLS = int(os.environ.get("NXS_WINDOW_MAX_COLS", "4096"))
 
 
 def _window_t0(cap: int) -> int:
@@ -2104,6 +2107,12 @@ def _submit_plans(dev, plans: list, queries: list[Query],
         pending.append((members, scores, slots, None))
 
     _attach_last()
+    if any(key[0] not in ("pf", "sl", "ssl") for key, _m in chunked) \
+            and hasattr(dev, "drop_legacy_cols"):
+        # A blockdense/candidate/dense group consumed the derived
+        # legacy columns: release the cache so the 3.9 GB frees as
+        # soon as the queued work completes.
+        dev.drop_legacy_cols()
     return _PendingBatch(plans=plans, responses=responses,
                          chunked=chunked, pending=pending, k=k,
                          t_dispatch=_t_dispatch,
