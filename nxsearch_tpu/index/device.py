@@ -272,11 +272,22 @@ class DeviceIndex:
 
     # Impact-prefix pruning (the TPU MaxScore analogue; reference's
     # matching-docs-only scoring loop is search.c:236-271): terms with
-    # base df above this cap get their top-PREFIX_CAP postings by BM25
-    # impact appended to the pack (slot-sorted) plus a tail bound, so
-    # pure-OR queries can score a bounded plane and certify exactness
-    # (ops/executor.prefix_topk).  0 disables.
-    PREFIX_CAP = int(os.environ.get("NXS_PREFIX_CAP", "4096"))
+    # base df above WIDE_MIN_DF get their top-PREFIX_CAP postings by
+    # BM25 impact appended to the pack (slot-sorted) plus a tail
+    # bound, so pure-OR queries can score a bounded plane and certify
+    # exactness (ops/executor.prefix_topk).  PREFIX_CAP = 0 disables.
+    #
+    # The threshold sits at 64k, NOT at the prefix depth: certifying
+    # an R > 0 plane almost never succeeds (every near-tied plane doc
+    # is granted the full missing-term tail, so u_out ~ kth + tail --
+    # measured 0-3% certification among R > 0 rows at ANY rescore
+    # depth M), which made every wide-term query a classic re-run.
+    # Windowing 4k-64k-df terms in FULL (up to 64 sort-plane columns)
+    # turns ~85% -> ~97% of damped-Zipf rows exact-by-construction
+    # (R = 0), and the few true monsters (~700 terms at the 8.8M
+    # tier) cut 4x deeper for smaller tails.
+    PREFIX_CAP = int(os.environ.get("NXS_PREFIX_CAP", "16384"))
+    WIDE_MIN_DF = int(os.environ.get("NXS_WIDE_MIN_DF", str(1 << 16)))
 
     def __init__(self, host: HostIndex, device: Optional[jax.Device] = None):
         self.host = host
@@ -664,7 +675,8 @@ class DeviceIndex:
         # the allocation must absorb the largest read overhang
         # (start + tier past the data end).
         cap = int(self.PREFIX_CAP)
-        wide = (np.nonzero(counts > cap)[0]
+        wide_min = max(cap, int(self.WIDE_MIN_DF))
+        wide = (np.nonzero(counts > wide_min)[0]
                 if cap > 0 and doc_count > 0 else
                 np.zeros(0, dtype=np.int64))
         prefix_len = len(wide) * cap

@@ -1563,7 +1563,8 @@ _COALESCE_MIN_ROWS_PF = 1 << 30
 # tiers=(8,) 2847 -- the qs<=8 tier captures ~98% of rows at half the
 # pad width.  Empty NXS_PF_TIERS = single merged group.
 _PF_TIERS = tuple(sorted(
-    int(x) for x in os.environ.get("NXS_PF_TIERS", "8").split(",") if x))
+    int(x) for x in os.environ.get("NXS_PF_TIERS", "8,64").split(",")
+    if x))
 
 
 def _ladder(v: int, rungs: tuple) -> int:

@@ -23,6 +23,7 @@ from nxsearch_tpu.index.device import DeviceIndex
 def small_cap(monkeypatch):
     """Force wide terms on tiny corpora."""
     monkeypatch.setattr(DeviceIndex, "PREFIX_CAP", 8)
+    monkeypatch.setattr(DeviceIndex, "WIDE_MIN_DF", 8)
 
 
 def _classic(idx, query, sp):
