@@ -157,15 +157,15 @@ def _head_tier(n: int, cap: int) -> int:
 # signatures than the tier grid it replaces.
 _WINDOW_T = int(os.environ.get("NXS_WINDOW_T", "1024"))
 # Column cap: wider queries (> _WINDOW_MAX_COLS * T0 sliced postings)
-# keep the legacy tiered plane / other executors.  4096 * T0=1024
-# covers a ~4.2M-df term, i.e. every term of the 8.8M-doc tier, so
-# certification fallbacks of monster-term queries stay on the sliced
-# path: the alternative (blockdense) derives the 3.9 GB legacy
-# slot/ltf columns on first use, which measured as THE trigger of
-# RESOURCE_EXHAUSTED wedges next to the 6.3 GB pack (r4).  A
-# 4096-window row is ~4.2M sort-plane lanes (~15 ms) -- rare and
+# keep the legacy tiered plane / other executors.  8192 * T0=1024
+# covers a ~4.2M-df monster term PLUS mid-df companions (every
+# realistic query of the 8.8M-doc tier), so wide-term rows stay on
+# the sliced path: the alternative (blockdense) derives the 3.9 GB
+# legacy slot/ltf columns on first use, which measured as THE
+# trigger of RESOURCE_EXHAUSTED wedges next to the 6.3 GB pack (r4).
+# A full-width row is ~8.4M sort-plane lanes (~30 ms) -- rare and
 # cheap against a 4 GB allocation spike.
-_WINDOW_MAX_COLS = int(os.environ.get("NXS_WINDOW_MAX_COLS", "4096"))
+_WINDOW_MAX_COLS = int(os.environ.get("NXS_WINDOW_MAX_COLS", "8192"))
 
 
 def _window_t0(cap: int) -> int:
@@ -190,7 +190,15 @@ _QS_MIN = int(os.environ.get("NXS_QS_MIN", "2"))
 # per-query cap on wide terms (each costs a binary-search rescore
 # pass; queries with more fall back to the classic plan).
 _PREFIX_M = 32
-_PREFIX_MAX_WIDE = 4
+# Wide terms in a prefix plan default OFF (r4 measurement: R > 0
+# certification fires for 0-3% of rows at any rescore depth M --
+# every near-tied plane doc is granted the whole missing tail, so
+# the certificate structurally tracks kth + tail -- which made every
+# wide-term row a pf dispatch + guaranteed serialized classic
+# re-run).  Wide rows now plan classically up front and ride the
+# MAIN launch wave; the R > 0 executor stays available for
+# workloads where tails are small (NXS_PREFIX_MAX_WIDE=4).
+_PREFIX_MAX_WIDE = int(os.environ.get("NXS_PREFIX_MAX_WIDE", "0"))
 
 
 def _prefix_mode(dev, sp, sharded: bool) -> bool:
@@ -326,9 +334,14 @@ def _dispatch_oom_retry(fn):
             _t.sleep(min(2.0 ** attempt, 30.0))
 
 
-def _row_pad(n: int) -> int:
-    """Group row count -> padded row count on the configured grid."""
-    p = _bucket(n, 8)
+def _row_pad(n: int, qs: int = 0) -> int:
+    """Group row count -> padded row count on the configured grid.
+
+    Wide-plane groups (qs > 64: the monster-term rows) pad from 1,
+    not 8: their per-row plane is 0.1-8M lanes, so the row-8 floor
+    multiplied a 1-row group's device work up to 8x for nothing.
+    Narrow groups keep the floor (fewer executable signatures)."""
+    p = _bucket(n, 1 if qs > 64 else 8)
     if _ROW_GRID_15 and n <= (p >> 1) + (p >> 2):
         return (p >> 1) + (p >> 2)      # 0.75 * next_pow2 = 1.5 grid
     return p
@@ -1789,7 +1802,8 @@ def _submit_plans(dev, plans: list, queries: list[Query],
     for key, members in chunked:
         _attach_last()
         sample = plans[members[0]]
-        est = _row_pad(len(members)) * (
+        est = _row_pad(len(members),
+                       key[1] if key[0] in ("sl", "pf") else 0) * (
             max(key[1] * key[2] + key[8], 1) if key[0] == "sl"
             else max(key[1] * key[2], 1) if key[0] in ("pf", "ssl")
             else max(dev.n_slots, 1) if key[0] == "bd"
@@ -1910,7 +1924,7 @@ def _submit_plans(dev, plans: list, queries: list[Query],
              use_rows_g, t_head, n_run_g) = key
             prog_len = L_key or 1
             n = len(members)
-            n_pad = _row_pad(n)
+            n_pad = _row_pad(n, qs_pad)
             sl_start = np.zeros((n_pad, qs_pad), dtype=np.int32)
             sl_len = np.zeros((n_pad, qs_pad), dtype=np.int32)
             sl_idf = np.zeros((n_pad, qs_pad), dtype=np.float32)

@@ -21,9 +21,14 @@ from nxsearch_tpu.index.device import DeviceIndex
 
 @pytest.fixture()
 def small_cap(monkeypatch):
-    """Force wide terms on tiny corpora."""
+    """Force wide terms on tiny corpora, with wide terms allowed in
+    prefix plans (the R > 0 executor defaults off in serving --
+    measured certification ~0% at the 8.8M tier -- but stays
+    supported via NXS_PREFIX_MAX_WIDE; these tests pin its
+    correctness)."""
     monkeypatch.setattr(DeviceIndex, "PREFIX_CAP", 8)
     monkeypatch.setattr(DeviceIndex, "WIDE_MIN_DF", 8)
+    monkeypatch.setattr(S, "_PREFIX_MAX_WIDE", 4)
 
 
 def _classic(idx, query, sp):
