@@ -337,11 +337,16 @@ def _dispatch_oom_retry(fn):
 def _row_pad(n: int, qs: int = 0) -> int:
     """Group row count -> padded row count on the configured grid.
 
-    Wide-plane groups (qs > 64: the monster-term rows) pad from 1,
-    not 8: their per-row plane is 0.1-8M lanes, so the row-8 floor
-    multiplied a 1-row group's device work up to 8x for nothing.
-    Narrow groups keep the floor (fewer executable signatures)."""
-    p = _bucket(n, 1 if qs > 64 else 8)
+    Wide-plane groups (qs > 64: the monster-term rows) pad on the
+    {1, 8, 64, pow2} ladder: the row-8 floor multiplied a 1-row
+    0.1-8M-lane group's device work 8x, while a full pow2 grid mints
+    an executable per (plane, row-count) batch-mix -- each a
+    multi-second compile mid-serving.  Narrow groups keep the pow2
+    floor-8 grid (their planes are cheap; signatures matter more)."""
+    if qs > 64:
+        p = _ladder(n, (1, 8, 64))
+        return p if p <= 64 else _bucket(n, 64)
+    p = _bucket(n, 8)
     if _ROW_GRID_15 and n <= (p >> 1) + (p >> 2):
         return (p >> 1) + (p >> 2)      # 0.75 * next_pow2 = 1.5 grid
     return p
@@ -1720,10 +1725,19 @@ def _submit_plans(dev, plans: list, queries: list[Query],
             key = ("pf", len(plan.sl_start), plan.sl_T,
                    len(plan.pf_tail), plan.n_run)
         elif _use_sliced(plan, sharded_flag, dev):
+            # Wide planes (qs > 64: monster-term rows) quantize n_run
+            # up onto a ladder: extra aggregation passes are no-op
+            # shifted adds, while a content-dependent n_run mints a
+            # fresh multi-second executable compile per batch mix
+            # (measured 20-90 s stalls on the fuzzy tier, whose
+            # typo-resolved monster rows vary every batch).
+            n_run_k = plan.n_run
+            if len(plan.sl_start) > 64 and n_run_k > 0:
+                n_run_k = _ladder(n_run_k, (4, 16, 128))
             key = ("sl", len(plan.sl_start), plan.sl_T,
                    len(plan.prog_ops) if plan.use_mask else 0,
                    plan.use_mask, plan.depth, plan.single, plan.use_rows,
-                   plan.h_T, plan.n_run)
+                   plan.h_T, n_run_k)
         elif sharded_flag and _sharded_sliced(plan, dev):
             key = ("ssl", plan.sl_start.shape[-1], plan.sl_T,
                    len(plan.prog_ops) if plan.use_mask else 0,
