@@ -322,11 +322,11 @@ class Index:
                      rng.integers(len(queries), size=r)]
             self.search_many(batch, params)
             n_run += r
-        # The classic no-prefix ladder: impact-prefix certification
-        # fallbacks re-plan through it with full window columns, so a
-        # serving batch can hit these signatures at any time (which
-        # typo mix fails certification varies per batch); the group
-        # shapes are ladder-pinned, so one pass per rung covers them.
+        # The classic no-prefix ladder: wide-term rows plan through it
+        # with full window columns, so a serving batch can hit these
+        # signatures at any time (which typo mix appears varies per
+        # batch); the group shapes are ladder-pinned, so one pass per
+        # rung covers them.
         from .search import (_prepare_many, collect_query_batch,
                             submit_query_batch)
         self._read_synced()
@@ -344,7 +344,47 @@ class Index:
                 n_run += r
         finally:
             self._rw.read_release()
+        self._prewarm_wide_signatures(sp)
         return n_run
+
+    def _prewarm_wide_signatures(self, sp) -> None:
+        """AOT-compile the pinned wide-plane (qs > 64) sliced
+        signatures: the full (qs rung) x (row rung) product, so a
+        serving batch whose monster-term mix lands on a rung never
+        pays a first-of-its-shape compile (measured 10-90 s stalls on
+        the fuzzy tier).  Lowering + compile only -- nothing
+        executes; results land in the in-process and persistent XLA
+        caches."""
+        import jax.numpy as jnp
+
+        from .ops.executor import device_search_sliced_packed
+        from .search import _MIN_K, _WINDOW_MAX_COLS, _bucket
+
+        dev = self.dev
+        if getattr(dev, "postings_pack", None) is None \
+                or dev.doc_count == 0:
+            return
+        k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
+        adl = jnp.float32(max(dev.adl, 1.0))
+        qs_rung = 128
+        while qs_rung <= _WINDOW_MAX_COLS:
+            for rows in (1, 8, 64):
+                buf = jnp.zeros(rows * 3 * qs_rung, jnp.int32)
+                try:
+                    device_search_sliced_packed.lower(
+                        dev.postings_pack, dev.alive_mask, dev.doc_len,
+                        buf, adl, None,
+                        qs=qs_rung, L=1, D=4, T=1024, k=k,
+                        algo=sp.algo, n_slots=dev.n_slots,
+                        use_mask=False, single=False,
+                        alive_all=dev.alive_all, use_rows=False,
+                        depth=4, T_head=0, n_run=4).compile()
+                except Exception:   # pragma: no cover - best effort
+                    from .utils.log import get_logger
+                    get_logger("prewarm").warning(
+                        "wide-signature AOT compile failed "
+                        "(qs=%d rows=%d)", qs_rung, rows)
+            qs_rung <<= 1
 
     def stats(self) -> dict:
         """Live index statistics (observability; counts mirror the
