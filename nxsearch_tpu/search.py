@@ -157,15 +157,15 @@ def _head_tier(n: int, cap: int) -> int:
 # signatures than the tier grid it replaces.
 _WINDOW_T = int(os.environ.get("NXS_WINDOW_T", "1024"))
 # Column cap: wider queries (> _WINDOW_MAX_COLS * T0 sliced postings)
-# keep the legacy tiered plane / other executors.  8192 * T0=1024
-# covers a ~4.2M-df monster term PLUS mid-df companions (every
-# realistic query of the 8.8M-doc tier), so wide-term rows stay on
-# the sliced path: the alternative (blockdense) derives the 3.9 GB
-# legacy slot/ltf columns on first use, which measured as THE
+# keep the legacy tiered plane / other executors.  32768 * T0=1024
+# covers FOUR ~4.2M-df monster terms in one query (any realistic
+# query of the 8.8M-doc tier, and then some), so wide-term rows stay
+# on the sliced path: the alternative (blockdense) derives the
+# 3.9 GB legacy slot/ltf columns on first use, which measured as THE
 # trigger of RESOURCE_EXHAUSTED wedges next to the 6.3 GB pack (r4).
-# A full-width row is ~8.4M sort-plane lanes (~30 ms) -- rare and
-# cheap against a 4 GB allocation spike.
-_WINDOW_MAX_COLS = int(os.environ.get("NXS_WINDOW_MAX_COLS", "8192"))
+# A full-width row is ~33M sort-plane lanes (~130 ms) -- rare, row-
+# padded from 1, and cheap against a 4 GB allocation spike.
+_WINDOW_MAX_COLS = int(os.environ.get("NXS_WINDOW_MAX_COLS", "32768"))
 
 
 def _window_t0(cap: int) -> int:
@@ -2045,6 +2045,10 @@ def _submit_plans(dev, plans: list, queries: list[Query],
                     d_qpos[row] = p.d_qpos
                     d_row[row] = p.d_row
             from .ops.executor import device_search_blockdense_cached
+            # The legacy-column derivation below transiently allocates
+            # ~2x 2 GB beside the pack: drain queued work first so the
+            # spike has the whole free-HBM headroom.
+            _inflight_drain()
             all_tids = []
             for i in members:
                 p = plans[i]
@@ -2072,6 +2076,7 @@ def _submit_plans(dev, plans: list, queries: list[Query],
             _count("blockdense", n)
             pending.append((members, packed, None, "packed"))
             continue
+        _inflight_drain()      # candidate/dense: same column spike
         n = len(members)
         n_pad = _row_pad(n)
         q_pad = sample.q_start.shape[-1]
