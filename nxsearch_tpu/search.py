@@ -217,11 +217,6 @@ def _prefix_mode(dev, sp, sharded: bool) -> bool:
 # blockdense kernel.  Exact either way (tests force it); default off
 # until the kernel-vs-hybrid tradeoff is measured on hardware.
 _MASKED_HYBRID = os.environ.get("NXS_MASKED_HYBRID", "0") == "1"
-# Dispatch-group row padding grid.  Power-of-two rounding wastes up to
-# 50% of a group's device planes (padded rows execute in full); the
-# 1.5x grid (8, 12, 16, 24, 32, ...) halves the worst case for ~2x
-# the one-time executable compiles.  Staged for hardware A/B.
-_ROW_GRID_15 = os.environ.get("NXS_ROW_GRID15", "0") == "1"
 # Cap on the summed plane-lane estimate of concurrently in-flight
 # dispatch groups (each holds sort/plane workspace in HBM until it
 # completes; the persistent snapshot already claims most of HBM on
@@ -346,10 +341,7 @@ def _row_pad(n: int, qs: int = 0) -> int:
     if qs > 64:
         p = _ladder(n, (1, 8, 64))
         return p if p <= 64 else _bucket(n, 64)
-    p = _bucket(n, 8)
-    if _ROW_GRID_15 and n <= (p >> 1) + (p >> 2):
-        return (p >> 1) + (p >> 2)      # 0.75 * next_pow2 = 1.5 grid
-    return p
+    return _bucket(n, 8)
 
 
 def _qs_pad(n: int) -> int:

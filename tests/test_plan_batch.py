@@ -91,6 +91,9 @@ def test_batch_planner_matches_per_query_prefix(index, monkeypatch):
     from nxsearch_tpu.index.device import DeviceIndex
 
     monkeypatch.setattr(DeviceIndex, "PREFIX_CAP", 8)
+    monkeypatch.setattr(DeviceIndex, "WIDE_MIN_DF", 8)
+    import nxsearch_tpu.search as _S
+    monkeypatch.setattr(_S, "_PREFIX_MAX_WIDE", 4)
     dev = index.dev
     dev._full_rebuild()          # rebuild with the small cap
     try:

@@ -31,7 +31,6 @@ CONFIGS = {
     "w2048": {"_WINDOW_T": 2048},
     "w4096": {"_WINDOW_T": 4096},
     "w1024-qs1": {"_WINDOW_T": 1024, "_QS_MIN": 1},
-    "w1024-grid15": {"_WINDOW_T": 1024, "_ROW_GRID_15": True},
     "w1024-colcap2048": {"_WINDOW_T": 1024, "_WINDOW_MAX_COLS": 2048},
     # Head-term extraction disabled: wide terms stay in the sort plane
     # (the profiled head-merge searchsorted cost ~33 ms/query dwarfs a
@@ -46,7 +45,6 @@ CONFIGS = {
     # Masked dense-row hybrid (VERDICT r2 parked-flag A/B): only
     # affects masked (AND / AND NOT) queries -- run with --mixed.
     "hybrid": {"_MASKED_HYBRID": True},
-    "grid15": {"_ROW_GRID_15": True},
     # pf coalescing is unconditional since the r3 A/B (2417 -> 2618
     # QPS); "pffine" restores the old fine grouping for comparison.
     "pffine": {"_COALESCE_MIN_ROWS_PF": 64},
