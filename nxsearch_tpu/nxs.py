@@ -286,19 +286,36 @@ class Index:
         # queries without repeating one term (repeats would dedupe).
         tier_of = np.frexp(df[live].astype(np.float64))[1]
         pool: list[list[str]] = []
+        pool_df: list[list[int]] = []
         for t in np.unique(tier_of):
             members = live[tier_of == t][:8]
             pool.append([self.host.term_values[i] for i in members])
+            pool_df.append([int(df[i]) for i in members])
+        # Cap a synthesized query's total window count: real damped-
+        # Zipf traffic essentially never unions several monster terms,
+        # and a 3-4-monster query is a multi-GB sort plane -- prewarm
+        # must cover the signatures serving hits, not manufacture
+        # pathological ones.
+        max_windows = 8192
         queries: list[str] = []
-        for tier in pool:
+        for ti, tier in enumerate(pool):
             queries.append(tier[0])
             for n in (2, 3, 4):
                 # Mix this tier with rng-drawn other tiers: covers the
                 # cross-tier plan shapes (wide head + narrow tail).
                 toks = [tier[0]]
-                while len(toks) < n:
-                    other = pool[int(rng.integers(len(pool)))]
-                    toks.append(other[int(rng.integers(len(other)))])
+                wsum = -(-pool_df[ti][0] // 1024)
+                tries = 0
+                while len(toks) < n and tries < 32:
+                    tries += 1
+                    oi = int(rng.integers(len(pool)))
+                    other = pool[oi]
+                    j = int(rng.integers(len(other)))
+                    w = -(-pool_df[oi][j] // 1024)
+                    if wsum + w > max_windows:
+                        continue
+                    wsum += w
+                    toks.append(other[j])
                 queries.append(" ".join(toks))
             if len(tier) >= 2:
                 queries.append(f"{tier[0]} AND {tier[1]}")

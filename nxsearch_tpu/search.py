@@ -223,7 +223,7 @@ _MASKED_HYBRID = os.environ.get("NXS_MASKED_HYBRID", "0") == "1"
 # big corpora).  2**27 lanes ~ 0.5 GB of planes, a few GB with sort
 # copies -- fits the v5e headroom beside the 8.8M-doc snapshot.
 _OUTSTANDING_ELEMS_CAP = int(
-    os.environ.get("NXS_OUTSTANDING_ELEMS", str(1 << 27)))
+    os.environ.get("NXS_OUTSTANDING_ELEMS", str(1 << 26)))
 
 
 class _InflightEntry:
@@ -1766,7 +1766,12 @@ def _submit_plans(dev, plans: list, queries: list[Query],
             max_n = max(1, _ELEMS_CAP // elems)
         elif key[0] == "sl":
             elems = max(key[1] * key[2] + key[8], 1)
-            max_n = max(1, _ELEMS_CAP // elems)
+            # Wide planes carry 3 fetched columns + sort copies
+            # (~24 B/lane at peak): bound a monster group's single
+            # dispatch at ~16M lanes (~0.5 GB planes) so one
+            # pathological multi-monster batch cannot spike HBM.
+            cap_l = (1 << 24) if key[1] > 64 else _ELEMS_CAP
+            max_n = max(1, cap_l // elems)
             if key[7]:                   # use_rows
                 max_n = min(max_n,
                             max(1, _BD_ELEMS_CAP // max(dev.n_slots, 1)))
