@@ -333,14 +333,21 @@ def _row_pad(n: int, qs: int = 0) -> int:
     """Group row count -> padded row count on the configured grid.
 
     Wide-plane groups (qs > 64: the monster-term rows) pad on the
-    {1, 8, 64, pow2} ladder: the row-8 floor multiplied a 1-row
-    0.1-8M-lane group's device work 8x, while a full pow2 grid mints
-    an executable per (plane, row-count) batch-mix -- each a
-    multi-second compile mid-serving.  Narrow groups keep the pow2
-    floor-8 grid (their planes are cheap; signatures matter more)."""
+    {1, 8, 64} ladder, clamped so one dispatch stays under ~16M
+    plane lanes: the row-8 floor multiplied a 1-row 0.1-8M-lane
+    group's device work 8x, a full pow2 grid mints an executable per
+    (plane, row-count) batch-mix (multi-second compiles
+    mid-serving), and an unclamped ladder rung re-inflated chunked
+    monster groups right past the chunk cap (2 rows re-padded to 8 =
+    a ~5 GB dispatch; the r4 prewarm OOM).  Narrow groups keep the
+    pow2 floor-8 grid (their planes are cheap; signatures matter
+    more)."""
     if qs > 64:
         p = _ladder(n, (1, 8, 64))
-        return p if p <= 64 else _bucket(n, 64)
+        if p > 64:
+            p = _bucket(n, 64)
+        lane_cap = max(1, (1 << 24) // (qs * _WINDOW_T))
+        return min(p, lane_cap)
     return _bucket(n, 8)
 
 
@@ -1819,6 +1826,11 @@ def _submit_plans(dev, plans: list, queries: list[Query],
             else max(key[1] * key[2], 1) if key[0] in ("pf", "ssl")
             else max(dev.n_slots, 1) if key[0] == "bd"
             else max(getattr(sample, "budget", 0) or 0, 1 << 12))
+        if key[0] == "sl" and key[1] > 64:
+            # Wide planes carry 3 fetched f32 columns plus sort
+            # copies: weight their lane estimate so the global cap
+            # admits at most ~one monster dispatch at a time.
+            est *= 4
         inflight.append(_inflight_admit(est))
         if key[0] == "ssl":
             from .parallel.sharded import sharded_search_sliced_batch

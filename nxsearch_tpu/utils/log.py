@@ -29,7 +29,12 @@ def _configure() -> None:
         return
     level_name = os.environ.get("NXS_LOG_LEVEL", "WARNING").upper()
     level = _LEVELS.get(level_name, logging.WARNING)
-    handler = logging.StreamHandler(sys.stdout)
+    # stderr, NOT stdout: the reference logs to stdout
+    # (utils/log.c:45-78), but this library's callers treat stdout as
+    # a data channel (bench.py emits one parseable JSON line; CLI
+    # pipelines do the same) -- a WARNING mid-run must never corrupt
+    # it.
+    handler = logging.StreamHandler(sys.stderr)
     handler.setFormatter(logging.Formatter(
         f"{os.getpid()}:%(filename)s:%(lineno)d :: %(funcName)s: %(message)s"))
     root = logging.getLogger("nxsearch_tpu")
