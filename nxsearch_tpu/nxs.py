@@ -383,9 +383,14 @@ class Index:
             return
         k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
         adl = jnp.float32(max(dev.adl, 1.0))
+        from .search import _row_pad
         qs_rung = 128
         while qs_rung <= _WINDOW_MAX_COLS:
-            for rows in (1, 8, 64):
+            # Only the row rungs the dispatcher can actually emit
+            # (the {1,8,64} ladder clamped by the per-dispatch lane
+            # cap -- see _row_pad).
+            for rows in sorted({_row_pad(r, qs_rung)
+                                for r in (1, 8, 64)}):
                 buf = jnp.zeros(rows * 3 * qs_rung, jnp.int32)
                 try:
                     device_search_sliced_packed.lower(
