@@ -283,7 +283,13 @@ def main() -> None:
         t0 = time.perf_counter()
         for batch in batches:
             idx.search_many(batch, sp)
-        idx.prewarm(sp, rows=(1, 64, 512))
+        try:
+            idx.prewarm(sp, rows=(1, 64, 512))
+        except Exception as e:
+            # Extra signature coverage, not a prerequisite: a backend
+            # hiccup (transient HBM exhaustion on the shared tunnel)
+            # must not kill the measured run.
+            log(f"prewarm failed (continuing): {e!r}")
         log(f"warmup pass in {time.perf_counter() - t0:.1f}s")
 
         # Steady-state serving shape: a continuous stream of batches,

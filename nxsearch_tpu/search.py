@@ -214,9 +214,14 @@ def _prefix_mode(dev, sp, sharded: bool) -> bool:
             and dev.n_slots < (1 << 24))
 # Masked dense-row hybrid: route masked (AND/NOT) queries with
 # dense-handled terms through the sliced hybrid instead of the
-# blockdense kernel.  Exact either way (tests force it); default off
-# until the kernel-vs-hybrid tradeoff is measured on hardware.
-_MASKED_HYBRID = os.environ.get("NXS_MASKED_HYBRID", "0") == "1"
+# blockdense kernel.  Exact either way (tests force both); ON by
+# default since r4 -- not for speed but for memory: the blockdense
+# route derives the 3.9 GB legacy slot/ltf columns and allocates
+# O(rows x n_slots) dense workspace, which on the 8.8M-doc tier
+# spikes past the free HBM beside the 6.3 GB pack (measured
+# RESOURCE_EXHAUSTED; an exhaustion wedges the session).  The hybrid
+# stays on the pack-only sliced plane.
+_MASKED_HYBRID = os.environ.get("NXS_MASKED_HYBRID", "1") == "1"
 # Cap on the summed plane-lane estimate of concurrently in-flight
 # dispatch groups (each holds sort/plane workspace in HBM until it
 # completes; the persistent snapshot already claims most of HBM on
@@ -1758,7 +1763,7 @@ def _submit_plans(dev, plans: list, queries: list[Query],
     # O(N * budget) temporaries (or N * n_slots dense arrays for the
     # block kernel), so groups are chunked to bound device memory.
     _ELEMS_CAP = 1 << 26
-    _BD_ELEMS_CAP = 1 << 28   # dense f32+u32 workspace ~2 GB
+    _BD_ELEMS_CAP = 1 << 26   # dense f32+u32 workspace ~0.5 GB
     chunked: list[tuple[tuple, list[int]]] = []
     for key, members in groups.items():
         if key[0] == "ssl":
