@@ -383,29 +383,40 @@ class Index:
             return
         k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
         adl = jnp.float32(max(dev.adl, 1.0))
-        from .search import _row_pad
+        from .search import _row_pad, _window_t0
+        # The dispatcher's actual window width (shrinks below the
+        # module default when the pack's guard caps are small) and the
+        # n_run rungs its wide-plane ladder emits (search.py
+        # _submit_plans: _ladder(n_run, (4, 16, 128))) -- compiling
+        # only one rung left the other rungs' 10-90 s first-of-shape
+        # compiles in the serving path.
+        T0 = _window_t0(dev.slice_t_cap)
         qs_rung = 128
         while qs_rung <= _WINDOW_MAX_COLS:
             # Only the row rungs the dispatcher can actually emit
             # (the {1,8,64} ladder clamped by the per-dispatch lane
             # cap -- see _row_pad).
-            for rows in sorted({_row_pad(r, qs_rung)
+            for rows in sorted({_row_pad(r, qs_rung, T0)
                                 for r in (1, 8, 64)}):
-                buf = jnp.zeros(rows * 3 * qs_rung, jnp.int32)
-                try:
-                    device_search_sliced_packed.lower(
-                        dev.postings_pack, dev.alive_mask, dev.doc_len,
-                        buf, adl, None,
-                        qs=qs_rung, L=1, D=4, T=1024, k=k,
-                        algo=sp.algo, n_slots=dev.n_slots,
-                        use_mask=False, single=False,
-                        alive_all=dev.alive_all, use_rows=False,
-                        depth=4, T_head=0, n_run=4).compile()
-                except Exception:   # pragma: no cover - best effort
-                    from .utils.log import get_logger
-                    get_logger("prewarm").warning(
-                        "wide-signature AOT compile failed "
-                        "(qs=%d rows=%d)", qs_rung, rows)
+                for n_run in (4, 16, 128):
+                    if n_run > qs_rung:
+                        break
+                    buf = jnp.zeros(rows * 3 * qs_rung, jnp.int32)
+                    try:
+                        device_search_sliced_packed.lower(
+                            dev.postings_pack, dev.alive_mask,
+                            dev.doc_len, buf, adl, None,
+                            qs=qs_rung, L=1, D=4, T=T0, k=k,
+                            algo=sp.algo, n_slots=dev.n_slots,
+                            use_mask=False, single=False,
+                            alive_all=dev.alive_all, use_rows=False,
+                            depth=4, T_head=0, n_run=n_run).compile()
+                    except Exception:  # pragma: no cover - best effort
+                        from .utils.log import get_logger
+                        get_logger("prewarm").warning(
+                            "wide-signature AOT compile failed "
+                            "(qs=%d rows=%d n_run=%d)",
+                            qs_rung, rows, n_run)
             qs_rung <<= 1
 
     def stats(self) -> dict:

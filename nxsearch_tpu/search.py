@@ -247,9 +247,30 @@ class _InflightEntry:
 # ledger across submits, not one per call (a per-submit ledger let an
 # 8-batch pipelined run OOM the 8.8M-doc snapshot's leftover HBM, and
 # a RESOURCE_EXHAUSTED on this backend permanently wedges the device
-# -- prevention is the only recovery).
+# -- prevention is the only recovery).  All state transitions happen
+# under _INFLIGHT_LOCK: the REST service runs searches from multiple
+# threads, and block_until_ready releases the GIL, so an unlocked
+# check-then-act on ``done`` double-decrements the total (silently
+# disabling the cap this ledger exists to enforce).
+import threading as _threading
+
 _INFLIGHT: list = []
 _INFLIGHT_TOTAL = [0]
+_INFLIGHT_LOCK = _threading.Lock()
+
+
+def _entry_finish(ent: _InflightEntry) -> None:
+    """Atomically retire one entry: idempotent done-transition that
+    returns its reservation exactly once."""
+    with _INFLIGHT_LOCK:
+        if ent.done:
+            return
+        ent.done = True
+        _INFLIGHT_TOTAL[0] -= ent.est
+        try:
+            _INFLIGHT.remove(ent)
+        except ValueError:
+            pass
 
 
 def _inflight_admit(est: int) -> _InflightEntry:
@@ -260,30 +281,31 @@ def _inflight_admit(est: int) -> _InflightEntry:
     registers and returns this group's entry."""
     import jax as _jax
 
-    while _INFLIGHT_TOTAL[0] + est > _OUTSTANDING_ELEMS_CAP and _INFLIGHT:
-        ent = _INFLIGHT.pop(0)
-        if not ent.done:
-            if ent.arrays is not None:
+    while True:
+        with _INFLIGHT_LOCK:
+            if _INFLIGHT_TOTAL[0] + est <= _OUTSTANDING_ELEMS_CAP \
+                    or not _INFLIGHT:
+                ent = _InflightEntry(est)
+                _INFLIGHT.append(ent)
+                _INFLIGHT_TOTAL[0] += est
+                return ent
+            oldest = _INFLIGHT[0]
+        # Block outside the lock (waiting on an entry another thread
+        # already finished is harmless -- the arrays are just ready);
+        # the finally guarantees the reservation returns even when the
+        # wait raises (a leaked est would tighten the cap forever).
+        try:
+            if oldest.arrays is not None:
                 _jax.block_until_ready(
-                    [x for x in ent.arrays if hasattr(x, "device")])
-            ent.done = True
-            _INFLIGHT_TOTAL[0] -= ent.est
-    ent = _InflightEntry(est)
-    _INFLIGHT.append(ent)
-    _INFLIGHT_TOTAL[0] += est
-    return ent
+                    [x for x in oldest.arrays if hasattr(x, "device")])
+        finally:
+            _entry_finish(oldest)
 
 
 def _inflight_release(entries) -> None:
     """Mark collected groups complete and return their reservation."""
     for ent in entries:
-        if not ent.done:
-            ent.done = True
-            _INFLIGHT_TOTAL[0] -= ent.est
-            try:
-                _INFLIGHT.remove(ent)
-            except ValueError:
-                pass
+        _entry_finish(ent)
 
 
 def _inflight_drain() -> None:
@@ -291,17 +313,18 @@ def _inflight_drain() -> None:
     (the OOM-recovery path: free the chip before retrying)."""
     import jax as _jax
 
-    while _INFLIGHT:
-        ent = _INFLIGHT.pop(0)
-        if not ent.done:
-            if ent.arrays is not None:
-                try:
-                    _jax.block_until_ready(
-                        [x for x in ent.arrays if hasattr(x, "device")])
-                except Exception:
-                    pass     # a poisoned result still frees on GC
-            ent.done = True
-            _INFLIGHT_TOTAL[0] -= ent.est
+    while True:
+        with _INFLIGHT_LOCK:
+            if not _INFLIGHT:
+                return
+            ent = _INFLIGHT[0]
+        if ent.arrays is not None:
+            try:
+                _jax.block_until_ready(
+                    [x for x in ent.arrays if hasattr(x, "device")])
+            except Exception:
+                pass     # a poisoned result still frees on GC
+        _entry_finish(ent)
 
 
 def _dispatch_oom_retry(fn):
@@ -334,7 +357,7 @@ def _dispatch_oom_retry(fn):
             _t.sleep(min(2.0 ** attempt, 30.0))
 
 
-def _row_pad(n: int, qs: int = 0) -> int:
+def _row_pad(n: int, qs: int = 0, T: int = 0) -> int:
     """Group row count -> padded row count on the configured grid.
 
     Wide-plane groups (qs > 64: the monster-term rows) pad on the
@@ -346,13 +369,18 @@ def _row_pad(n: int, qs: int = 0) -> int:
     monster groups right past the chunk cap (2 rows re-padded to 8 =
     a ~5 GB dispatch; the r4 prewarm OOM).  Narrow groups keep the
     pow2 floor-8 grid (their planes are cheap; signatures matter
-    more)."""
+    more).  ``T`` is the group's actual window width (the chunking
+    cap's T can shrink below _WINDOW_T on small guard caps, so the
+    lane clamp must use the same T as the chunker or a chunk can hold
+    more members than the clamped pad)."""
     if qs > 64:
         p = _ladder(n, (1, 8, 64))
         if p > 64:
             p = _bucket(n, 64)
-        lane_cap = max(1, (1 << 24) // (qs * _WINDOW_T))
-        return min(p, lane_cap)
+        lane_cap = max(1, (1 << 24) // (qs * (T or _WINDOW_T)))
+        # pad >= n always: the chunker is the source of truth for
+        # group size; a pad below it would overflow the fill loops.
+        return max(min(p, lane_cap), n)
     return _bucket(n, 8)
 
 
@@ -1775,7 +1803,11 @@ def _submit_plans(dev, plans: list, queries: list[Query],
                     1, _BD_ELEMS_CAP // max(dev.slots_per_shard, 1)))
         elif key[0] == "pf":
             elems = max(key[1] * key[2], 1)
-            max_n = max(1, _ELEMS_CAP // elems)
+            # Wide prefix planes (qs > 64) carry the same 3-column
+            # fetch + sort copies as wide sliced planes: same ~16M
+            # lane bound per dispatch so one group cannot spike HBM.
+            cap_l = (1 << 24) if key[1] > 64 else _ELEMS_CAP
+            max_n = max(1, cap_l // elems)
         elif key[0] == "sl":
             elems = max(key[1] * key[2] + key[8], 1)
             # Wide planes carry 3 fetched columns + sort copies
@@ -1826,12 +1858,13 @@ def _submit_plans(dev, plans: list, queries: list[Query],
         _attach_last()
         sample = plans[members[0]]
         est = _row_pad(len(members),
-                       key[1] if key[0] in ("sl", "pf") else 0) * (
+                       key[1] if key[0] in ("sl", "pf") else 0,
+                       key[2] if key[0] in ("sl", "pf") else 0) * (
             max(key[1] * key[2] + key[8], 1) if key[0] == "sl"
             else max(key[1] * key[2], 1) if key[0] in ("pf", "ssl")
             else max(dev.n_slots, 1) if key[0] == "bd"
             else max(getattr(sample, "budget", 0) or 0, 1 << 12))
-        if key[0] == "sl" and key[1] > 64:
+        if key[0] in ("sl", "pf") and key[1] > 64:
             # Wide planes carry 3 fetched f32 columns plus sort
             # copies: weight their lane estimate so the global cap
             # admits at most ~one monster dispatch at a time.
@@ -1910,7 +1943,7 @@ def _submit_plans(dev, plans: list, queries: list[Query],
                                        pack_prefix_group)
             _, qs_pad, T_g, r_pad, n_run_g = key
             n = len(members)
-            n_pad = _row_pad(n)
+            n_pad = _row_pad(n, qs_pad, T_g)
             sl_start = np.zeros((n_pad, qs_pad), dtype=np.int32)
             sl_len = np.zeros((n_pad, qs_pad), dtype=np.int32)
             sl_idf = np.zeros((n_pad, qs_pad), dtype=np.float32)
@@ -1952,7 +1985,7 @@ def _submit_plans(dev, plans: list, queries: list[Query],
              use_rows_g, t_head, n_run_g) = key
             prog_len = L_key or 1
             n = len(members)
-            n_pad = _row_pad(n, qs_pad)
+            n_pad = _row_pad(n, qs_pad, T_g)
             sl_start = np.zeros((n_pad, qs_pad), dtype=np.int32)
             sl_len = np.zeros((n_pad, qs_pad), dtype=np.int32)
             sl_idf = np.zeros((n_pad, qs_pad), dtype=np.float32)
@@ -2333,7 +2366,12 @@ def _to_responses_group(dev, members, scores, slots, plans, sp,
     gather for the whole [N, k] block instead of N small-array passes
     (~60 us/query of host time at batch scale).  Falls back to the
     per-row path when a delta must be merged (rare in serving: only
-    between a mutation and the next refresh)."""
+    between a mutation and the next refresh).
+
+    A RESOURCE_EXHAUSTED surfacing at these fetches means the already-
+    dispatched computation itself failed -- the result is poisoned and
+    a retry cannot recover it, so only dispatch-time exhaustion is
+    retried (_dispatch_oom_retry); fetch-time exhaustion propagates."""
     scores = np.asarray(scores)
     slots = np.asarray(slots)
     if getattr(dev, "has_delta", False):
