@@ -294,20 +294,33 @@ def main() -> None:
 
         # Steady-state serving shape: a continuous stream of batches,
         # each batch's host prep overlapping the previous batch's
-        # device execution.  Best of 3 passes: the tunneled chip is
-        # shared infrastructure with multi-second steal stalls
-        # (allocation probes measured 0.2-15 s for identical 256 MB
-        # transfers), so a single pass conflates engine throughput
-        # with co-tenant noise.
-        qps = 0.0
-        for _ in range(3):
+        # device execution.  The tunneled chip is shared
+        # infrastructure with multi-second steal stalls (allocation
+        # probes measured 0.2-15 s for identical 256 MB transfers), so
+        # a single pass conflates engine throughput with co-tenant
+        # noise.  Every pass sample is RECORDED (best + median + the
+        # raw list + a steal-variance field) and high variance earns
+        # extra passes -- the number of record must not be a
+        # co-tenancy lottery.
+        samples: list[float] = []
+        passes, max_passes = 3, 6
+        while len(samples) < passes:
             t0 = time.perf_counter()
             idx.search_pipelined(batches, sp)
             elapsed = time.perf_counter() - t0
-            qps = max(qps, args.queries / elapsed)
+            samples.append(args.queries / elapsed)
             log(f"pipelined ({args.batch}/batch x {len(batches)}): "
                 f"{args.queries} queries in {elapsed:.2f}s "
                 f"-> {args.queries / elapsed:.0f} QPS")
+            spread = (max(samples) - min(samples)) / max(samples)
+            if len(samples) == passes and passes < max_passes \
+                    and spread > 0.2:
+                log(f"pass spread {spread:.0%} > 20%: adding a pass")
+                passes += 1
+        qps = max(samples)
+        qps_median = float(np.median(samples))
+        steal_variance = round(
+            (max(samples) - min(samples)) / max(samples), 4)
 
         # Sequential latency in two passes over the same queries: the
         # first pass absorbs per-signature compiles / executable loads
@@ -375,6 +388,12 @@ def main() -> None:
             "mean_len": args.mean_len,
             "batch": args.batch,
             "batched_qps": round(qps, 1),
+            # Chip-steal transparency: all pipelined pass samples, the
+            # median, and (max-min)/max -- the best-of value above is
+            # only trustworthy when this spread is small.
+            "qps_samples": [round(s, 1) for s in samples],
+            "qps_median": round(qps_median, 1),
+            "steal_variance": steal_variance,
             "seq_p50_ms": round(p50, 2),
             "seq_p99_ms": round(p99, 2),
             "seq_cold_events": n_cold,

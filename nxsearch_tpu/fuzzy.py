@@ -110,11 +110,18 @@ class FuzzyMatcher:
     def _refresh_device(self) -> None:
         """Refresh the device vocab snapshot for this generation.
 
-        The term dictionary is append-only, so the byte matrix only
-        grows: new rows are encoded incrementally into a host-side
-        cache and the device arrays re-upload only when terms were
-        added (totals re-upload every generation -- they change with
-        every mutation but are a single vectorized clip+copy)."""
+        The snapshot is LENGTH-SORTED: rows ascend by byte length
+        (excluded >32-byte terms and padding sink past the end), with
+        a per-length offsets table and an original-index column, so a
+        query's tolerance band |len(q) - len(t)| <= 2 sweeps ONE
+        contiguous region (ops/levenshtein.fuzzy_best_region) instead
+        of the whole vocabulary -- the triangle inequality's cheapest
+        special case, replacing the BK-tree's child pruning
+        (src/algo/bktree.c:219).  The term dictionary is append-only:
+        new rows are encoded incrementally into the host cache, and
+        the sorted layout rebuilds (host argsort + gather) only when
+        terms were added; totals re-upload every generation (a single
+        vectorized clip + gather)."""
         import jax
 
         if self._dev_gen == self._gen:
@@ -139,22 +146,63 @@ class FuzzyMatcher:
         new_terms = n > filled
         self._vb_filled = n
 
+        self._use_pallas = jax.devices()[0].platform != "cpu"
+        if new_terms or self._dev_bytes is None \
+                or getattr(self, "_t_pad", 0) != t_pad:
+            # Sort key: byte length for device-eligible rows; >32-byte
+            # terms (length 0 in the cache) key past every band.
+            lens = self._vl_cache[:n].astype(np.int64)
+            key = np.where(lens > 0, lens, 99)
+            order = np.argsort(key, kind="stable")
+            # off[L] = first sorted row of length >= L (L in 0..34);
+            # off[33] ends the device-eligible rows.
+            self._len_off = np.searchsorted(key[order], np.arange(35))
+            self._dev_order = order
+            vb_s = np.zeros((t_pad, _MAX_DEVICE_BYTES), dtype=np.uint8)
+            vb_s[:n] = vb[:n][order]
+            vl_s = np.zeros(t_pad, dtype=np.int32)
+            vl_s[:n] = np.where(key[order] <= _MAX_DEVICE_BYTES,
+                                lens[order], 0)
+            ids = np.full(t_pad, 0x7FFFFFFF, dtype=np.int32)
+            ids[:n] = order.astype(np.int32)
+            # The Pallas kernels want the position-major layout (term
+            # per VPU lane); the jnp fallback the row-major one.
+            if self._use_pallas:
+                self._dev_bytes = jax.device_put(
+                    np.ascontiguousarray(vb_s.T))
+            else:
+                self._dev_bytes = jax.device_put(vb_s)
+            self._dev_len = jax.device_put(vl_s)
+            self._dev_ids = jax.device_put(ids)
+            self._t_pad = t_pad
         totals = np.clip(self.host.term_total.view(), 0,
                          0xFFFFFFFF).astype(np.uint32)
         vt = np.zeros(t_pad, dtype=np.uint32)
-        vt[:n] = totals
-        # The Pallas kernel wants the position-major layout (term per
-        # VPU lane); everything else uses the row-major one.
-        self._use_pallas = jax.devices()[0].platform != "cpu"
-        if new_terms or self._dev_bytes is None:
-            if self._use_pallas:
-                self._dev_bytes = jax.device_put(
-                    np.ascontiguousarray(vb.T))
-            else:
-                self._dev_bytes = jax.device_put(vb)
-            self._dev_len = jax.device_put(self._vl_cache)
+        vt[:n] = totals[self._dev_order]
         self._dev_total = jax.device_put(vt)
         self._dev_gen = self._gen
+
+    def _region(self, q_len: int) -> tuple[int, int]:
+        """Sorted-row region covering the tolerance band of a query
+        length: (lo, W) with W a static pow2 bucket.  Any superset is
+        correct (out-of-band rows are beyond tolerance by
+        construction), so clamping and pow2 padding are free."""
+        tol = self.tolerance
+        lo = int(self._len_off[max(q_len - tol, 1)])
+        hi = int(self._len_off[min(q_len + tol, _MAX_DEVICE_BYTES) + 1])
+        need = max(hi - lo, 1)
+        w = 1024                 # floor: Pallas tiles want >= 1k lanes
+        while w < need:
+            w <<= 1
+        w = min(w, self._t_pad)
+        lo = max(min(lo, self._t_pad - w), 0)
+        return lo, w
+
+    @property
+    def _mode(self) -> str:
+        if not self._use_pallas:
+            return "jnp"
+        return "rev" if _USE_REV_KERNEL else "fwd"
 
     # -- host path ---------------------------------------------------------
 
@@ -204,20 +252,22 @@ class FuzzyMatcher:
             return
         import jax.numpy as jnp
 
-        from .ops.levenshtein import (fuzzy_best_batch,
-                                      fuzzy_best_pallas_batch,
-                                      fuzzy_best_pallas_batch_rev)
+        from .ops.levenshtein import fuzzy_best_region
         from .utils.trace import phase
         with phase("fuzzy.refresh_device"):
             self._refresh_device()
         # Chunked.  The Pallas kernel keeps DP state in [BLK] lane
         # vectors and re-reads nothing, so large chunks are free; the
-        # jnp fallback's vmapped Peq matrix is M x T x 32 u32 in HBM
-        # (1 GB at M=8 over a 1M vocab), capping its chunk at 8.
+        # jnp fallback's vmapped Peq matrix is M x W x 32 u32 in HBM
+        # (1 GB at M=8 over a 1M-row region), capping its chunk at 8.
         chunk = 64 if self._use_pallas else 8
-        kernel = fuzzy_best_pallas_batch
-        if self._use_pallas and _USE_REV_KERNEL:
-            kernel = fuzzy_best_pallas_batch_rev
+        mode = self._mode
+        # Group misses by their length band's sorted-row region: each
+        # group sweeps only rows within tolerance of its query length.
+        regions: dict[tuple[int, int], list] = {}
+        for value, q in pending:
+            regions.setdefault(self._region(len(q)), []).append(
+                (value, q))
         # Dispatch every chunk first (async), then fetch all results
         # in one consolidated transfer: each fetch is a full round
         # trip on remote-TPU setups (~27 ms), so a 512-miss batch paid
@@ -225,28 +275,25 @@ class FuzzyMatcher:
         launched: list = []
         import time as _time
         _t0 = _time.perf_counter()
-        for at in range(0, len(pending), chunk):
-            part = pending[at: at + chunk]
-            # Pad the row count to a pow2 bucket (>= 8): one compiled
-            # executable per bucket instead of one per miss count.
-            rows = max(8, 1 << (len(part) - 1).bit_length()) \
-                if self._use_pallas else len(part)
-            qb = np.zeros((rows, _MAX_DEVICE_BYTES), dtype=np.uint8)
-            ql = np.zeros(rows, dtype=np.int32)
-            for i, (_, q) in enumerate(part):
-                qb[i, : len(q)] = np.frombuffer(q, dtype=np.uint8)
-                ql[i] = len(q)
-            if self._use_pallas:
-                idxs, _dists = kernel(
+        for (lo, w), group in regions.items():
+            for at in range(0, len(group), chunk):
+                part = group[at: at + chunk]
+                # Pad the row count to a pow2 bucket (>= 8): one
+                # compiled executable per bucket instead of one per
+                # miss count.
+                rows = max(8, 1 << (len(part) - 1).bit_length()) \
+                    if self._use_pallas else len(part)
+                qb = np.zeros((rows, _MAX_DEVICE_BYTES), dtype=np.uint8)
+                ql = np.zeros(rows, dtype=np.int32)
+                for i, (_, q) in enumerate(part):
+                    qb[i, : len(q)] = np.frombuffer(q, dtype=np.uint8)
+                    ql[i] = len(q)
+                idxs = fuzzy_best_region(
                     self._dev_bytes, self._dev_len, self._dev_total,
-                    jnp.asarray(qb), jnp.asarray(ql),
-                    jnp.int32(self.tolerance))
-            else:
-                idxs, _dists = fuzzy_best_batch(
-                    self._dev_row_bytes(), self._dev_len, self._dev_total,
-                    jnp.asarray(qb), jnp.asarray(ql),
-                    jnp.int32(self.tolerance))
-            launched.append((part, idxs))
+                    self._dev_ids, jnp.asarray(qb), jnp.asarray(ql),
+                    jnp.int32(lo), jnp.int32(self.tolerance),
+                    W=w, mode=mode)
+                launched.append((part, idxs))
         _t1 = _time.perf_counter()
         if len(launched) == 1:
             parts_idxs = [np.asarray(launched[0][1])]
@@ -279,17 +326,6 @@ class FuzzyMatcher:
             self._memo_gen = self._gen
         return memo
 
-    def _dev_row_bytes(self):
-        """Row-major [T, L] byte matrix on device (the batched jnp
-        path needs it even when the Pallas layout is active)."""
-        import jax
-
-        if getattr(self, "_dev_rows_gen", -2) != self._gen:
-            self._dev_rows = jax.device_put(
-                self._vb_cache[: len(self._dev_len)])
-            self._dev_rows_gen = self._gen
-        return self._dev_rows
-
     def lookup(self, value: str) -> Optional[int]:
         """Best term within tolerance, or None (idxterm_fuzzysearch)."""
         self._refresh()
@@ -306,15 +342,19 @@ class FuzzyMatcher:
         if use_device:
             import jax.numpy as jnp
 
-            from .ops.levenshtein import fuzzy_best, fuzzy_best_pallas
+            from .ops.levenshtein import fuzzy_best_region
             self._refresh_device()
-            qb = np.zeros(_MAX_DEVICE_BYTES, dtype=np.uint8)
-            qb[: len(q)] = np.frombuffer(q, dtype=np.uint8)
-            fn = fuzzy_best_pallas if self._use_pallas else fuzzy_best
-            best_idx, _dist = fn(
+            lo, w = self._region(len(q))
+            rows = 8 if self._use_pallas else 1
+            qb = np.zeros((rows, _MAX_DEVICE_BYTES), dtype=np.uint8)
+            ql = np.zeros(rows, dtype=np.int32)
+            qb[0, : len(q)] = np.frombuffer(q, dtype=np.uint8)
+            ql[0] = len(q)
+            idxs = fuzzy_best_region(
                 self._dev_bytes, self._dev_len, self._dev_total,
-                jnp.asarray(qb), jnp.int32(len(q)), jnp.int32(tol))
-            best_idx = int(best_idx)
+                self._dev_ids, jnp.asarray(qb), jnp.asarray(ql),
+                jnp.int32(lo), jnp.int32(tol), W=w, mode=self._mode)
+            best_idx = int(np.asarray(idxs)[0])
             best_id = best_idx + 1 if best_idx >= 0 else None
             best_total = int(self.host.term_total.view()[best_idx]) \
                 if best_idx >= 0 else 0

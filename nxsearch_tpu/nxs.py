@@ -362,7 +362,53 @@ class Index:
         finally:
             self._rw.read_release()
         self._prewarm_wide_signatures(sp)
+        self._prewarm_prefix_signatures(sp)
         return n_run
+
+    def _prewarm_prefix_signatures(self, sp) -> None:
+        """AOT-compile the impact-prefix R = 0 dispatch product: with
+        variable-width windows a batch splits over (column tier) x
+        (window width) cells whose member counts track the query mix,
+        so the laddered row pads {8, 64, 512, 2048} x tier {8, 64} x
+        width rungs must all be warm or a fresh mix pays a
+        first-of-its-shape compile mid-serving.  Lowering + compile
+        only; results land in the in-process and persistent caches."""
+        import jax.numpy as jnp
+
+        from .ops.executor import device_search_prefix_packed
+        from .ops.scoring import ALGO_BM25
+        from .search import (_MIN_K, _PF_TIERS, _PREFIX_M, _bucket,
+                             _t_ladder, _window_t0)
+
+        dev = self.dev
+        if (getattr(dev, "postings_pack", None) is None
+                or dev.doc_count == 0
+                or not getattr(dev, "prefix_ready", False)
+                or sp.algo != ALGO_BM25):
+            return
+        k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
+        ladder = _t_ladder(_window_t0(dev.slice_t_cap))
+        tiers = [t for t in _PF_TIERS if t <= 64] or [8]
+        for qs in tiers:
+            for T in ladder:
+                for rows in (8, 64, 512, 2048):
+                    # n_run 4 covers the serving ladder's dominant
+                    # rung (2-4 term queries); rarer rungs compile
+                    # lazily on first hit.
+                    buf = jnp.zeros(rows * 4 * qs, jnp.int32)
+                    try:
+                        device_search_prefix_packed.lower(
+                            dev.postings_pack, dev.alive_mask,
+                            buf, dev.adl_dev, qs=qs, R=0, T=T,
+                            k=k, M=_PREFIX_M, algo=sp.algo,
+                            n_slots=dev.n_slots,
+                            alive_all=dev.alive_all, n_run=4,
+                            k_ret=min(sp.limit, k)).compile()
+                    except Exception:  # pragma: no cover
+                        from .utils.log import get_logger
+                        get_logger("prewarm").warning(
+                            "prefix AOT compile failed "
+                            "(qs=%d T=%d rows=%d)", qs, T, rows)
 
     def _prewarm_wide_signatures(self, sp) -> None:
         """AOT-compile the pinned wide-plane (qs > 64) sliced

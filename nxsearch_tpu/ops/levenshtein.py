@@ -114,6 +114,73 @@ def select_best(dist, vocab_len, term_total, tolerance):
             dist[best].astype(jnp.int32))
 
 
+def select_best_ids(dist, vocab_len, term_total, term_ids, tolerance):
+    """select_best over a PERMUTED vocab region: the length-sorted
+    snapshot (fuzzy.py) no longer encodes term age in row order, so
+    ties on the total pick the lowest ORIGINAL 0-based term index,
+    carried explicitly in ``term_ids`` (padding rows: INT32_MAX).
+    Returns the winning original index, or -1."""
+    eligible = (vocab_len > 0) & (dist <= tolerance) & (term_total > 0)
+    best_total = jnp.max(jnp.where(eligible, term_total, jnp.uint32(0)))
+    at_best = eligible & (term_total == best_total)
+    big = jnp.int32(0x7FFFFFFF)
+    best_id = jnp.min(jnp.where(at_best, term_ids, big))
+    found = (best_total > 0) & (best_id < big)
+    return jnp.where(found, best_id, -1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "mode"))
+def fuzzy_best_region(vocab_t: jax.Array,    # [32, T_pad] or [T_pad, L]
+                      vocab_len: jax.Array,  # int32[T_pad]
+                      term_total: jax.Array,  # uint32[T_pad]
+                      term_ids: jax.Array,   # int32[T_pad] original ids
+                      q_bytes: jax.Array,    # uint8[M, 32]
+                      q_len: jax.Array,      # int32[M]
+                      lo: jax.Array,         # int32: region start row
+                      tolerance: jax.Array,  # int32
+                      *, W: int, mode: str):
+    """Batched fuzzy match over a contiguous vocab region [lo, lo+W).
+
+    The device snapshot is LENGTH-SORTED (fuzzy.py), so the rows whose
+    byte length lies within the tolerance band of the query length
+    form one contiguous region -- the TPU-shaped equivalent of the
+    BK-tree's triangle-inequality pruning at its cheapest
+    (|len(q) - len(t)| <= tolerance, src/algo/bktree.c:219).  Sweeping
+    a SUPERSET region is always correct: rows outside the band have
+    distance > tolerance by construction and are discarded by the
+    selection, so ``lo``/``W`` may be clamped or padded freely.
+
+    ``mode``: 'rev' / 'fwd' take the position-major [32, T_pad] Pallas
+    layout; 'jnp' takes the row-major [T_pad, L] matrix.  ``W`` is a
+    static pow2 bucket (Pallas tiles divide pow2 widths).
+    """
+    if mode == "jnp":
+        vb = lax.dynamic_slice(
+            vocab_t, (lo, 0), (W, vocab_t.shape[1]))
+    else:
+        vb = lax.dynamic_slice(vocab_t, (0, lo), (32, W))
+    vl = lax.dynamic_slice(vocab_len, (lo,), (W,))
+    tt = lax.dynamic_slice(term_total, (lo,), (W,))
+    ti = lax.dynamic_slice(term_ids, (lo,), (W,))
+    if mode == "rev":
+        from .pallas.fuzzy import myers_rev_distances_pallas_batch
+        dist = myers_rev_distances_pallas_batch(
+            vb, vl[None, :], q_bytes.astype(jnp.int32),
+            q_len[:, None].astype(jnp.int32))
+    elif mode == "fwd":
+        from .pallas.fuzzy import myers_distances_pallas_batch
+        dist = myers_distances_pallas_batch(
+            vb, vl[None, :], q_bytes.astype(jnp.int32),
+            q_len[:, None].astype(jnp.int32))
+    else:
+        dist = jax.vmap(
+            lambda qb, ql: myers_distances(vb, vl, qb, ql))(
+                q_bytes, q_len)
+    return jax.vmap(select_best_ids,
+                    in_axes=(0, None, None, None, None))(
+        dist, vl, tt, ti, tolerance)
+
+
 @jax.jit
 def fuzzy_best(vocab_bytes: jax.Array,   # uint8[T, L]
                vocab_len: jax.Array,     # int32[T] (0 = padding row)

@@ -170,6 +170,83 @@ def sharded_search_sliced_batch(
       dense_rows, d_row, d_idf)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "T", "k", "algo", "alive_all", "n_run",
+                     "k_ret"),
+)
+def sharded_search_prefix_batch(
+    postings_pack: jax.Array,   # f32[n_dev, Ps_pad+guard, 3]
+    alive_mask: jax.Array,      # uint32[n_dev, Ss/32]
+    q_start: jax.Array,         # int32[n_dev, N, Qs] per-shard windows
+    q_len: jax.Array,           # int32[n_dev, N, Qs]
+    q_idf: jax.Array,           # float32[N, Qs] (replicated)
+    adl: jax.Array,             # float32 scalar (replicated)
+    *,
+    mesh: Mesh,
+    T: int,
+    k: int,
+    algo: int,
+    alive_all: bool,
+    n_run: int,
+    k_ret: int = 0,
+):
+    """Doc-sharded impact-prefix executor: the flagship single-chip
+    serving plan (ops/executor.prefix_topk, R = 0 complete planes) run
+    per shard under ``shard_map`` -- so a pod serves the same fast
+    path as one chip (reference analogue: every mmap reader runs the
+    same hot loop, src/query/search.c:285).
+
+    Doc sharding makes R = 0 the natural multi-chip shape: each
+    shard's windows cover its own rows of every query term's postings
+    IN FULL (the per-shard df is a fraction of the global df), so the
+    per-shard plane is complete and the result exact by construction
+    -- no impact-prefix regions, tail bounds, or certification are
+    needed on the mesh.  Cross-chip traffic is one all_gather of
+    n_dev * k candidates over ICI, merged replicated.
+
+    Returns replicated (scores f32[N, k'], global slots i32[N, k'])."""
+    from ..ops.executor import prefix_topk
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    slots_per_shard = alive_mask.shape[1] * 32
+    n_q, qs = q_idf.shape
+    k_local = min(k, qs * T)
+    k_final = min(k, n_dev * k_local)
+    zf = jnp.zeros((n_q, 0), jnp.float32)
+    zi = jnp.zeros((n_q, 0), jnp.int32)
+    col_bit = jnp.zeros((n_q, qs), jnp.int32)
+
+    def shard_body(pack, am, qs_a, qlen, qidf, adl_s):
+        packed = prefix_topk(
+            pack[0], am[0], qs_a[0], qlen[0], qidf, adl_s,
+            col_bit, zf, zi, zi, zf,
+            T=T, k=k_local, M=32, algo=algo,
+            n_slots=slots_per_shard, alive_all=alive_all,
+            n_run=n_run, k_ret=k_ret)
+        local_scores = packed[:, 0, :]
+        local_slots = (packed[:, 1, :].astype(jnp.int32)
+                       + lax.axis_index(axis) * slots_per_shard)
+        all_scores = lax.all_gather(local_scores, axis, axis=1)
+        all_slots = lax.all_gather(local_slots, axis, axis=1)
+        all_scores = all_scores.reshape(n_q, -1)
+        all_slots = all_slots.reshape(n_q, -1)
+        m_scores, m_idx = lax.top_k(all_scores, k_final)
+        return m_scores, jnp.take_along_axis(all_slots, m_idx, axis=1)
+
+    sharded = P(mesh.axis_names[0], None)
+    sharded3 = P(mesh.axis_names[0], None, None)
+    repl = P()
+    return jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(sharded3, sharded, sharded3, sharded3, repl, repl),
+        out_specs=(repl, repl),
+        check_vma=False,
+    )(postings_pack, alive_mask, q_start, q_len, q_idf, adl)
+
+
 def _bucket(n: int, minimum: int) -> int:
     size = minimum
     while size < n:

@@ -178,6 +178,66 @@ def _window_t0(cap: int) -> int:
     return t
 
 
+# Variable-width windows: per-ROW window width chosen from this rung
+# ladder (clipped to the guard cap).  The plane cost of a dispatched
+# row is (column tier) x (window width) lanes -- independent of how
+# much of it is real postings -- and with a fixed T0 = 1024 the
+# damped-Zipf mix pays mostly padding: a 3-term query whose terms
+# window once each pads to the 8-column tier = 8192 sorted lanes for
+# ~300 real postings.  Choosing the rung that minimizes the padded
+# plane (a small-df row drops to 8 x 128 = 1024 lanes; a mid-df row
+# to 64 x 256; wide rows keep T0) cuts the measured sort-plane budget
+# severalfold while every window still covers its postings in full --
+# exactness is untouched.  A smaller FIXED T0 was measured dead
+# (r4 A/B: T0=512 shifted rows into wider column tiers); the per-row
+# choice is what makes the diet pay.  Smaller widths are always safe
+# against the pack guard (reads extend at most T <= T0 past a start
+# inside the postings).
+_T_LADDER_CFG = tuple(sorted(
+    int(x) for x in os.environ.get("NXS_T_LADDER",
+                                   "128,256,512,1024").split(",") if x))
+
+
+def _t_ladder(T0: int) -> tuple:
+    """Window-width rungs available under the guard cap T0 (ascending,
+    always ending at T0 itself)."""
+    return tuple(t for t in _T_LADDER_CFG if t < T0) + (T0,)
+
+
+def _tier_cols(nw: np.ndarray) -> np.ndarray:
+    """Column count a row with ``nw`` windows pads to after group
+    coalescing: the _PF_TIERS tier grid for narrow planes, pow2
+    beyond (wide fine groups)."""
+    cost = _pow2ceil(np.maximum(nw, 1))
+    for bound in reversed(_PF_TIERS):
+        cost = np.where(nw <= bound, bound, cost)
+    return np.where(nw == 0, 0, cost)
+
+
+def _choose_T(ln_eff: np.ndarray, T0: int) -> np.ndarray:
+    """Per-row window width: the ladder rung minimizing the padded
+    plane lane count (tier columns x width).  Ties prefer the widest
+    rung -- fewer columns, fewer signatures.  ``ln_eff`` is the
+    [rows, terms] effective-length matrix (zeros for dead cells)."""
+    ladder = _t_ladder(T0)
+    ns = ln_eff.shape[0]
+    best_T = np.full(ns, ladder[-1], np.int64)
+    best_cost = np.full(ns, np.iinfo(np.int64).max, np.int64)
+    nw0 = None
+    for T in ladder:                    # ascending: ties -> larger T
+        nw = (-(-ln_eff // T)).sum(axis=1)
+        cost = _tier_cols(nw) * T
+        better = cost <= best_cost
+        best_T = np.where(better, T, best_T)
+        best_cost = np.where(better, cost, best_cost)
+        nw0 = nw                        # last iteration: nw at T0
+    # Wide planes (beyond the last coalesce tier) pin to T0: their
+    # plane is ~df lanes at every rung (the tie rule resolves there
+    # anyway), and the wide-signature AOT prewarm covers T0 shapes
+    # only -- a drifting width would mint mid-serving compiles.
+    return np.where(nw0 > _COALESCE_MAX_COLS, ladder[-1], best_T)
+
+
 # Column-pad floor: the plan-stats model shows sorted lanes at the
 # 8.8M mix are dominated by padding (a 2-window query pads to 4
 # columns = 16k lanes).  A floor of 2 halves those lanes at the cost
@@ -185,11 +245,29 @@ def _window_t0(cap: int) -> int:
 _QS_MIN = int(os.environ.get("NXS_QS_MIN", "2"))
 
 # Impact-prefix pruned path (ops/executor.prefix_topk): rescored
-# candidate count (the exactness certificate covers the top-k only
-# when k <= M, so limits above M keep the classic executors) and the
-# per-query cap on wide terms (each costs a binary-search rescore
-# pass; queries with more fall back to the classic plan).
+# candidate count for R > 0 plans (the exactness certificate covers
+# the top-k only when k <= M) and the per-query cap on wide terms
+# (each costs a binary-search rescore pass; queries with more fall
+# back to the classic plan).  _PREFIX_M is the floor rung; R > 0
+# dispatches ladder M up to the requested limit (reference default
+# limit is 1000, nxs_impl.h:39, so a stock caller must still route
+# the fast path), and R = 0 plans are exact at ANY depth by
+# construction -- their plane is complete -- so only the ladder top
+# bounds them.
 _PREFIX_M = 32
+_PREFIX_M_RUNGS = (32, 128, 1024)
+_PREFIX_LIMIT_MAX = _PREFIX_M_RUNGS[-1]
+
+
+def _prefix_m(sp: "SearchParams", r: int) -> int:
+    """Rescore depth for one prefix dispatch: R = 0 groups pass the
+    floor (the complete-plane branch never reads M, and a varying
+    static value would mint spurious executables); R > 0 groups take
+    the ladder rung covering the requested limit, so the certificate
+    covers every returned row."""
+    if r == 0:
+        return _PREFIX_M
+    return _ladder(min(sp.limit, _PREFIX_LIMIT_MAX), _PREFIX_M_RUNGS)
 # Wide terms in a prefix plan default OFF (r4 measurement: R > 0
 # certification fires for 0-3% of rows at any rescore depth M --
 # every near-tied plane doc is granted the whole missing tail, so
@@ -204,14 +282,28 @@ _PREFIX_MAX_WIDE = int(os.environ.get("NXS_PREFIX_MAX_WIDE", "0"))
 def _prefix_mode(dev, sp, sharded: bool) -> bool:
     """Scalar gate for impact-prefix plans: single chip, BM25 (the
     impacts are BM25 tf-parts), live adl equal to the adl the impacts
-    were ordered under, and a limit the M-candidate rescore covers."""
+    were ordered under, and a limit the M-rescore ladder covers
+    (R = 0 plans -- the default serving shape -- are exact at any
+    depth; see _prefix_m)."""
     return (not sharded
             and getattr(dev, "prefix_ready", False)
             and sp.algo == ALGO_BM25
-            and sp.limit <= _PREFIX_M
+            and sp.limit <= _PREFIX_LIMIT_MAX
             and dev.adl == dev.adl_built
             and getattr(dev, "postings_pack", None) is not None
             and dev.n_slots < (1 << 24))
+
+
+def _prefix_mode_sharded(dev, sp) -> bool:
+    """Mesh twin of _prefix_mode.  Doc sharding needs no impact
+    regions or adl pinning: each shard windows its own rows of every
+    term IN FULL, so every sharded prefix plan is R = 0 (complete
+    plane, exact by construction) -- the only gates are the scoring
+    algo, the rescoreable limit, and f32 slot exactness per shard."""
+    return (sp.algo == ALGO_BM25
+            and sp.limit <= _PREFIX_LIMIT_MAX
+            and getattr(dev, "postings_pack", None) is not None
+            and dev.slots_per_shard < (1 << 24))
 # Masked dense-row hybrid: route masked (AND/NOT) queries with
 # dense-handled terms through the sliced hybrid instead of the
 # blockdense kernel.  Exact either way (tests force both); ON by
@@ -357,7 +449,7 @@ def _dispatch_oom_retry(fn):
             _t.sleep(min(2.0 ** attempt, 30.0))
 
 
-def _row_pad(n: int, qs: int = 0, T: int = 0) -> int:
+def _row_pad(n: int, qs: int = 0, T: int = 0, pf: bool = False) -> int:
     """Group row count -> padded row count on the configured grid.
 
     Wide-plane groups (qs > 64: the monster-term rows) pad on the
@@ -367,12 +459,16 @@ def _row_pad(n: int, qs: int = 0, T: int = 0) -> int:
     (plane, row-count) batch-mix (multi-second compiles
     mid-serving), and an unclamped ladder rung re-inflated chunked
     monster groups right past the chunk cap (2 rows re-padded to 8 =
-    a ~5 GB dispatch; the r4 prewarm OOM).  Narrow groups keep the
-    pow2 floor-8 grid (their planes are cheap; signatures matter
-    more).  ``T`` is the group's actual window width (the chunking
-    cap's T can shrink below _WINDOW_T on small guard caps, so the
-    lane clamp must use the same T as the chunker or a chunk can hold
-    more members than the clamped pad)."""
+    a ~5 GB dispatch; the r4 prewarm OOM).  Narrow prefix groups
+    (``pf``) ladder onto {8, 64, 512, 2048}: variable-width windows
+    split a batch over ~7 (tier, T) cells whose member counts track
+    the query mix, so a pow2 grid would mint executables per batch --
+    the laddered over-pad costs at most 8x of a CHEAP narrow plane.
+    Other narrow groups keep the pow2 floor-8 grid.  ``T`` is the
+    group's actual window width (the chunking cap's T can shrink
+    below _WINDOW_T on small guard caps, so the lane clamp must use
+    the same T as the chunker or a chunk can hold more members than
+    the clamped pad)."""
     if qs > 64:
         p = _ladder(n, (1, 8, 64))
         if p > 64:
@@ -381,6 +477,8 @@ def _row_pad(n: int, qs: int = 0, T: int = 0) -> int:
         # pad >= n always: the chunker is the source of truth for
         # group size; a pad below it would overflow the fill loops.
         return max(min(p, lane_cap), n)
+    if pf:
+        return _ladder(_bucket(n, 8), (8, 64, 512, 2048))
     return _bucket(n, 8)
 
 
@@ -486,10 +584,7 @@ def _build_plan_prefix(dev, tokens, q_start, q_len, q_idf,
     lookup = dev.prefix_start_lookup
     tails = dev.prefix_tail
     plens = dev.prefix_len
-    starts: list[int] = []
-    lens: list[int] = []
-    idfs: list[float] = []
-    bits: list[int] = []
+    entries: list[tuple[int, int, float, int]] = []   # (s, eln, idf, bit)
     w_tail: list[float] = []
     w_start: list[int] = []
     w_len: list[int] = []
@@ -515,10 +610,19 @@ def _build_plan_prefix(dev, tokens, q_start, q_len, q_idf,
             s, eln, bit = pstart, int(plens[tid]), 1 << j
         else:
             s, eln, bit = int(q_start[i]), ln, 0
+        entries.append((s, eln, float(q_idf[i]), bit))
+    T0 = int(_choose_T(np.asarray(
+        [[e[1] for e in entries]], dtype=np.int64), T0)[0]) \
+        if entries else T0
+    starts: list[int] = []
+    lens: list[int] = []
+    idfs: list[float] = []
+    bits: list[int] = []
+    for s, eln, idf, bit in entries:
         for off in range(0, eln, T0):
             starts.append(s + off)
             lens.append(min(T0, eln - off))
-            idfs.append(float(q_idf[i]))
+            idfs.append(idf)
             bits.append(bit)
     if len(starts) > _WINDOW_MAX_COLS:
         return None
@@ -716,6 +820,13 @@ def _build_plan(dev, query: Query, sp: SearchParams,
     # the legacy tiered plane.
     T0 = _window_t0(dev.slice_t_cap)
     live_cols = [i for i in csr_cols if int(q_len[..., i].max()) > 0]
+    if live_cols:
+        # Per-row variable window width (same chooser as the batch
+        # planner; sharded rows size windows on the max per-shard
+        # length so the column layout stays replicated).
+        T0 = int(_choose_T(np.asarray(
+            [[int(q_len[..., i].max()) for i in live_cols]],
+            dtype=np.int64), T0)[0])
     n_w = sum(-(-int(q_len[..., i].max()) // T0) for i in live_cols)
     if not sharded and n_w <= _WINDOW_MAX_COLS:
         starts: list[int] = []
@@ -777,6 +888,21 @@ def _build_plan(dev, query: Query, sp: SearchParams,
         n_run = 0
         single_v = n_tok == 1 and not use_mask
 
+    # Sharded prefix plans: a pure-OR windowed plan on the mesh IS an
+    # R = 0 prefix plan (per-shard windows cover each shard's postings
+    # in full), so the flagship executor serves multi-chip too.
+    pf_v = False
+    pf_bits_v = pf_tail_v = pf_start_v = pf_len_v = pf_idf_v = None
+    if (sharded and not no_prefix and not use_mask and n_run > 0
+            and h_T == 0 and not bool((d_qpos >= 0).any())
+            and _prefix_mode_sharded(dev, sp)):
+        pf_v = True
+        pf_bits_v = np.zeros(sl_start.shape[-1], dtype=np.int32)
+        pf_tail_v = np.zeros(0, dtype=np.float32)
+        pf_start_v = np.zeros(0, dtype=np.int32)
+        pf_len_v = np.zeros(0, dtype=np.int32)
+        pf_idf_v = np.zeros(0, dtype=np.float32)
+
     return _Plan(q_start=q_start, q_len=q_len, q_idf=q_idf,
                  term_ids=np.asarray([t.term_id for t in tokens],
                                      dtype=np.int64),
@@ -789,7 +915,10 @@ def _build_plan(dev, query: Query, sp: SearchParams,
                  single=single_v,
                  h_start=h_start_v, h_len=h_len_v, h_idf=h_idf_v,
                  h_row=h_row_v, h_T=h_T, h_pass=h_pass_v,
-                 d_pass=d_pass_v)
+                 d_pass=d_pass_v,
+                 pf=pf_v, pf_bits=pf_bits_v, pf_tail=pf_tail_v,
+                 pf_start=pf_start_v, pf_len=pf_len_v,
+                 pf_idf=pf_idf_v)
 
 
 # Shared read-only dummy program for unmasked plans (kept 1-op so the
@@ -918,12 +1047,14 @@ def _build_plans(dev, queries: list[Query], sp: SearchParams,
         iscsr = iscsr & ~ishead
 
     # Windowed plane construction: each CSR cell of length ln becomes
-    # ceil(ln/T0) fixed-width window columns (vectorized ragged
+    # ceil(ln/T) fixed-width window columns (vectorized ragged
     # expansion), so the sort plane holds ~postings lanes instead of a
-    # power-of-8 tier pad per term.
+    # power-of-8 tier pad per term.  T is chosen PER ROW from the rung
+    # ladder (variable-width windows; see _choose_T).
     T0 = _window_t0(dev.slice_t_cap)
     ln_csr = np.where(iscsr, ln_m, 0)
-    w_m = -(-ln_csr // T0)               # windows per (row, cell)
+    T_row = _choose_T(ln_csr, T0)
+    w_m = -(-ln_csr // T_row[:, None])   # windows per (row, cell)
     n_w = w_m.sum(axis=1)                # windows per query
     n_csr = (w_m > 0).sum(axis=1)        # logical CSR terms (df > 0)
 
@@ -947,8 +1078,9 @@ def _build_plans(dev, queries: list[Query], sp: SearchParams,
     wi = (np.arange(cell_of.size, dtype=np.int64)
           - np.repeat(np.cumsum(wcnt) - wcnt, wcnt))
     wr = rr[cell_of]                     # query row per window
-    w_start = st_m[rr, cc][cell_of] + (wi * T0).astype(np.int32)
-    w_len = np.minimum(ln_csr[rr, cc][cell_of] - wi * T0, T0
+    t_w = T_row[wr]                      # window width per lane
+    w_start = (st_m[rr, cc][cell_of] + wi * t_w).astype(np.int32)
+    w_len = np.minimum(ln_csr[rr, cc][cell_of] - wi * t_w, t_w
                        ).astype(np.int32)
     w_idf = idf_m[rr, cc][cell_of]
     w_row = cc[cell_of].astype(np.int32)  # token row (presence bit)
@@ -1001,7 +1133,7 @@ def _build_plans(dev, queries: list[Query], sp: SearchParams,
             sl_start=sl_start_m[j, : qs_pad[j]],
             sl_len=sl_len_m[j, : qs_pad[j]],
             sl_idf=sl_idf_m[j, : qs_pad[j]],
-            sl_T=T0,
+            sl_T=int(T_row[j]),
             sl_rows=sl_rows_m[j, : qs_pad[j]],
             n_run=int(n_run[j]),
             single=bool(counts[j] == 1 and n_w[j] <= 1),
@@ -1049,7 +1181,8 @@ def _plans_prefix(dev, sp, queries, plans, simple, counts, offs,
     word = np.cumsum(wide_m, axis=1) - 1      # wide index j per cell
     n_wide = wide_m.sum(axis=1)
 
-    w_m = -(-ln_eff // T0)
+    T_row = _choose_T(ln_eff, T0)        # variable-width windows
+    w_m = -(-ln_eff // T_row[:, None])
     n_w = w_m.sum(axis=1)
     n_live = (ln_eff > 0).sum(axis=1)
 
@@ -1067,9 +1200,9 @@ def _plans_prefix(dev, sp, queries, plans, simple, counts, offs,
     wi = (np.arange(cell_of.size, dtype=np.int64)
           - np.repeat(np.cumsum(wcnt) - wcnt, wcnt))
     wr = rr[cell_of]
-    w_start = (st_eff[rr, cc][cell_of]
-               + (wi * T0).astype(np.int64)).astype(np.int32)
-    w_len = np.minimum(ln_eff[rr, cc][cell_of] - wi * T0, T0
+    t_w = T_row[wr]
+    w_start = (st_eff[rr, cc][cell_of] + wi * t_w).astype(np.int32)
+    w_len = np.minimum(ln_eff[rr, cc][cell_of] - wi * t_w, t_w
                        ).astype(np.int32)
     w_idf = idf_m[rr, cc][cell_of]
     bit_cell = np.where(wide_m[rr, cc],
@@ -1130,7 +1263,7 @@ def _plans_prefix(dev, sp, queries, plans, simple, counts, offs,
             sl_start=sl_start_m[j, : qs_pad[j]],
             sl_len=sl_len_m[j, : qs_pad[j]],
             sl_idf=sl_idf_m[j, : qs_pad[j]],
-            sl_T=T0, n_run=int(n_run[j]),
+            sl_T=int(T_row[j]), n_run=int(n_run[j]),
             pf=True, pf_bits=pf_bits_m[j, : qs_pad[j]],
             pf_tail=pf_tail_m[j, :rp], pf_start=pf_start_m[j, :rp],
             pf_len=pf_len_m[j, :rp], pf_idf=pf_idf_m[j, :rp])
@@ -1388,6 +1521,24 @@ def execute_query(dev, query: Query, sp: SearchParams,
         return Response()
     sharded = hasattr(dev, "mesh")
 
+    if plan.pf and sharded:
+        from .parallel.sharded import sharded_search_prefix_batch
+        k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
+        scores, slots = sharded_search_prefix_batch(
+            dev.postings_pack, dev.alive_mask,
+            jnp.asarray(plan.sl_start[:, None, :]),
+            jnp.asarray(plan.sl_len[:, None, :]),
+            jnp.asarray(plan.sl_idf[None]), jnp.float32(dev.adl),
+            mesh=dev.mesh, T=plan.sl_T, k=k, algo=sp.algo,
+            alive_all=dev.alive_all, n_run=plan.n_run,
+            k_ret=min(sp.limit, k))
+        _count("prefix")
+        _count("prefix_exact")
+        _count("sharded_prefix")
+        return _to_response(dev, np.asarray(scores)[0],
+                            np.asarray(slots)[0], sp.limit,
+                            delta=_delta_results(dev, plan, sp))
+
     if plan.pf:
         from .ops.executor import (device_search_prefix_packed,
                                    pack_prefix_group, unpack_prefix,
@@ -1400,7 +1551,8 @@ def execute_query(dev, query: Query, sp: SearchParams,
         packed = device_search_prefix_packed(
             dev.postings_pack, dev.alive_mask, jnp.asarray(buf),
             dev.adl_dev, qs=len(plan.sl_start),
-            R=len(plan.pf_tail), T=plan.sl_T, k=k, M=_PREFIX_M,
+            R=len(plan.pf_tail), T=plan.sl_T, k=k,
+            M=_prefix_m(sp, len(plan.pf_tail)),
             algo=sp.algo, n_slots=dev.n_slots,
             alive_all=dev.alive_all, n_run=plan.n_run,
             k_ret=min(sp.limit, k))
@@ -1680,28 +1832,28 @@ def _coalesce_prefix_groups(groups: dict, plans: list) -> dict:
     passes are no-ops.  Same dispatch-overhead argument as
     _coalesce_sliced_groups."""
     small = [key for key, members in groups.items()
-             if key[0] == "pf" and len(members) < _COALESCE_MIN_ROWS_PF
+             if key[0] in ("pf", "spf")
+             and len(members) < _COALESCE_MIN_ROWS_PF
              and key[1] <= _COALESCE_MAX_COLS]
     if not small:
         return groups
-    small = [k for k in small if k[2] == small[0][2]]
-    if len(small) < 2:
-        return groups
-    T = small[0][2]
-    # Tier separately by (qs bound, has-wide): merging an R = 0 group
-    # into an R > 0 one would hand the complete-plane rows the full
-    # 3-operand sort + rescore epilogue back.
+    # Tier by (qs bound, has-wide, window width): merging an R = 0
+    # group into an R > 0 one would hand the complete-plane rows the
+    # full 3-operand sort + rescore epilogue back, and merging across
+    # window widths would re-pad narrow rows to a wide plane (undoing
+    # the variable-width diet).  Singleton cells still re-key onto the
+    # tier bound so dispatch signatures never track the batch's exact
+    # column counts.
     tiers: dict[tuple, list[tuple]] = {}
     for key in small:
         for bound in _PF_TIERS:
             if key[1] <= bound:
-                tiers.setdefault((bound, key[3] > 0), []).append(key)
                 break
         else:
-            tiers.setdefault((1 << 30, key[3] > 0), []).append(key)
-    for keys in tiers.values():
-        if len(keys) < 2:
-            continue
+            bound = 1 << 30
+        tiers.setdefault((key[0], bound, key[3] > 0, key[2]),
+                         []).append(key)
+    for (kind, _bound, _wide, T), keys in tiers.items():
         members: list[int] = []
         qs_g = run_g = 1
         r_g = 0                # stays 0 for an all-R=0 tier
@@ -1718,7 +1870,7 @@ def _coalesce_prefix_groups(groups: dict, plans: list) -> dict:
             r_g = _PREFIX_MAX_WIDE
         qs_g = _ladder(qs_g, _PF_TIERS)
         run_g = _ladder(run_g, (4, 8))
-        merged = ("pf", qs_g, T, r_g, run_g)
+        merged = (kind, qs_g, T, r_g, run_g)
         groups.setdefault(merged, []).extend(members)
         _count("coalesced_pf", len(members))
     return groups
@@ -1753,7 +1905,10 @@ def _submit_plans(dev, plans: list, queries: list[Query],
     for i, plan in enumerate(plans):
         if plan is None:
             continue
-        if plan.pf:
+        if plan.pf and sharded_flag:
+            key = ("spf", plan.sl_start.shape[-1], plan.sl_T,
+                   0, plan.n_run)
+        elif plan.pf:
             key = ("pf", len(plan.sl_start), plan.sl_T,
                    len(plan.pf_tail), plan.n_run)
         elif _use_sliced(plan, sharded_flag, dev):
@@ -1801,6 +1956,10 @@ def _submit_plans(dev, plans: list, queries: list[Query],
             if key[9]:                   # use_rows: [N, Ss] dense plane
                 max_n = min(max_n, max(
                     1, _BD_ELEMS_CAP // max(dev.slots_per_shard, 1)))
+        elif key[0] == "spf":
+            elems = max(key[1] * key[2], 1)
+            cap_l = (1 << 24) if key[1] > 64 else _ELEMS_CAP
+            max_n = max(1, cap_l // elems)
         elif key[0] == "pf":
             elems = max(key[1] * key[2], 1)
             # Wide prefix planes (qs > 64) carry the same 3-column
@@ -1858,13 +2017,15 @@ def _submit_plans(dev, plans: list, queries: list[Query],
         _attach_last()
         sample = plans[members[0]]
         est = _row_pad(len(members),
-                       key[1] if key[0] in ("sl", "pf") else 0,
-                       key[2] if key[0] in ("sl", "pf") else 0) * (
+                       key[1] if key[0] in ("sl", "pf", "spf") else 0,
+                       key[2] if key[0] in ("sl", "pf", "spf") else 0,
+                       pf=key[0] in ("pf", "spf")) * (
             max(key[1] * key[2] + key[8], 1) if key[0] == "sl"
-            else max(key[1] * key[2], 1) if key[0] in ("pf", "ssl")
+            else max(key[1] * key[2], 1) if key[0] in ("pf", "ssl",
+                                                       "spf")
             else max(dev.n_slots, 1) if key[0] == "bd"
             else max(getattr(sample, "budget", 0) or 0, 1 << 12))
-        if key[0] in ("sl", "pf") and key[1] > 64:
+        if key[0] in ("sl", "pf", "spf") and key[1] > 64:
             # Wide planes carry 3 fetched f32 columns plus sort
             # copies: weight their lane estimate so the global cap
             # admits at most ~one monster dispatch at a time.
@@ -1938,12 +2099,39 @@ def _submit_plans(dev, plans: list, queries: list[Query],
             _count("sharded_sliced", n)
             pending.append((members, scores, slots, None))
             continue
+        if key[0] == "spf":
+            from .parallel.sharded import sharded_search_prefix_batch
+            _, qs_pad, T_g, _r, n_run_g = key
+            n = len(members)
+            n_pad = _row_pad(n, qs_pad, T_g, pf=True)
+            n_dev = dev.n_dev
+            sl_start = np.zeros((n_dev, n_pad, qs_pad), dtype=np.int32)
+            sl_len = np.zeros((n_dev, n_pad, qs_pad), dtype=np.int32)
+            sl_idf = np.zeros((n_pad, qs_pad), dtype=np.float32)
+            for row, i in enumerate(members):
+                p = plans[i]
+                w = p.sl_start.shape[-1]    # coalesced rows re-pad
+                sl_start[:, row, :w] = p.sl_start
+                sl_len[:, row, :w] = p.sl_len
+                sl_idf[row, :w] = p.sl_idf
+            scores, slots = sharded_search_prefix_batch(
+                dev.postings_pack, dev.alive_mask,
+                jnp.asarray(sl_start), jnp.asarray(sl_len),
+                jnp.asarray(sl_idf), jnp.float32(dev.adl),
+                mesh=dev.mesh, T=T_g, k=k, algo=sp.algo,
+                alive_all=dev.alive_all, n_run=n_run_g,
+                k_ret=min(sp.limit, k))
+            _count("prefix", n)
+            _count("prefix_exact", n)
+            _count("sharded_prefix", n)
+            pending.append((members, scores, slots, None))
+            continue
         if key[0] == "pf":
             from .ops.executor import (device_search_prefix_packed,
                                        pack_prefix_group)
             _, qs_pad, T_g, r_pad, n_run_g = key
             n = len(members)
-            n_pad = _row_pad(n, qs_pad, T_g)
+            n_pad = _row_pad(n, qs_pad, T_g, pf=True)
             sl_start = np.zeros((n_pad, qs_pad), dtype=np.int32)
             sl_len = np.zeros((n_pad, qs_pad), dtype=np.int32)
             sl_idf = np.zeros((n_pad, qs_pad), dtype=np.float32)
@@ -1970,7 +2158,8 @@ def _submit_plans(dev, plans: list, queries: list[Query],
                 device_search_prefix_packed(
                     dev.postings_pack, dev.alive_mask, jnp.asarray(buf),
                     dev.adl_dev, qs=qs_pad, R=r_pad, T=T_g, k=k,
-                    M=_PREFIX_M, algo=sp.algo, n_slots=dev.n_slots,
+                    M=_prefix_m(sp, r_pad), algo=sp.algo,
+                    n_slots=dev.n_slots,
                     alive_all=dev.alive_all, n_run=n_run_g,
                     k_ret=min(sp.limit, k))))
             _count("prefix", n)
@@ -2188,7 +2377,8 @@ def _submit_plans(dev, plans: list, queries: list[Query],
         pending.append((members, scores, slots, None))
 
     _attach_last()
-    if any(key[0] not in ("pf", "sl", "ssl") for key, _m in chunked) \
+    if any(key[0] not in ("pf", "sl", "ssl", "spf")
+           for key, _m in chunked) \
             and hasattr(dev, "drop_legacy_cols"):
         # A blockdense/candidate/dense group consumed the derived
         # legacy columns: release the cache so the 3.9 GB frees as

@@ -250,5 +250,12 @@ def test_device_and_host_paths_agree(tmp_path, monkeypatch):
         for probe in probes:
             assert matcher_host.lookup(probe) == matcher_dev.lookup(probe), \
                 probe
+        # Batched prefetch (length-region grouped dispatches) must
+        # agree with per-probe lookup.
+        matcher_batch = FuzzyMatcher(idx.host)
+        matcher_batch.prefetch(probes)
+        for probe in probes:
+            assert matcher_batch.lookup(probe) == \
+                matcher_host.lookup(probe), probe
     finally:
         nxs.close()

@@ -297,6 +297,119 @@ def test_sharded_head_term(tmp_path):
         S._HEAD_MIN_DF_PAIR = saved_pair
 
 
+def test_sharded_prefix_routing(corpora):
+    """Pure-OR BM25 queries on the mesh must route through the
+    sharded impact-prefix executor (the flagship single-chip serving
+    plan, R = 0 complete planes per shard) -- not a fallback -- and
+    match the single-chip results exactly."""
+    from nxsearch_tpu.search import EXEC_STATS
+
+    single, sharded = corpora
+    EXEC_STATS.clear()
+    queries = ["dog", "fox dog cat", "textbook erlang python"]
+    for q in queries:
+        want = dict(single.search(q))
+        got = dict(sharded.search(q))
+        assert set(got) == set(want), q
+        for d, s in want.items():
+            assert got[d] == pytest.approx(s, abs=1e-6), (q, d)
+    assert EXEC_STATS.get("sharded_prefix", 0) >= len(queries), \
+        f"mesh pure-OR queries did not run the prefix path: {EXEC_STATS}"
+    # Batched: the spf group dispatch.
+    EXEC_STATS.clear()
+    seq = [dict(single.search(q)) for q in queries]
+    for q, b, s in zip(queries, sharded.search_many(queries), seq):
+        got = dict(b)
+        assert set(got) == set(s), q
+        for d, v in s.items():
+            assert got[d] == pytest.approx(v, abs=1e-6), (q, d)
+    assert EXEC_STATS.get("sharded_prefix", 0) >= len(queries)
+
+
+@pytest.mark.slow
+def test_sharded_midscale_equivalence(tmp_path):
+    """Mid-scale single-vs-sharded sweep (reference stress analogue:
+    src/tests/t_stress_dtmap.c:22-128): a 100k-doc Zipf corpus with a
+    small window width so the mesh actually exercises window splits,
+    column-tier ladders, variable window widths, boolean masks and the
+    fuzzy resolve -- the plan mix multi-chip serving would run -- and
+    every query's results must equal the single-chip engine's."""
+    import numpy as np
+
+    import nxsearch_tpu.search as S
+    from nxsearch_tpu.search import EXEC_STATS
+
+    saved_t = S._WINDOW_T
+    S._WINDOW_T = 64            # mid-df terms split into many windows
+    try:
+        rng = np.random.default_rng(23)
+        n_vocab, n_docs = 5000, 100_000
+        words = np.array([f"w{i:04d}" for i in range(n_vocab)])
+        probs = 1.0 / (np.arange(n_vocab) + 10.0)
+        probs /= probs.sum()
+        single = Nxs(str(tmp_path / "s"))
+        sharded = Nxs(str(tmp_path / "m"), mesh=make_mesh(jax.devices()))
+        idx1 = single.index_create("mid")
+        idx2 = sharded.index_create("mid")
+        for base in range(0, n_docs, 4096):
+            hi = min(base + 4096, n_docs)
+            lens = rng.poisson(10, hi - base).clip(3, None)
+            all_ids = rng.choice(n_vocab, size=int(lens.sum()), p=probs)
+            bounds = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=bounds[1:])
+            docs = [(base + i + 1,
+                     " ".join(words[all_ids[bounds[i]: bounds[i + 1]]]))
+                    for i in range(hi - base)]
+            idx1.add_many(docs)
+            idx2.add_many(docs)
+
+        qp = probs ** 0.35
+        qp /= qp.sum()
+        queries = []
+        for j in range(64):
+            ids = rng.choice(n_vocab, size=int(rng.integers(2, 5)), p=qp)
+            toks = [str(words[i]) for i in ids]
+            r = j % 8
+            if r == 5:
+                queries.append(f"{toks[0]} AND {' '.join(toks[1:])}")
+            elif r == 6:
+                queries.append(f"{' '.join(toks[:-1])} AND NOT {toks[-1]}")
+            elif r == 7:
+                queries.append("x" + toks[0][1:] + " " + toks[-1])  # typo
+            else:
+                queries.append(" ".join(toks))
+        sp = Params().set_uint("limit", 20)
+
+        def check(q, w, g):
+            # Tie-robust equivalence: single-chip device slots are
+            # dl-ordered while sharded slots are host-ordered, so
+            # EQUAL-scored docs at the k-truncation boundary may
+            # legitimately swap.  The score list itself must match
+            # exactly, and every doc present in both must score
+            # identically.
+            assert len(w) == len(g), q
+            np.testing.assert_allclose(
+                sorted(w.values(), reverse=True),
+                sorted(g.values(), reverse=True), atol=1e-4,
+                err_msg=q)
+            for d in set(w) & set(g):
+                assert g[d] == pytest.approx(w[d], abs=1e-4), (q, d)
+
+        want = [dict(r) for r in idx1.search_many(queries, sp)]
+        EXEC_STATS.clear()
+        got_b = [dict(r) for r in idx2.search_many(queries, sp)]
+        assert EXEC_STATS.get("sharded_prefix", 0) > 0, EXEC_STATS
+        for q, w, g in zip(queries, want, got_b):
+            check(q, w, g)
+        # Sequential spot checks through the per-query path.
+        for q in queries[:8]:
+            check(q, dict(idx1.search(q, sp)), dict(idx2.search(q, sp)))
+        single.close()
+        sharded.close()
+    finally:
+        S._WINDOW_T = saved_t
+
+
 def test_sharded_dense_rows(tmp_path):
     """Sharded dense-row hybrid: heavy terms (global df over the
     threshold) get per-shard dense score rows; pure-OR queries with
