@@ -18,12 +18,18 @@ the classic distributed-search scatter/gather but expressed as a
 single SPMD program under ``shard_map``.
 
 The shard-local body picks the same executors as a single chip
-(ops/executor.py): the Pallas block-accumulation kernel on
-accelerators (``use_kernel``), the dense packed-bitmap path for
->32-term boolean queries (``use_dense``), and the candidate
-gather/sort core otherwise -- so multi-chip scales the fast path, not
-a fallback.  Correctness of the merge follows from every global top-k
-document being in its own shard's local top-k.
+(ops/executor.py), INCLUDING the flagship serving plan: pure-OR BM25
+queries run the impact-prefix executor per shard
+(``sharded_search_prefix_batch`` -> prefix_topk, R = 0 complete
+planes -- doc sharding windows each shard's rows of every term in
+full, so exactness holds by construction with no impact regions or
+certification); windowed/masked sliced plans run ``sliced_topk``; the
+Pallas block-accumulation kernel covers accelerator fallbacks
+(``use_kernel``), the dense packed-bitmap path >32-term boolean
+queries (``use_dense``), and the candidate gather/sort core the rest
+-- so multi-chip scales the fast path, not a fallback.  Correctness
+of the merge follows from every global top-k document being in its
+own shard's local top-k.
 
 Incremental refresh mirrors index.device.DeviceIndex: removals flip
 bits in the per-shard alive bitmaps (one small re-upload), additions

@@ -172,6 +172,11 @@ def test_sliced_head_term_hybrid(tmp_path):
         nxs = Nxs(str(tmp_path))
         idx = nxs.index_create("hd")
         idx.add_many(docs)
+        # The impact-prefix path would otherwise win the route for
+        # pure-OR BM25 rows (limit <= 1024 serves prefix since r5);
+        # this test exercises the CLASSIC head hybrid, so disable it.
+        idx.search("t000")
+        idx.dev.prefix_cap = 0
         queries = [
             "t000 t050",                   # head + 1 tail
             "t000 t001 t060 t070",         # head + 3 tails
@@ -240,6 +245,10 @@ def test_sliced_pair_head(tmp_path):
         nxs = Nxs(str(tmp_path))
         idx = nxs.index_create("ph")
         idx.add_many(docs)
+        # Disable the prefix route (it would win pure-OR BM25 rows);
+        # this test exercises the CLASSIC pair-head hybrid.
+        idx.search("t000")
+        idx.dev.prefix_cap = 0
         pair_queries = [
             "t000 t061",                 # big head, small tail
             "t005 t006",                 # mid pair
