@@ -31,6 +31,20 @@ from .utils.validate import str_isalnumdu
 _ALGO_IDS = {"BM25": ALGO_BM25, "TF-IDF": ALGO_TFIDF}
 
 
+def _parallel_compile(fn, jobs, workers: int = 6) -> None:
+    """Run AOT lower+compile jobs through a small thread pool: the
+    work happens in the (remote) compile service, so concurrency is
+    bounded by its latency, not this host's single core -- measured
+    serial prewarm averaged tens of seconds PER executable through
+    the tunneled service."""
+    if not jobs:
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(workers, len(jobs))) as ex:
+        list(ex.map(fn, jobs))
+
+
 class Index:
     """One open index (nxs_index_t equivalent)."""
 
@@ -389,26 +403,30 @@ class Index:
         k = _bucket(min(sp.limit, dev.n_slots), _MIN_K)
         ladder = _t_ladder(_window_t0(dev.slice_t_cap))
         tiers = [t for t in _PF_TIERS if t <= 64] or [8]
-        for qs in tiers:
-            for T in ladder:
-                for rows in (8, 64, 512, 2048):
-                    # n_run 4 covers the serving ladder's dominant
-                    # rung (2-4 term queries); rarer rungs compile
-                    # lazily on first hit.
-                    buf = jnp.zeros(rows * 4 * qs, jnp.int32)
-                    try:
-                        device_search_prefix_packed.lower(
-                            dev.postings_pack, dev.alive_mask,
-                            buf, dev.adl_dev, qs=qs, R=0, T=T,
-                            k=k, M=_PREFIX_M, algo=sp.algo,
-                            n_slots=dev.n_slots,
-                            alive_all=dev.alive_all, n_run=4,
-                            k_ret=min(sp.limit, k)).compile()
-                    except Exception:  # pragma: no cover
-                        from .utils.log import get_logger
-                        get_logger("prewarm").warning(
-                            "prefix AOT compile failed "
-                            "(qs=%d T=%d rows=%d)", qs, T, rows)
+        jobs = [(qs, T, rows)
+                for qs in tiers for T in ladder
+                for rows in (8, 64, 512, 2048)]
+
+        def compile_one(job):
+            qs, T, rows = job
+            # n_run 4 covers the serving ladder's dominant rung (2-4
+            # term queries); rarer rungs compile lazily on first hit.
+            buf = jnp.zeros(rows * 4 * qs, jnp.int32)
+            try:
+                device_search_prefix_packed.lower(
+                    dev.postings_pack, dev.alive_mask,
+                    buf, dev.adl_dev, qs=qs, R=0, T=T,
+                    k=k, M=_PREFIX_M, algo=sp.algo,
+                    n_slots=dev.n_slots,
+                    alive_all=dev.alive_all, n_run=4,
+                    k_ret=min(sp.limit, k)).compile()
+            except Exception:  # pragma: no cover
+                from .utils.log import get_logger
+                get_logger("prewarm").warning(
+                    "prefix AOT compile failed "
+                    "(qs=%d T=%d rows=%d)", qs, T, rows)
+
+        _parallel_compile(compile_one, jobs)
 
     def _prewarm_wide_signatures(self, sp) -> None:
         """AOT-compile the pinned wide-plane (qs > 64) sliced
@@ -437,6 +455,7 @@ class Index:
         # only one rung left the other rungs' 10-90 s first-of-shape
         # compiles in the serving path.
         T0 = _window_t0(dev.slice_t_cap)
+        jobs = []
         qs_rung = 128
         while qs_rung <= _WINDOW_MAX_COLS:
             # Only the row rungs the dispatcher can actually emit
@@ -447,23 +466,28 @@ class Index:
                 for n_run in (4, 16, 128):
                     if n_run > qs_rung:
                         break
-                    buf = jnp.zeros(rows * 3 * qs_rung, jnp.int32)
-                    try:
-                        device_search_sliced_packed.lower(
-                            dev.postings_pack, dev.alive_mask,
-                            dev.doc_len, buf, adl, None,
-                            qs=qs_rung, L=1, D=4, T=T0, k=k,
-                            algo=sp.algo, n_slots=dev.n_slots,
-                            use_mask=False, single=False,
-                            alive_all=dev.alive_all, use_rows=False,
-                            depth=4, T_head=0, n_run=n_run).compile()
-                    except Exception:  # pragma: no cover - best effort
-                        from .utils.log import get_logger
-                        get_logger("prewarm").warning(
-                            "wide-signature AOT compile failed "
-                            "(qs=%d rows=%d n_run=%d)",
-                            qs_rung, rows, n_run)
+                    jobs.append((qs_rung, rows, n_run))
             qs_rung <<= 1
+
+        def compile_one(job):
+            qs_rung, rows, n_run = job
+            buf = jnp.zeros(rows * 3 * qs_rung, jnp.int32)
+            try:
+                device_search_sliced_packed.lower(
+                    dev.postings_pack, dev.alive_mask,
+                    dev.doc_len, buf, adl, None,
+                    qs=qs_rung, L=1, D=4, T=T0, k=k,
+                    algo=sp.algo, n_slots=dev.n_slots,
+                    use_mask=False, single=False,
+                    alive_all=dev.alive_all, use_rows=False,
+                    depth=4, T_head=0, n_run=n_run).compile()
+            except Exception:  # pragma: no cover - best effort
+                from .utils.log import get_logger
+                get_logger("prewarm").warning(
+                    "wide-signature AOT compile failed "
+                    "(qs=%d rows=%d n_run=%d)", qs_rung, rows, n_run)
+
+        _parallel_compile(compile_one, jobs)
 
     def stats(self) -> dict:
         """Live index statistics (observability; counts mirror the

@@ -44,6 +44,37 @@ cp "$HERE/yyjson.h" "$HERE/yyjson.c" "$BUILD/shim/"
 cp "$HERE/roaring64.c" "$BUILD/shim/"
 cp "$HERE/roaring64.h" "$BUILD/shim/roaring/roaring64.h"
 
+# Optional one-line bug fix for the A/B control run (PARITY_AB's 8
+# excluded divergences): the reference's fuzzy candidate loop never
+# updates its running max (idxterm.c:239-242 -- `term_total` stays 0),
+# so its pick among tolerance-2 candidates is BK-tree traversal-order
+# dependent instead of the documented most-popular term.  With
+# NXS_REF_FIX_FUZZY=1 the DISPOSABLE COPY gets the obvious fix so the
+# head-to-head can verify that the repo matches the *intended*
+# semantics 512/512 (the pristine tree is never touched).
+if [ "${NXS_REF_FIX_FUZZY:-0}" = "1" ]; then
+    python3 - "$BUILD/src/index/idxterm.c" <<'EOF'
+import sys
+p = sys.argv[1]
+src = open(p).read()
+broken = """	while ((iterm = deque_pop_back(results)) != NULL) {
+		if (idxterm_get_total(idx, iterm) > term_total) {
+			term = iterm;
+		}
+	}"""
+fixed = """	while ((iterm = deque_pop_back(results)) != NULL) {
+		uint64_t t = idxterm_get_total(idx, iterm);
+		if (t > term_total) {
+			term_total = t;
+			term = iterm;
+		}
+	}"""
+assert broken in src, "idxterm.c candidate loop changed upstream"
+open(p, "w").write(src.replace(broken, fixed))
+print("applied fuzzy-pick fix to the disposable copy")
+EOF
+fi
+
 cd "$BUILD/src"
 CFLAGS="-std=gnu11 -O2 -g -DNDEBUG -D_POSIX_C_SOURCE=200809L \
     -D_GNU_SOURCE -D_DEFAULT_SOURCE \
