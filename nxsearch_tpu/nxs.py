@@ -458,11 +458,16 @@ class Index:
         jobs = []
         qs_rung = 128
         while qs_rung <= _WINDOW_MAX_COLS:
-            # Only the row rungs the dispatcher can actually emit
-            # (the {1,8,64} ladder clamped by the per-dispatch lane
-            # cap -- see _row_pad).
-            for rows in sorted({_row_pad(r, qs_rung, T0)
-                                for r in (1, 8, 64)}):
+            # Only the row rungs the dispatcher can actually emit:
+            # the {1,8,64} ladder clamped FIRST by the chunker's lane
+            # cap (the dispatcher never hands _row_pad more members
+            # than a chunk holds, so prewarm must not either -- an
+            # unclamped rows=64 at qs=32768 is a 2G-lane graph the
+            # compile service rejects), then padded like _row_pad.
+            chunk_cap = max(1, (1 << 24) // (qs_rung * T0))
+            for rows in sorted({_row_pad(min(r, chunk_cap),
+                                         qs_rung, T0)
+                                for r in (1, 2, 4, 8, 64)}):
                 for n_run in (4, 16, 128):
                     if n_run > qs_rung:
                         break

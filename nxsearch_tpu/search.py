@@ -221,20 +221,30 @@ def _choose_T(ln_eff: np.ndarray, T0: int) -> np.ndarray:
     [rows, terms] effective-length matrix (zeros for dead cells)."""
     ladder = _t_ladder(T0)
     ns = ln_eff.shape[0]
+    big = np.int64(np.iinfo(np.int64).max)
     best_T = np.full(ns, ladder[-1], np.int64)
-    best_cost = np.full(ns, np.iinfo(np.int64).max, np.int64)
+    best_cost = np.full(ns, big, np.int64)
     nw0 = None
     for T in ladder:                    # ascending: ties -> larger T
         nw = (-(-ln_eff // T)).sum(axis=1)
         cost = _tier_cols(nw) * T
+        if T != ladder[-1]:
+            # Sub-T0 rungs are only legal while the row stays within
+            # the coalesce tiers: beyond 64 columns a row becomes a
+            # WIDE-plane fine group whose (qs, T) signature tracks
+            # content -- a narrow rung there minted fresh multi-second
+            # executables mid-serving (measured: fuzzy batches with
+            # 12-37 s dispatch stalls on ('pf', 256, 128) shapes).
+            # The wide prewarm covers T0 shapes only.
+            cost = np.where(nw <= _COALESCE_MAX_COLS, cost, big)
         better = cost <= best_cost
         best_T = np.where(better, T, best_T)
         best_cost = np.where(better, cost, best_cost)
         nw0 = nw                        # last iteration: nw at T0
-    # Wide planes (beyond the last coalesce tier) pin to T0: their
-    # plane is ~df lanes at every rung (the tie rule resolves there
-    # anyway), and the wide-signature AOT prewarm covers T0 shapes
-    # only -- a drifting width would mint mid-serving compiles.
+    # Wide planes (beyond the last coalesce tier at T0) pin to T0:
+    # their plane is ~df lanes at every rung (the tie rule resolves
+    # there anyway), and the wide-signature AOT prewarm covers T0
+    # shapes only.
     return np.where(nw0 > _COALESCE_MAX_COLS, ladder[-1], best_T)
 
 
@@ -317,10 +327,14 @@ _MASKED_HYBRID = os.environ.get("NXS_MASKED_HYBRID", "1") == "1"
 # Cap on the summed plane-lane estimate of concurrently in-flight
 # dispatch groups (each holds sort/plane workspace in HBM until it
 # completes; the persistent snapshot already claims most of HBM on
-# big corpora).  2**27 lanes ~ 0.5 GB of planes, a few GB with sort
-# copies -- fits the v5e headroom beside the 8.8M-doc snapshot.
+# big corpora).  2**27 weighted lanes ~ 2-3 GB with sort copies --
+# fits the v5e headroom beside the 8.8M-doc snapshot + dense rows
+# (~6.7 GB).  The r4 cap of 2**26 equalled ONE wide group's weighted
+# estimate, so admits serialized the whole submit phase behind device
+# completion round trips (measured: dispatch ~340 ms/batch at ~16
+# groups, each wait ~1 tunnel RTT).
 _OUTSTANDING_ELEMS_CAP = int(
-    os.environ.get("NXS_OUTSTANDING_ELEMS", str(1 << 26)))
+    os.environ.get("NXS_OUTSTANDING_ELEMS", str(1 << 28)))
 
 
 class _InflightEntry:
@@ -470,7 +484,13 @@ def _row_pad(n: int, qs: int = 0, T: int = 0, pf: bool = False) -> int:
     the same T as the chunker or a chunk can hold more members than
     the clamped pad)."""
     if qs > 64:
-        p = _ladder(n, (1, 8, 64))
+        # {1,2,4,8,64}: monster planes are the most expensive lanes
+        # in the batch, and padding rows sort REAL lanes -- the r4
+        # {1,8,64} ladder made a 1-row 2M-lane group sort 16M lanes
+        # (8x pad), which dominated both the device time and the
+        # in-flight HBM estimate (admit blocking ~220 ms/batch).  The
+        # extra rungs cost a few more prewarmed executables.
+        p = _ladder(n, (1, 2, 4, 8, 64))
         if p > 64:
             p = _bucket(n, 64)
         lane_cap = max(1, (1 << 24) // (qs * (T or _WINDOW_T)))
@@ -1718,6 +1738,13 @@ class _PendingBatch:
     queries: list = None
     # Global in-flight ledger entries, released when collected.
     inflight: list = None
+    # Consolidated-fetch plan: (device concat array, per-group dims,
+    # pending indexes).  The concat is ENQUEUED AT SUBMIT TIME so it
+    # executes inside this batch's own device wave -- enqueueing it at
+    # collect time put it BEHIND the next pipelined batch's groups on
+    # the stream, serializing the pipeline (measured r5: the
+    # submit-before-collect reorder bought nothing until this moved).
+    fetch_concat: tuple = None
 
 
 def execute_query_batch(dev, queries: list[Query],
@@ -2384,11 +2411,43 @@ def _submit_plans(dev, plans: list, queries: list[Query],
         # legacy columns: release the cache so the 3.9 GB frees as
         # soon as the queued work completes.
         dev.drop_legacy_cols()
+
+    # Enqueue the consolidated-fetch concat NOW, inside this batch's
+    # device wave (see _PendingBatch.fetch_concat): packed groups
+    # flatten to [N, d], pad d to the batch max, and one concat makes
+    # the whole batch ONE device->host transfer at collect time.
+    fetch_concat = None
+    packed_ix = [i for i, p in enumerate(pending)
+                 if p[3] in ("packed", "sliced", "prefix")]
+    if len(packed_ix) >= 2:
+        try:
+            flats = []
+            dims = []
+            for i in packed_ix:
+                a = pending[i][1]
+                d = int(np.prod(a.shape[1:]))
+                flats.append(a.reshape(a.shape[0], d))
+                dims.append(d)
+            d_max = max(dims)
+            flats = [jnp.pad(f, ((0, 0), (0, d_max - f.shape[1])))
+                     if f.shape[1] < d_max else f for f in flats]
+            fetch_concat = (jnp.concatenate(flats, axis=0), dims,
+                            packed_ix)
+        except Exception as e:
+            # A transient backend RESOURCE_EXHAUSTED on the enqueue:
+            # collect falls back to per-group fetches (extra RTTs,
+            # exact results) instead of failing the batch.
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            _trace_logger().warning(
+                "fetch-concat enqueue RESOURCE_EXHAUSTED; collect "
+                "will fetch per group")
     return _PendingBatch(plans=plans, responses=responses,
                          chunked=chunked, pending=pending, k=k,
                          t_dispatch=_t_dispatch,
                          t_submitted=_time.perf_counter(),
-                         queries=queries, inflight=inflight)
+                         queries=queries, inflight=inflight,
+                         fetch_concat=fetch_concat)
 
 
 def collect_query_batch(dev, st: _PendingBatch, sp: SearchParams,
@@ -2430,29 +2489,16 @@ def collect_query_batch(dev, st: _PendingBatch, sp: SearchParams,
     from .ops.executor import unpack_blockdense
 
     _t_fetch = _time.perf_counter()
-    # Consolidate the packed groups' results into ONE device->host
-    # fetch: each fetch is a full round trip (a network hop on remote
-    # setups, ~27 ms measured), so a mixed batch of a dozen signature
-    # groups would otherwise pay a dozen RTTs.  Result shapes differ
-    # across kinds ([N, 3, k'] prefix vs [N, 2, k'] classic, k' capped
-    # by small slice tiers), so each group flattens to [N, d] and pads
-    # d to the batch maximum -- a few cheap device copies buy a single
-    # transfer for the whole batch.
-    packed_ix = [i for i, p in enumerate(pending)
-                 if p[3] in ("packed", "sliced", "prefix")]
-    if len(packed_ix) >= 2:
+    # Consume the consolidated fetch enqueued AT SUBMIT TIME (one
+    # device->host transfer for every packed group; each separate
+    # fetch is a full round trip, ~27 ms measured).  The concat array
+    # computed inside this batch's own device wave, so this np.asarray
+    # is a transfer of ready data -- it does not queue behind the next
+    # pipelined batch's groups.
+    if st.fetch_concat is not None:
         try:
-            flats = []
-            dims = []
-            for i in packed_ix:
-                a = pending[i][1]
-                d = int(np.prod(a.shape[1:]))
-                flats.append(a.reshape(a.shape[0], d))
-                dims.append(d)
-            d_max = max(dims)
-            flats = [jnp.pad(f, ((0, 0), (0, d_max - f.shape[1])))
-                     if f.shape[1] < d_max else f for f in flats]
-            arr = np.asarray(jnp.concatenate(flats, axis=0))
+            concat_dev, dims, packed_ix = st.fetch_concat
+            arr = np.asarray(concat_dev)
             at = 0
             for i, d in zip(packed_ix, dims):
                 members_i, packed_i, extra_i, tag_i = pending[i]
@@ -2462,14 +2508,13 @@ def collect_query_batch(dev, st: _PendingBatch, sp: SearchParams,
                 pending[i] = (members_i, sl, extra_i, tag_i)
                 at += n_i
         except Exception as e:
-            # The pad/concat enqueue can hit a transient backend
-            # RESOURCE_EXHAUSTED; the group results themselves are
-            # usually healthy, so fall back to per-group fetches
-            # (extra RTTs, exact results) instead of failing the batch.
+            # A poisoned concat (transient backend exhaustion): the
+            # group results themselves are usually healthy, so fall
+            # back to per-group fetches (extra RTTs, exact results).
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
             _trace_logger().warning(
-                "fetch consolidation RESOURCE_EXHAUSTED; falling back "
+                "consolidated fetch RESOURCE_EXHAUSTED; falling back "
                 "to per-group fetches")
 
     _t_resp = _time.perf_counter()
@@ -2760,19 +2805,25 @@ def search_many_pipelined(dev, pipeline, batches: list[list[str]],
         with phase("pipeline.prepare"):
             prepared = _prepare_many(dev, pipeline, query_strs, sp,
                                      fuzzy_lookup, fuzzy_prefetch)
+        # Submit batch i BEFORE collecting batch i-1: planning,
+        # packing and the upload/dispatch sync all happen while the
+        # chip still crunches i-1 (collect-first left the device idle
+        # through the whole ~200 ms submit window every cycle --
+        # measured r5, the steady-state batch wall was prepare +
+        # collect + submit SERIAL).  The price is that an uncertified
+        # prefix row's re-run now queues behind batch i's device work
+        # -- acceptable since certification restructuring made
+        # fallbacks empty on the serving mix (prefix == prefix_exact);
+        # when one does fire it costs one extra batch of latency, not
+        # correctness.
+        with phase("pipeline.submit"):
+            st = submit_query_batch(dev, prepared, sp)
         if prev_st is not None:
-            # Fetch + unpack batch i-1 and enqueue its uncertified
-            # re-run BEFORE batch i's device groups: the fallback
-            # executes right behind i-1's own groups instead of
-            # waiting for all of batch i's device work.
             with phase("pipeline.collect"):
                 resp_prev, fb_ix = collect_query_batch(
                     dev, prev_st, sp, defer_fallback=True)
                 fb_st = _submit_fallback(dev, prev_st, fb_ix, sp) \
                     if fb_ix else None
-        with phase("pipeline.submit"):
-            st = submit_query_batch(dev, prepared, sp)
-        if prev_st is not None:
             with phase("pipeline.fallback"):
                 if fb_st is not None:
                     _finish_fallback(dev, fb_st, fb_ix, sp, resp_prev)
