@@ -379,12 +379,28 @@ def _entry_finish(ent: _InflightEntry) -> None:
             pass
 
 
+def _entry_ready(ent: _InflightEntry) -> bool:
+    """Non-blocking completion check for one in-flight entry."""
+    if ent.arrays is None:
+        return False
+    try:
+        return all(x.is_ready() for x in ent.arrays
+                   if hasattr(x, "is_ready"))
+    except Exception:
+        return True          # deleted/poisoned: nothing left to hold
+
+
 def _inflight_admit(est: int) -> _InflightEntry:
     """Reserve HBM headroom for one group dispatch.
 
-    Blocks on the OLDEST in-flight dispatches (launch order == device
-    execution order) until the global lane estimate fits the cap, then
-    registers and returns this group's entry."""
+    Under cap pressure, first retires every in-flight entry whose
+    result is ALREADY computed (non-blocking is_ready sweep): with the
+    submit-before-collect pipeline, the previous batch's groups are
+    usually long done but still hold their reservation until collect
+    runs -- blocking on them cost ~1 tunnel RTT each (~25 ms, measured
+    240-380 ms/batch of admit stalls).  Only if the sweep frees
+    nothing does this block on the OLDEST dispatch (launch order ==
+    device execution order)."""
     import jax as _jax
 
     while True:
@@ -395,6 +411,15 @@ def _inflight_admit(est: int) -> _InflightEntry:
                 _INFLIGHT.append(ent)
                 _INFLIGHT_TOTAL[0] += est
                 return ent
+            candidates = list(_INFLIGHT)
+        ready = [e for e in candidates if _entry_ready(e)]
+        if ready:
+            for e in ready:
+                _entry_finish(e)
+            continue
+        with _INFLIGHT_LOCK:
+            if not _INFLIGHT:
+                continue
             oldest = _INFLIGHT[0]
         # Block outside the lock (waiting on an entry another thread
         # already finished is harmless -- the arrays are just ready);
