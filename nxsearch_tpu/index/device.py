@@ -250,13 +250,17 @@ class DeviceIndex:
     # highest-df first).
     DENSE_DF_DIV = 16
     MAX_DENSE_ROWS = 128
-    # 384 MB (10 rows at the 8.8M tier): pure-OR serving runs the
-    # impact-prefix path and never touches dense rows, so a bigger
-    # tier spends scarce HBM on a rarely-hit hybrid path.  The
-    # tunneled backend's free HBM varies outside this process
-    # (observed intermittent RESOURCE_EXHAUSTED at a ~8.5 GB resident
-    # set on a 16 GB chip) -- static headroom is the cheapest defense.
-    DENSE_ROWS_MAX_BYTES = 384 << 20
+    # 1.25 GB (~35 rows at the 8.8M tier).  Dense rows are how
+    # monster terms (df in the millions) avoid the sort plane: their
+    # contribution is an elementwise sweep + one top_k over n_slots
+    # (~1 ms/row) where the windowed sort costs ~3.6 ns/lane x df
+    # (5-15 ms for the top Zipf ranks) -- and the damped serving mix
+    # hits a top-25-rank term in ~0.3% of queries, ~6 rows per 2048
+    # batch (measured ~50 ms/batch of monster sorts at the r4 384 MB
+    # budget, which fit only 10 rows).  Headroom stays: pack 6.3 GB +
+    # rows 1.25 GB + ~3 GB transient planes on a 16 GB chip.
+    DENSE_ROWS_MAX_BYTES = int(
+        os.environ.get("NXS_DENSE_ROWS_MB", "1280")) << 20
 
     # Per-term bounds-cache rows (must exceed the unique kernel terms
     # of one dispatch chunk; LRU beyond that).

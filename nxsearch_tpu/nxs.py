@@ -405,7 +405,7 @@ class Index:
         tiers = [t for t in _PF_TIERS if t <= 64] or [8]
         jobs = [(qs, T, rows)
                 for qs in tiers for T in ladder
-                for rows in (8, 64, 512, 2048)]
+                for rows in (8, 64, 128, 256, 512, 1024, 2048)]
 
         def compile_one(job):
             qs, T, rows = job

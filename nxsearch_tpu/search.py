@@ -523,7 +523,13 @@ def _row_pad(n: int, qs: int = 0, T: int = 0, pf: bool = False) -> int:
         # group size; a pad below it would overflow the fill loops.
         return max(min(p, lane_cap), n)
     if pf:
-        return _ladder(_bucket(n, 8), (8, 64, 512, 2048))
+        # 2x steps from 64 up: the pf cells carry hundreds of rows of
+        # the batch's most-traveled planes, so a 4x rung step re-paid
+        # a third of the lane diet in row padding (75 rows -> 512-row
+        # pad on a 16k-lane/row cell, measured); below 64 rows the
+        # cells are cheap and a single rung keeps signatures scarce.
+        return _ladder(_bucket(n, 8),
+                       (8, 64, 128, 256, 512, 1024, 2048))
     return _bucket(n, 8)
 
 
