@@ -880,29 +880,31 @@ def _build_plan(dev, query: Query, sp: SearchParams,
             dtype=np.int64), T0)[0])
     n_w = sum(-(-int(q_len[..., i].max()) // T0) for i in live_cols)
     if not sharded and n_w <= _WINDOW_MAX_COLS:
-        starts: list[int] = []
-        lens: list[int] = []
-        idfs: list[float] = []
-        rows: list[int] = []
-        for i in live_cols:
-            s, ln = int(q_start[i]), int(q_len[i])
-            for off in range(0, ln, T0):
-                starts.append(s + off)
-                lens.append(min(T0, ln - off))
-                idfs.append(float(q_idf[i]))
-                rows.append(i)
-        qs_pad = _qs_pad(len(starts))
+        # Vectorized ragged window expansion: a monster term yields
+        # thousands of windows, and the python per-window loop cost
+        # ~1 ms per wide row (~40 ms/batch of fallback planning).
+        cl = np.asarray([int(q_len[i]) for i in live_cols],
+                        dtype=np.int64)
+        cs = np.asarray([int(q_start[i]) for i in live_cols],
+                        dtype=np.int64)
+        ci = np.asarray(live_cols, dtype=np.int64)
+        wcnt = -(-cl // T0) if len(cl) else cl
+        cell_of = np.repeat(np.arange(len(ci)), wcnt)
+        wi = (np.arange(cell_of.size, dtype=np.int64)
+              - np.repeat(np.cumsum(wcnt) - wcnt, wcnt))
+        n_wins = cell_of.size
+        qs_pad = _qs_pad(n_wins)
         sl_start = np.zeros(qs_pad, dtype=np.int32)
         sl_len = np.zeros(qs_pad, dtype=np.int32)
         sl_idf = np.zeros(qs_pad, dtype=np.float32)
         sl_rows = np.zeros(qs_pad, dtype=np.int32)
-        sl_start[: len(starts)] = starts
-        sl_len[: len(starts)] = lens
-        sl_idf[: len(starts)] = idfs
-        sl_rows[: len(starts)] = rows
+        sl_start[:n_wins] = cs[cell_of] + wi * T0
+        sl_len[:n_wins] = np.minimum(cl[cell_of] - wi * T0, T0)
+        sl_idf[:n_wins] = q_idf[ci[cell_of]]
+        sl_rows[:n_wins] = ci[cell_of]
         sl_T = T0
         n_run = _bucket(len(live_cols), 1) if live_cols else 1
-        single_v = n_tok == 1 and not use_mask and len(starts) <= 1
+        single_v = n_tok == 1 and not use_mask and n_wins <= 1
     elif sharded and n_w <= _WINDOW_MAX_COLS:
         cols = [(i, j)
                 for i in live_cols
